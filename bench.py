@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is executed to completion with a noop sink (full plan runs,
+nothing collected to the driver), timed individually after a warmup
+query primes the JVM/codegen.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "agg_summary_stats",
+    "join_outer_coalesce",
+    "window_rank",
+    "window_running_sum",
+    "ext_topk",
+    "events_tumbling",
+    "events_session",
+    "ext_dedup_exact",
+    "dedup_jaccard_pairs",
+    "text_tfidf_top",
+    "ext_sim_search",
+    "sim_lsh_topk",
+]
+
+
+def main() -> None:
+    from landsat_tair_data_pipeline_spark.registry import spark_queries
+    from landsat_tair_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("landsat-tair-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = spark_queries()
+
+    # Warmup: prime JVM, codegen, parquet footers.
+    qs["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

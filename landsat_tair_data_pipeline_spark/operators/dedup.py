@@ -1,0 +1,200 @@
+"""Document deduplication operators (SURVEY §2.12 — driver-mandated
+LLM-data-pipeline extensions over the `documents` table).
+
+Exact dedup is a hash-groupBy (one shuffle on the digest — at 100 TB
+the digest shuffle moves 32 bytes/row, not the document bodies).
+Near-dup comes in three flavors:
+
+- MinHash+LSH (`ext_dedup_near`): shingle → MinHash signature → banded
+  bucket join. Uses Spark ML's MinHashLSH (seeded); hash family is
+  engine-specific → rows-only check.
+- SimHash (`dedup_simhash`): 64-bit signature from xxhash64 token
+  hashes, computed with map-side-combinable aggregates; deterministic
+  within Spark, rows-only vs the oracle (DuckDB's hash ≠ xxhash64).
+- N-gram/word Jaccard (`dedup_jaccard_pairs`): exact set similarity on
+  blocked candidate pairs — fully SQL-expressible, hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import QuerySpec
+from ..sources.tables import table
+
+# Shared tokenization: lowercase, split on whitespace runs. The oracle
+# uses the byte-identical duckdb form (string_split_regex + 'g' flag
+# regexp_replace) — keep the two in lockstep when editing. Lazy (a
+# function, not a module-level Column) because classic PySpark needs an
+# active session to build Column expressions.
+def TOKENS():
+    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+
+_TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+def ext_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by content digest; keeper = lowest doc_id per digest
+    (deterministic, unlike dropDuplicates). md5 is identical across
+    engines (lowercase hex)."""
+    docs = table(spark, sf, "documents")
+    return docs.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max("n_chars").alias("n_chars"),
+    )
+
+
+_EXACT_SQL = """
+SELECT md5(text)    AS text_md5,
+       MIN(doc_id)  AS keeper_doc_id,
+       COUNT(*)     AS n_copies,
+       MAX(n_chars) AS n_chars
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup after canonicalization (lowercase + whitespace collapse) —
+    catches trivially-reformatted copies exact dedup misses."""
+    docs = table(spark, sf, "documents")
+    canon = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.groupBy(F.md5(canon).alias("canon_md5")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+_NORMALIZED_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS canon_md5,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*)    AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact word-set Jaccard over candidate pairs blocked by source
+    (blocking keeps the pair space linear-ish at scale; the unblocked
+    fallback is MinHash below). Emits pairs with similarity >= 0.4.
+
+    Performance shape:
+    - tokens are pre-hashed to int64 (xxhash64) so the hot per-pair
+      array_intersect runs on longs, not strings (~5× cheaper; a 64-bit
+      collision altering a set size is ~1e-8 per corpus — negligible);
+    - an exact integer size-ratio prune (10·min >= 4·max, implied by
+      jaccard >= 0.4 since jaccard <= |min|/|max|) drops hopeless pairs
+      before the intersect;
+    - the blocking key (source) has few distinct values, so a shuffle
+      join would collapse to one task per block; broadcasting one side
+      gives a hash join parallelized by probe partitions. At 100 TB,
+      blocks outgrow the broadcast limit → use ext_dedup_near.
+    """
+    docs = table(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.transform(TOKENS(), lambda t: F.xxhash64(t))).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    a = docs.repartitionByRange(64, "doc_id").alias("a")
+    b = docs.alias("b")
+    sz_a, sz_b = F.col("a.sz"), F.col("b.sz")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = sz_a + sz_b - inter
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(sz_a, sz_b) * 10 >= F.greatest(sz_a, sz_b) * 4),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union.cast("double") + 1e-9, 4).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= 0.4)
+    )
+
+
+_JACCARD_SQL = """
+WITH t AS (
+  SELECT doc_id, source, list_distinct({toks}) AS toks FROM documents
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+               + 1e-9, 4) AS jaccard
+  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.4
+""".format(toks=_TOKENS_SQL)
+
+
+def ext_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (rows-only: LSH hash family is
+    engine-specific). Pipeline: tokens → HashingTF term sets → MinHash
+    signatures → banded similarity self-join at Jaccard-distance 0.5.
+    At 100 TB the band-bucket join replaces the quadratic pair scan."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = table(spark, sf, "documents").select("doc_id", TOKENS().alias("toks"))
+    tf = HashingTF(
+        inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist") + 1e-9, 4).alias("jaccard_sim"),
+        )
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit SimHash signatures. Each token contributes ±1 per bit of
+    its xxhash64; the signature is the sign vector re-packed to a long.
+    Expressed as 64 conditional sums → fully map-side-combinable, no
+    UDF. Deterministic within Spark; rows-only vs the oracle."""
+    docs = table(spark, sf, "documents").select("doc_id", TOKENS().alias("toks"))
+    tok = docs.select("doc_id", F.explode("toks").alias("tok"))
+    h = tok.select("doc_id", F.xxhash64("tok").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = h.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return sums.select("doc_id", sig.alias("simhash")).orderBy("doc_id")
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "ext_dedup_exact": QuerySpec("ext_dedup_exact", ext_dedup_exact, _EXACT_SQL),
+    "dedup_normalized": QuerySpec("dedup_normalized", dedup_normalized, _NORMALIZED_SQL),
+    "dedup_jaccard_pairs": QuerySpec(
+        "dedup_jaccard_pairs", dedup_jaccard_pairs, _JACCARD_SQL
+    ),
+    "ext_dedup_near": QuerySpec("ext_dedup_near", ext_dedup_near, None),
+    "dedup_simhash": QuerySpec("dedup_simhash", dedup_simhash, None),
+}

@@ -1,0 +1,211 @@
+"""Event-time windowing over the `events` table (SURVEY §2.11).
+
+The reference is pure batch; the driver testdata ships an events stream
+table, so the engine exposes tumbling / sliding / session windows and
+event dedup. Batch forms here (DuckDB-checkable); the Structured
+Streaming forms of the same windows live in ``streaming/windows.py``
+and are asserted equivalent in tests.
+
+Scale: windowed aggs shuffle on (bucket, keys); session windows
+shuffle on user_id — both partial-aggregate map-side. At 100 TB the
+watermark bounds streaming state; batch forms are plain shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import QuerySpec
+from ..sources.tables import table
+
+
+def events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type."""
+    ev = table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+       event_type,
+       COUNT(*)              AS n_events,
+       ROUND(SUM(value), 2)  AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding windows: 1 hour long, sliding every 30 minutes — each
+    event lands in exactly 2 windows. Oracle reproduces Spark's
+    slide-aligned window starts by unnesting the two candidate starts."""
+    ev = table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value") + 1e-9, 4).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "avg_value")
+    )
+
+
+_SLIDING_SQL = """
+WITH assigned AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+           AS bucket_start,
+         value
+  FROM events
+)
+SELECT bucket_start, COUNT(*) AS n_events, ROUND(AVG(value) + 1e-9, 4) AS avg_value
+FROM assigned
+GROUP BY bucket_start
+"""
+
+
+def events_session(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows, 15-minute inactivity gap, per user. Spark's
+    session_window merges events whose [ts, ts+gap) ranges overlap →
+    a new session starts when the gap is >= 15 min (strict overlap);
+    the oracle's gaps-and-islands uses the same >= boundary."""
+    ev = table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '15 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_id
+  FROM flagged)
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM sess
+GROUP BY user_id, sess_id
+"""
+
+
+def events_dedup_first(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic keep-first dedup: earliest event per (user_id,
+    event_type). Spark's dropDuplicates is arrival-order-nondeterministic;
+    the engine's dedup is a rank-1 window → reproducible everywhere."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+_DEDUP_FIRST_SQL = """
+SELECT user_id, event_type, event_id, ts, value FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events) t
+WHERE rn = 1
+"""
+
+
+def events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured props column: JSON path extraction + typed cast
+    (the reference's string-typed metadata coercion analog, SURVEY §2.6
+    map_str_to_float)."""
+    ev = table(spark, sf, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k") + 1e-9, 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_JSON_SQL = """
+SELECT event_type,
+       COUNT(*)  AS n_events,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)) + 1e-9, 4) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))           AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def events_rate_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user activity profile: grouped stats + event-time span."""
+    ev = table(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.avg("value") + 1e-9, 4).alias("avg_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+_RATE_SQL = """
+SELECT user_id,
+       COUNT(*)                   AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       ROUND(AVG(value) + 1e-9, 4)       AS avg_value,
+       MIN(ts)                    AS first_ts,
+       MAX(ts)                    AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "events_tumbling": QuerySpec("events_tumbling", events_tumbling, _TUMBLING_SQL),
+    "events_sliding": QuerySpec("events_sliding", events_sliding, _SLIDING_SQL),
+    "events_session": QuerySpec("events_session", events_session, _SESSION_SQL),
+    "events_dedup_first": QuerySpec(
+        "events_dedup_first", events_dedup_first, _DEDUP_FIRST_SQL
+    ),
+    "events_json_extract": QuerySpec(
+        "events_json_extract", events_json_extract, _JSON_SQL
+    ),
+    "events_rate_per_user": QuerySpec(
+        "events_rate_per_user", events_rate_per_user, _RATE_SQL
+    ),
+}

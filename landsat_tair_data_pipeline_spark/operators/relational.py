@@ -1,0 +1,719 @@
+"""Relational operator inventory over the driver's TPC-H-ish tables.
+
+Covers SURVEY.md §2.2–§2.5, §2.7 (projections, filters, every join
+flavor incl. semi/anti, global + grouped + rollup/cube aggregations,
+windows, sorts/limits/top-k, set ops) plus scalar function coverage.
+The reference has no SQL surface (SURVEY.md §3 — eager Python call
+tree); these are the Spark-first equivalents the engine exposes.
+
+Scale notes (100 TB stance):
+- Dimension joins (`nation`, `region`, `supplier`, `customer`, `part`)
+  are explicitly `broadcast()` — no shuffle of the fact side.
+- Fact-fact joins (lineitem ⋈ orders) shuffle on the join key; AQE
+  handles skew.
+- All aggregations are expressed declaratively → Catalyst plans
+  partial (map-side) aggregation automatically.
+- Floating-point columns produced by accumulation are rounded the same
+  way on both the Spark and oracle side (accumulation order differs
+  between engines); passthrough doubles stay untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import QuerySpec
+from ..sources.tables import table
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5: agg_count, agg_summary_stats with the
+# stddev_pop trap, agg_count_distinct, grouped variants)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: filter → groupBy → 8 aggregates. Flagship agg
+    query; whole-stage-codegen end to end, partial agg map-side."""
+    li = table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity") + 1e-9, 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice") + 1e-9, 4).alias("avg_price"),
+            F.round(F.avg("l_discount") + 1e-9, 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                          AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                                     AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+       ROUND(AVG(l_quantity) + 1e-9, 4)                                          AS avg_qty,
+       ROUND(AVG(l_extendedprice) + 1e-9, 4)                                     AS avg_price,
+       ROUND(AVG(l_discount) + 1e-9, 4)                                          AS avg_disc,
+       COUNT(*)                                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def agg_summary_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Global min/max/avg/stddev over air-temp analog (SURVEY §2.5
+    agg_summary_stats). Trap: the reference uses numpy .std() = ddof=0
+    → stddev_pop, NOT Spark's default sample stddev (main.py:111-113)."""
+    li = table(spark, sf, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.avg("l_quantity") + 1e-9, 4).alias("avg_qty"),
+        F.round(F.stddev_pop("l_quantity") + 1e-9, 4).alias("std_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.round(F.avg("l_extendedprice") + 1e-9, 4).alias("avg_price"),
+        F.round(F.stddev_pop("l_extendedprice") + 1e-9, 4).alias("std_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_SUMMARY_SQL = """
+SELECT MIN(l_quantity)                    AS min_qty,
+       MAX(l_quantity)                    AS max_qty,
+       ROUND(AVG(l_quantity) + 1e-9, 4)          AS avg_qty,
+       ROUND(STDDEV_POP(l_quantity) + 1e-9, 4)   AS std_qty,
+       MIN(l_extendedprice)               AS min_price,
+       MAX(l_extendedprice)               AS max_price,
+       ROUND(AVG(l_extendedprice) + 1e-9, 4)     AS avg_price,
+       ROUND(STDDEV_POP(l_extendedprice) + 1e-9, 4) AS std_price,
+       COUNT(*)                           AS n_rows
+FROM lineitem
+"""
+
+
+def agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2.5 agg_count_distinct (main.py:109-110). At 100 TB the
+    approx_count_distinct variant avoids the exact-distinct shuffle;
+    exact form here for the oracle."""
+    li = table(spark, sf, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_COUNT_DISTINCT_SQL = """
+SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(*)                  AS n_rows
+FROM lineitem
+"""
+
+
+def agg_group_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped summary stats per station-analog (SURVEY §2.5 note:
+    grouped variants of the reference's global-only aggregates)."""
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("l_discount") + 1e-9, 4).alias("avg_disc"),
+        F.round(F.stddev_pop("l_discount") + 1e-9, 4).alias("std_disc"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+_GROUP_STATS_SQL = """
+SELECT l_returnflag,
+       COUNT(*)                          AS n_rows,
+       ROUND(AVG(l_discount) + 1e-9, 4)         AS avg_disc,
+       ROUND(STDDEV_POP(l_discount) + 1e-9, 4)  AS std_disc,
+       MIN(l_shipdate)                   AS first_ship,
+       MAX(l_shipdate)                   AS last_ship
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*)                  AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*)                    AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def agg_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot-style conditional aggregation (CASE WHEN inside COUNT),
+    customer dim broadcast so only the fact side streams."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+_CONDITIONAL_SQL = """
+SELECT c_nationkey,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending,
+       ROUND(SUM(o_totalprice), 2)                     AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+def agg_having(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .where(F.col("n_orders") >= 15)
+    )
+
+
+_HAVING_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.4: equi, broadcast dim, semi, anti, outer+coalesce —
+# the reference's implicit inner-join drops exposed as explicit flavors)
+# ---------------------------------------------------------------------------
+
+
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filter, group, top-10. customer is
+    broadcast; orders ⋈ lineitem shuffles on orderkey. Ranking uses the
+    rounded revenue + orderkey tiebreak → fully deterministic."""
+    c = table(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
+    )
+    li = table(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through two dimension chains with the
+    c_nationkey = s_nationkey locality predicate. All dims broadcast →
+    the only shuffle is lineitem ⋈ orders."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """left_semi: orders containing at least one max-quantity line.
+    The reference's inner-join row-keeping (feature_extractor.py:98-100)
+    exposed as an explicit semi join (SURVEY §2.4 note)."""
+    o = table(spark, sf, "orders")
+    big = table(spark, sf, "lineitem").where(F.col("l_quantity") >= 49)
+    return o.join(big, o.o_orderkey == big.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+_SEMI_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+"""
+
+
+def join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """left_anti: customers with no orders (the reference's silent
+    missing-station drop, inverted — SURVEY §2.4)."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def join_outer_coalesce(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT OUTER + coalesce-to-default: the engine's NULL-first stance
+    with sentinel only at the boundary (SURVEY §1.7 sentinel mapping;
+    join_gt_lookup's coalesce(air_temp, -9999.0) analog)."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.round(F.sum("o_totalprice"), 2), F.lit(0.0)).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+_OUTER_SQL = """
+SELECT c_custkey,
+       COUNT(o_orderkey)                              AS n_orders,
+       COALESCE(ROUND(SUM(o_totalprice), 2), 0.0)     AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windows / sorts / top-k (SURVEY §2.7 — absent from the reference,
+# table stakes for the engine; ext_topk from §2.12)
+# ---------------------------------------------------------------------------
+
+
+def window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_WINDOW_RANK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    """lag/lead over per-customer order history. IEEE subtraction of
+    identical operands is deterministic → no rounding needed."""
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("delta_prev"),
+    )
+
+
+_WINDOW_LAG_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       LAG(o_totalprice)  OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       o_totalprice - LAG(o_totalprice) OVER w AS delta_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative frame (rowsBetween unboundedPreceding→currentRow):
+    both engines accumulate in identical frame order → round(2) safe."""
+    o = table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+_WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def ext_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group top-k (SURVEY §2.12 ext_topk): top 5 parts per brand.
+    At scale this is the canonical rank-then-filter; AQE coalesces the
+    per-brand partitions."""
+    p = table(spark, sf, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        p.withColumn("rank_in_brand", F.row_number().over(w).cast("long"))
+        .where(F.col("rank_in_brand") <= 5)
+        .select("p_brand", "p_partkey", "p_retailprice", "rank_in_brand")
+    )
+
+
+_TOPK_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, rank_in_brand FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rank_in_brand
+  FROM part) t
+WHERE rank_in_brand <= 5
+"""
+
+
+def sort_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject (per-partition
+    top-N + driver merge), no full sort shuffle — the 100 TB-safe path."""
+    li = table(spark, sf, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+        .limit(20)
+    )
+
+
+_SORT_LIMIT_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+def setop_union(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+_UNION_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def setop_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def setop_except(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT DISTINCT semantics, matching the SQL form
+
+
+_EXCEPT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def distinct_proj(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+_DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / scalar functions (SURVEY §2.2–2.3, §2.6's
+# str→float cast analog)
+# ---------------------------------------------------------------------------
+
+
+def proj_date_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2.2 proj_date_parts_csv / proj_scene_date_parse: derive
+    year/month/day columns (data_loader.py:86-89). Int types matched to
+    the oracle via explicit casts."""
+    o = table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+    )
+
+
+_DATE_PARTS_SQL = """
+SELECT o_orderkey,
+       year(o_orderdate)        AS order_year,
+       month(o_orderdate)       AS order_month,
+       day(o_orderdate)         AS order_day,
+       quarter(o_orderdate)     AS order_quarter
+FROM orders
+"""
+
+
+def filt_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    """Compound predicate pushdown: range + IN + LIKE all reach the
+    parquet scan (check .explain → PushedFilters). SURVEY §2.3."""
+    p = table(spark, sf, "part")
+    return p.where(
+        (F.col("p_size").between(10, 40))
+        & (F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_brand").like("Brand#1%"))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+
+
+_FILT_SQL = """
+SELECT p_partkey, p_brand, p_type, p_size
+FROM part
+WHERE p_size BETWEEN 10 AND 40
+  AND p_type IN ('PROMO', 'ECONOMY')
+  AND p_brand LIKE 'Brand#1%'
+"""
+
+
+def proj_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("name_masked"),
+    )
+
+
+_STRING_SQL = """
+SELECT c_custkey,
+       upper(c_name)                              AS name_upper,
+       substring(c_name, 1, 8)                    AS name_prefix,
+       length(c_name)                             AS name_len,
+       concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+       regexp_replace(c_name, '[0-9]', '#', 'g')  AS name_masked
+FROM customer
+"""
+
+
+def proj_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar math coverage. sqrt is IEEE-correctly-rounded (identical
+    across engines); ln/pow are libm-dependent → rounded."""
+    li = table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc_delta"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0) + 1e-9, 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", 1.5) + 1e-9, 6).alias("qty_pow"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod"),
+    )
+
+
+_MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05)                 AS abs_disc_delta,
+       CAST(ceil(l_extendedprice) AS BIGINT)  AS price_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       sqrt(l_quantity)                       AS qty_sqrt,
+       ROUND(ln(l_extendedprice + 1.0) + 1e-9, 6)    AS price_ln,
+       ROUND(pow(l_quantity, 1.5) + 1e-9, 6)         AS qty_pow,
+       l_orderkey % 7                         AS key_mod
+FROM lineitem
+"""
+
+
+def proj_case_when(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-branch CASE (the reference's sensor dispatch analog,
+    SURVEY §2.2 proj_sensor_flag)."""
+    li = table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") >= 40, "bulk")
+        .when(F.col("l_quantity") >= 10, "standard")
+        .otherwise("small")
+        .alias("qty_class"),
+        (F.col("l_discount") > 0.05).cast("int").alias("is_discounted"),
+    )
+
+
+_CASE_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity >= 40 THEN 'bulk'
+            WHEN l_quantity >= 10 THEN 'standard'
+            ELSE 'small' END                      AS qty_class,
+       CAST(l_discount > 0.05 AS INTEGER)         AS is_discounted
+FROM lineitem
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q1_pricing_summary": QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_SQL),
+    "q3_shipping_priority": QuerySpec(
+        "q3_shipping_priority", q3_shipping_priority, _Q3_SQL
+    ),
+    "q5_local_supplier": QuerySpec("q5_local_supplier", q5_local_supplier, _Q5_SQL),
+    "agg_summary_stats": QuerySpec("agg_summary_stats", agg_summary_stats, _SUMMARY_SQL),
+    "agg_count_distinct": QuerySpec(
+        "agg_count_distinct", agg_count_distinct, _COUNT_DISTINCT_SQL
+    ),
+    "agg_group_stats": QuerySpec("agg_group_stats", agg_group_stats, _GROUP_STATS_SQL),
+    "agg_rollup": QuerySpec("agg_rollup", agg_rollup, _ROLLUP_SQL),
+    "agg_cube": QuerySpec("agg_cube", agg_cube, _CUBE_SQL),
+    "agg_conditional": QuerySpec("agg_conditional", agg_conditional, _CONDITIONAL_SQL),
+    "agg_having": QuerySpec("agg_having", agg_having, _HAVING_SQL),
+    "join_semi": QuerySpec("join_semi", join_semi, _SEMI_SQL),
+    "join_anti": QuerySpec("join_anti", join_anti, _ANTI_SQL),
+    "join_outer_coalesce": QuerySpec(
+        "join_outer_coalesce", join_outer_coalesce, _OUTER_SQL
+    ),
+    "window_rank": QuerySpec("window_rank", window_rank, _WINDOW_RANK_SQL),
+    "window_lag_lead": QuerySpec("window_lag_lead", window_lag_lead, _WINDOW_LAG_SQL),
+    "window_running_sum": QuerySpec(
+        "window_running_sum", window_running_sum, _WINDOW_RUNNING_SQL
+    ),
+    "ext_topk": QuerySpec("ext_topk", ext_topk, _TOPK_SQL),
+    "sort_limit": QuerySpec("sort_limit", sort_limit, _SORT_LIMIT_SQL),
+    "setop_union": QuerySpec("setop_union", setop_union, _UNION_SQL),
+    "setop_intersect": QuerySpec("setop_intersect", setop_intersect, _INTERSECT_SQL),
+    "setop_except": QuerySpec("setop_except", setop_except, _EXCEPT_SQL),
+    "distinct_proj": QuerySpec("distinct_proj", distinct_proj, _DISTINCT_SQL),
+    "proj_date_parts": QuerySpec("proj_date_parts", proj_date_parts, _DATE_PARTS_SQL),
+    "filt_predicates": QuerySpec("filt_predicates", filt_predicates, _FILT_SQL),
+    "proj_string_funcs": QuerySpec("proj_string_funcs", proj_string_funcs, _STRING_SQL),
+    "proj_math_funcs": QuerySpec("proj_math_funcs", proj_math_funcs, _MATH_SQL),
+    "proj_case_when": QuerySpec("proj_case_when", proj_case_when, _CASE_SQL),
+}

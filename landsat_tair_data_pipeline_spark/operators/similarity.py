@@ -1,0 +1,228 @@
+"""Vector similarity search over the `embeddings` table (SURVEY §2.12
+ext_sim_search).
+
+Baseline: brute-force cosine top-k — query set broadcast, candidates
+streamed, dot products as JVM higher-order array functions (no Python
+in the hot path). Scale path: deterministic sign-LSH bucketing (the
+IVF-style coarse quantizer) that prunes the candidate set before the
+exact re-rank; both forms are SQL-expressible so both are oracle-
+checked.
+
+Ranking determinism across engines: rank on the *rounded* cosine with
+vec_id tiebreak, so sub-rounding float noise (different accumulation
+order) can never flip a rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import QuerySpec
+from ..sources.tables import table
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return table(spark, sf, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+_EMB_SQL = "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
+_COS_SQL = (
+    "ROUND(list_dot_product({a}.v, {b}.v) / "
+    "(sqrt(list_dot_product({a}.v, {a}.v)) * sqrt(list_dot_product({b}.v, {b}.v))) + 1e-9, 6)"
+)
+
+
+def ext_sim_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors vec_id < 5. The query side
+    is broadcast; each candidate partition computes its local scores →
+    per-query top-k via window. One pass over the candidate set."""
+    emb = _emb(spark, sf)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", F.round(cos + 1e-9, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+    )
+
+
+_SIM_SEARCH_SQL = """
+WITH e AS ({emb}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {cos} AS cosine
+  FROM e q JOIN e c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 5
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored) t
+WHERE rank <= 10
+""".format(emb=_EMB_SQL, cos=_COS_SQL.format(a="q", b="c"))
+
+
+def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic sign-LSH (hyperplane = coordinate axes of the
+    first 8 dims): bucket key packs sign bits. The 100 TB path groups
+    candidates per bucket so the pair join is bucket-local; here we
+    report bucket occupancy + per-bucket centroid norm as the checkable
+    surface."""
+    emb = _emb(spark, sf)
+    bits = [
+        F.when(F.element_at("v", i + 1) >= 0, F.lit(1 << i)).otherwise(0)
+        for i in range(8)
+    ]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return (
+        emb.withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+            F.round(F.avg(F.sqrt(_dot(F.col("v"), F.col("v")))) + 1e-9, 4).alias(
+                "avg_norm"
+            ),
+        )
+    )
+
+
+_LSH_BUCKETS_SQL = """
+WITH e AS ({emb}),
+b AS (
+  SELECT vec_id, label, v,
+         (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
+       + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END)
+       + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+  FROM e
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       COUNT(*)               AS n_vectors,
+       COUNT(DISTINCT label)  AS n_labels,
+       ROUND(AVG(sqrt(list_dot_product(v, v))) + 1e-9, 4) AS avg_norm
+FROM b
+GROUP BY bucket
+""".format(emb=_EMB_SQL)
+
+
+def sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-k via the sign-LSH buckets: candidates restricted to the
+    query's bucket, exact cosine re-rank inside. Same bucket function
+    as sim_lsh_buckets → deterministic, oracle-checked recall surface."""
+    emb = _emb(spark, sf)
+    bits = [
+        F.when(F.element_at("v", i + 1) >= 0, F.lit(1 << i)).otherwise(0)
+        for i in range(8)
+    ]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    emb = emb.withColumn("bucket", bucket.cast("long"))
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "bucket")
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", F.round(cos + 1e-9, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+_LSH_TOPK_SQL = """
+WITH e AS ({emb}),
+b AS (
+  SELECT vec_id, v,
+         (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
+       + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END)
+       + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+  FROM e
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {cos} AS cosine
+  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+  WHERE q.vec_id < 5
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+""".format(emb=_EMB_SQL, cos=_COS_SQL.format(a="q", b="c"))
+
+
+def emb_label_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding statistics (norm distribution + first-dim
+    mean) — the sanity profile a 100 TB embedding sweep starts with."""
+    emb = _emb(spark, sf)
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(norm) + 1e-9, 4).alias("avg_norm"),
+        F.round(F.min(norm) + 1e-9, 4).alias("min_norm"),
+        F.round(F.max(norm) + 1e-9, 4).alias("max_norm"),
+        F.round(F.avg(F.element_at("v", 1)) + 1e-9, 6).alias("avg_dim0"),
+    )
+
+
+_LABEL_STATS_SQL = """
+WITH e AS ({emb})
+SELECT label,
+       COUNT(*) AS n_vectors,
+       ROUND(AVG(sqrt(list_dot_product(v, v))) + 1e-9, 4) AS avg_norm,
+       ROUND(MIN(sqrt(list_dot_product(v, v))) + 1e-9, 4) AS min_norm,
+       ROUND(MAX(sqrt(list_dot_product(v, v))) + 1e-9, 4) AS max_norm,
+       ROUND(AVG(v[1]) + 1e-9, 6) AS avg_dim0
+FROM e
+GROUP BY label
+""".format(emb=_EMB_SQL)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "ext_sim_search": QuerySpec("ext_sim_search", ext_sim_search, _SIM_SEARCH_SQL),
+    "sim_lsh_buckets": QuerySpec("sim_lsh_buckets", sim_lsh_buckets, _LSH_BUCKETS_SQL),
+    "sim_lsh_topk": QuerySpec("sim_lsh_topk", sim_lsh_topk, _LSH_TOPK_SQL),
+    "emb_label_stats": QuerySpec("emb_label_stats", emb_label_stats, _LABEL_STATS_SQL),
+}

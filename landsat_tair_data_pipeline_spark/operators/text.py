@@ -1,0 +1,262 @@
+"""Text analysis operators over `documents` (SURVEY §2.12
+ext_text_stats): token stats, quality scoring, language-ID heuristic,
+document fingerprinting, n-gram mining, exact TF-IDF.
+
+Everything stays in JVM column expressions / higher-order array
+functions (no Python UDFs): tokenize once, derive from the array.
+At 100 TB the explode-based term pipelines are shuffle-on-term with
+map-side partial aggregation; the per-document stats are shuffle-free
+narrow maps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import QuerySpec
+from ..sources.tables import table
+
+def TOKENS():
+    # lazy: classic PySpark needs an active session for Column exprs
+    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+
+_TOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "for")
+
+
+def ext_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document token statistics: counts, lengths, whitespace-free
+    char count, distinct-token ratio (lexical diversity)."""
+    docs = table(spark, sf, "documents")
+    toks = TOKENS()
+    n_toks = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_chars"),
+        n_toks.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double") + 1e-9,
+            4
+        ).alias("distinct_ratio"),
+        F.length(F.regexp_replace("text", r"\s", "")).cast("long").alias(
+            "n_nonspace_chars"
+        ),
+        F.round(
+            F.length(F.regexp_replace("text", r"\s", "")).cast("double")
+            / n_toks.cast("double") + 1e-9,
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+_TEXT_STATS_SQL = """
+SELECT doc_id,
+       length(text) AS len_chars,
+       len({toks})  AS n_tokens,
+       len(list_distinct({toks})) AS n_distinct_tokens,
+       ROUND(CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks}) + 1e-9, 4)
+         AS distinct_ratio,
+       length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace_chars,
+       ROUND(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+             / len({toks}) + 1e-9, 4) AS avg_token_len
+FROM documents
+""".format(toks=_TOKS_SQL)
+
+
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: stopword ratio, alpha ratio, length band — the
+    standard pretraining-corpus filters, all as column expressions."""
+    docs = table(spark, sf, "documents")
+    toks = TOKENS()
+    n_toks = F.size(toks).cast("double")
+    stop_in = F.size(
+        F.filter(toks, lambda t: t.isin(*_STOPWORDS))
+    ).cast("double")
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(stop_in / n_toks + 1e-9, 4).alias("stopword_ratio"),
+        F.round(alpha / F.length("text").cast("double") + 1e-9, 4).alias("alpha_ratio"),
+        F.when(F.size(toks) < 20, "short")
+        .when(F.size(toks) < 60, "medium")
+        .otherwise("long")
+        .alias("len_band"),
+        ((stop_in / n_toks > 0.05) & (alpha / F.length("text") > 0.7))
+        .cast("int")
+        .alias("passes_quality"),
+    )
+
+
+_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, text, {toks} AS toks,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha
+  FROM documents
+)
+SELECT doc_id, lang,
+       ROUND(CAST(len(list_filter(toks, x -> x IN {stops})) AS DOUBLE)
+             / len(toks) + 1e-9, 4) AS stopword_ratio,
+       ROUND(alpha / length(text) + 1e-9, 4) AS alpha_ratio,
+       CASE WHEN len(toks) < 20 THEN 'short'
+            WHEN len(toks) < 60 THEN 'medium'
+            ELSE 'long' END AS len_band,
+       CAST(CAST(len(list_filter(toks, x -> x IN {stops})) AS DOUBLE) / len(toks) > 0.05
+            AND alpha / length(text) > 0.7 AS INTEGER) AS passes_quality
+FROM t
+""".format(toks=_TOKS_SQL, stops=str(_STOPWORDS))
+
+
+def text_lang_guess(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic language-ID heuristic (stopword-marker voting) and
+    its agreement rate against the labeled lang column. A real n-gram
+    model would be a Pandas UDF; the heuristic keeps the oracle exact."""
+    docs = table(spark, sf, "documents")
+    toks = TOKENS()
+    n_en = F.size(F.filter(toks, lambda t: t.isin("the", "and", "of", "is")))
+    guess = F.when(n_en >= 2, "en").otherwise("other")
+    return (
+        docs.select("doc_id", "lang", guess.alias("guess_lang"))
+        .groupBy("lang", "guess_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_LANG_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(list_filter({toks},
+                    x -> x IN ('the', 'and', 'of', 'is'))) >= 2
+              THEN 'en' ELSE 'other' END AS guess_lang
+  FROM documents
+)
+SELECT lang, guess_lang, COUNT(*) AS n_docs
+FROM t GROUP BY lang, guess_lang
+""".format(toks=_TOKS_SQL)
+
+
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical fingerprint (sorted distinct token set → md5) — the
+    classic fingerprint-clustering dedup key; word order and repetition
+    insensitive."""
+    docs = table(spark, sf, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(TOKENS()))))
+    return docs.groupBy(fp.alias("fingerprint")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+_FINGERPRINT_SQL = """
+SELECT md5(array_to_string(list_sort(list_distinct({toks})), ' ')) AS fingerprint,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*)    AS n_docs
+FROM documents
+GROUP BY 1
+""".format(toks=_TOKS_SQL)
+
+
+def text_bigrams_top(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams. Bigrams built with a
+    sequence+transform higher-order expression (guarded for 1-token
+    docs); count shuffle is on the bigram key with map-side combine."""
+    docs = table(spark, sf, "documents").select(TOKENS().alias("toks"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+_BIGRAMS_SQL = """
+WITH t AS (SELECT {toks} AS toks FROM documents),
+b AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT bigram, COUNT(*) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""".format(toks=_TOKS_SQL)
+
+
+def text_tfidf_top(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact TF-IDF (no hashing trick → oracle-checkable): term
+    frequency per doc, document frequency per term, smooth idf
+    ln((N+1)/(df+1)) + 1; top-3 terms per document. The hashed
+    (HashingTF+IDF) variant for 100 TB vocabularies is in tests as the
+    rows-only ML path."""
+    docs = table(spark, sf, "documents").select("doc_id", TOKENS().alias("toks"))
+    terms = docs.select("doc_id", F.explode("toks").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+                    + 1.0
+                ) + 1e-9,
+            6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+_TFIDF_SQL = """
+WITH docs AS (SELECT doc_id, {toks} AS toks FROM documents),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM docs),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)) + 1.0) + 1e-9, 6)
+           AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf, rk FROM (
+  SELECT doc_id, term, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored) t
+WHERE rk <= 3
+""".format(toks=_TOKS_SQL)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "ext_text_stats": QuerySpec("ext_text_stats", ext_text_stats, _TEXT_STATS_SQL),
+    "text_quality": QuerySpec("text_quality", text_quality, _QUALITY_SQL),
+    "text_lang_guess": QuerySpec("text_lang_guess", text_lang_guess, _LANG_SQL),
+    "text_fingerprint": QuerySpec("text_fingerprint", text_fingerprint, _FINGERPRINT_SQL),
+    "text_bigrams_top": QuerySpec("text_bigrams_top", text_bigrams_top, _BIGRAMS_SQL),
+    "text_tfidf_top": QuerySpec("text_tfidf_top", text_tfidf_top, _TFIDF_SQL),
+}

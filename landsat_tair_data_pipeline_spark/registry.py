@@ -1,0 +1,72 @@
+"""Query registry: every engine operator exposed as a named query.
+
+Each :class:`QuerySpec` pairs a Spark implementation ``(spark, sf_dir)
+-> DataFrame`` with (where SQL-expressible) the equivalent ANSI SQL the
+DuckDB oracle runs on the same parquet tables. Keys follow SURVEY.md §2
+operator ids. The driver's correctness gate compares the two per query
+(row-count + schema + order-insensitive value-hash), so:
+
+- every computed column is aliased identically on both sides;
+- every column produced by floating-point *arithmetic* (sums, averages,
+  similarity scores) is rounded identically on both sides, because
+  accumulation order differs between engines; raw passthrough doubles
+  are left untouched (bit-identical in both engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import tune
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB, or None → rows-only check
+    doc: str = ""
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune(spark)
+        return fn(spark, sf_dir)
+
+    return runner
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    """Collect QuerySpecs from every operator module (import-gated so a
+    broken optional module never takes down the whole registry)."""
+    from .operators import dedup, events, relational, similarity, text
+
+    merged: dict[str, QuerySpec] = {}
+    for mod in (relational, events, dedup, similarity, text):
+        for name, spec in mod.QUERIES.items():
+            if name in merged:
+                raise ValueError(f"duplicate query id {name!r}")
+            merged[name] = spec
+    try:
+        from .operators import domain
+
+        for name, spec in domain.QUERIES.items():
+            merged[name] = spec
+    except ImportError:
+        pass
+    return merged
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _wrap(spec.fn) for name, spec in all_queries().items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in all_queries().items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode mirrors a multi-executor deployment: AQE on (runtime
+coalescing, skew-join splitting), a bounded shuffle-partition count, and
+Arrow for any pandas exchange. At cluster scale the same configs hold;
+only ``master``/memory sizing change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session our queries run under —
+# including the driver-provided session in __spark_entry__.entry(). The
+# timezone pin makes timestamp results independent of the host zone
+# (DuckDB oracle timestamps are naive/UTC).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS); Spark has no ns timestamp,
+    # so read as long and convert (tables.table handles the div-1000).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable tuning to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in some deployments; defaults are acceptable
+    return spark
+
+
+def get_spark(app_name: str = "landsat-tair-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # one shuffle partition per core at local scale; on a real
+        # cluster this scales with executor count (or AQE coalesces).
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

@@ -1,0 +1,43 @@
+"""Parquet table sources for the driver's synthetic star schema.
+
+One parquet file per table under an sf directory (TESTDATA.md). Reads
+are plain ``spark.read.parquet`` so Catalyst gets native column pruning
+and predicate pushdown into the scan — verify with
+``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to always broadcast in joins, even at
+# 100 TB fact scale (region=5 rows, nation=25; customer/supplier/part
+# grow with sf but stay dimension-sized relative to lineitem).
+BROADCAST_DIMS = ("region", "nation", "supplier", "part", "customer")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # TIMESTAMP(NANOS) parquet read as long via
+        # spark.sql.legacy.parquet.nanosAsLong; integer div keeps the
+        # conversion lossless (the data's sub-µs part is zero).
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
