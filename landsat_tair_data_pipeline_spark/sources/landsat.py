@@ -1,0 +1,177 @@
+"""Sources for the reference pipeline's raw inputs (SURVEY §2.1).
+
+Each reader turns one of the reference's ad-hoc formats into a typed
+DataFrame:
+
+- ground truths CSV        (data_loader.py:77-91  src_csv_ground_truths)
+- stations dimension CSV   (config.py:34-205      — the IMS_STATIONS literal)
+- station-list text files  (data_loader.py:15-28  src_station_txt)
+- nested metadata JSON     (data_loader.py:31-42  src_json_metadata)
+- patch tables (parquet)   (post-ingest form of the .pt tensors)
+- .pt tensor ingest        (data_loader.py:131-132 src_pt_tensor — a
+  one-time conversion job, torch-gated)
+
+Scale stance: everything lands in Parquet once (patches/pixels); the
+raw-format readers exist for ingest parity and are one-pass. The
+metadata reader keeps the two consumed sections as map<string,string>
+(values stay strings — E-notation coercion happens at use, like the
+reference's float(...) calls, data_processor.py:97-114).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import MapType, StringType
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+)
+
+
+def ground_truths(spark: SparkSession, fixture_dir: str = FIXTURE_DIR) -> DataFrame:
+    """GT CSV with eager year/month/day derivation (data_loader.py:86-89).
+    gt_id materializes CSV file order so first-match dedup is
+    deterministic under distributed reads (data_loader.py:70)."""
+    df = (
+        spark.read.option("header", True)
+        .schema("utc_date timestamp, station_id int, air_temp double, gt_id bigint")
+        .csv(f"{fixture_dir}/ground_truths.csv")
+    )
+    return df.select(
+        "utc_date",
+        "station_id",
+        "air_temp",
+        "gt_id",
+        F.year("utc_date").alias("year"),
+        F.month("utc_date").alias("month"),
+        F.dayofmonth("utc_date").alias("day"),
+    )
+
+
+def stations_dim(spark: SparkSession, fixture_dir: str = FIXTURE_DIR) -> DataFrame:
+    """Station dimension (easting/northing deliberately strings, like
+    config.py's IMS_STATIONS). Always broadcast in joins."""
+    return (
+        spark.read.option("header", True)
+        .schema(
+            "id int, name string, longitude double, latitude double,"
+            " easting string, northing string"
+        )
+        .csv(f"{fixture_dir}/stations.csv")
+    )
+
+
+def station_lists(spark: SparkSession, fixture_dir: str = FIXTURE_DIR) -> DataFrame:
+    """Parse `[26, 41, 42]` station files into relational
+    (scene_id, station_pos, station_id) rows. The positional index is
+    the reference's implicit list-position correlation made explicit
+    (SURVEY §2.4 join_zip_positional)."""
+    raw = spark.read.text(f"{fixture_dir}/scene_stations/*.txt").select(
+        F.regexp_extract(F.input_file_name(), r"([^/]+)_stations\.txt$", 1).alias(
+            "scene_id"
+        ),
+        F.split(
+            F.regexp_replace(F.col("value"), r"[\[\]]", ""), r",\s*"
+        ).alias("toks"),
+    )
+    return raw.select(
+        "scene_id",
+        F.posexplode(F.transform(F.col("toks"), lambda t: t.cast("int"))).alias(
+            "station_pos", "station_id"
+        ),
+    )
+
+
+def scene_metadata(spark: SparkSession, fixture_dir: str = FIXTURE_DIR) -> DataFrame:
+    """Whole-file nested JSON → one row per scene with the two consumed
+    sections as map<string,string> (struct→json→map keeps arbitrary
+    per-sensor key sets without a fixed schema). Scenes missing the
+    thermal section carry a NULL map (filt_metadata_keys probes it)."""
+    as_map = MapType(StringType(), StringType())
+    df = (
+        spark.read.option("multiLine", True)
+        .json(f"{fixture_dir}/metadatas/*.json")
+        .select(
+            F.regexp_extract(
+                F.input_file_name(), r"([^/]+)_MTL_metadata\.json$", 1
+            ).alias("scene_id"),
+            F.from_json(
+                F.to_json("LANDSAT_METADATA_FILE.LEVEL1_RADIOMETRIC_RESCALING"), as_map
+            ).alias("rescaling"),
+            F.from_json(
+                F.to_json("LANDSAT_METADATA_FILE.LEVEL1_THERMAL_CONSTANTS"), as_map
+            ).alias("thermal"),
+        )
+    )
+    return df
+
+
+def scene_patches(spark: SparkSession, fixture_dir: str = FIXTURE_DIR) -> DataFrame:
+    """Nested patch form: one row per (scene, station), bands as
+    array<array<array<int>>> (bands × 7 × 7)."""
+    return spark.read.parquet(f"{fixture_dir}/scene_patches.parquet")
+
+
+def scene_pixels(spark: SparkSession, fixture_dir: str = FIXTURE_DIR) -> DataFrame:
+    """Fully-long pixel form (scene_id, station_id, band, y, x, dn) —
+    the 100 TB layout (SURVEY §1.7): plain columns, partition-prunable,
+    no nested codegen pressure."""
+    return spark.read.parquet(f"{fixture_dir}/scene_pixels.parquet")
+
+
+def ingest_pt_tensors(spark: SparkSession, pt_dir: str) -> DataFrame:
+    """One-time .pt → relational conversion job (src_pt_tensor,
+    data_loader.py:131-132: torch.load + permute(1,0,2,3)).
+
+    Runs binaryFile → mapInPandas; each executor unpickles a tensor
+    and emits (scene_id, station_pos, bands) rows. Torch isn't in this
+    container, so the decode is gated: the Spark plumbing (schema,
+    batching, filename→scene_id) is real and tested with a fake
+    decoder in tests; the torch path raises ImportError cleanly.
+    """
+    import pandas as pd  # noqa: F401 — used inside the iterator
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(pt_dir)
+        .filter(F.col("path").endswith(".pt"))
+        .select("path", "content")
+    )
+
+    out_schema = (
+        "scene_id string, station_pos int, bands array<array<array<int>>>"
+    )
+
+    def decode(batches):
+        import io
+        import os as _os
+
+        try:
+            import torch
+        except ImportError as exc:  # pragma: no cover - container has no torch
+            raise ImportError(
+                "torch is required for .pt ingestion; convert offline or "
+                "install torch on the executors"
+            ) from exc
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                scene_id = _os.path.basename(path)[: -len(".pt")]
+                t = torch.load(io.BytesIO(content)).permute(1, 0, 2, 3)
+                for pos in range(t.shape[0]):
+                    rows.append(
+                        {
+                            "scene_id": scene_id,
+                            "station_pos": pos,
+                            "bands": t[pos].int().tolist(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["scene_id", "station_pos", "bands"])
+
+    return files.mapInPandas(decode, schema=out_schema)
