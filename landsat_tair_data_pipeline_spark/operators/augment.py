@@ -1,0 +1,428 @@
+"""Augmentation + train/test split (SURVEY §2.8-§2.9, Phase 4).
+
+The reference 4×-augments the training slice: original + 3 variants
+(rot90/180/270 of the image part) with random date + coordinate jitter
+(data_augmentation.py:137-239). Split is Fisher-Yates shuffle then an
+exact 80/20 prefix/suffix slice (feature_extractor.py:128-172).
+
+Determinism split (SURVEY §2.8): the *rotations* are deterministic →
+full DuckDB oracles via index arithmetic; the *jitters* use Python
+Mersenne-Twister, unreproducible across Spark partitions → re-declared
+on Spark-native `rand(seed)` and checked rows-only (bounds + structure
+asserted in unit tests instead).
+
+Scale notes:
+- rotations are pure index arithmetic inside higher-order functions —
+  JVM codegen, zero shuffle, embarrassingly parallel;
+- the exact split avoids the classic single-partition
+  `row_number() OVER (ORDER BY rand())` bottleneck: range-partition by
+  the random key, rank within partitions, then add per-partition
+  offsets (a #partitions-row broadcast) — a distributed contiguous
+  global index, the DataFrame form of zipWithIndex;
+- jitter is per-row `rand(seed)` column math — no state, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import QuerySpec
+from ..sources import landsat
+from ..sources.landsat import FIXTURE_DIR
+from .domain import _META, _RADPX, _GT1, _SCENE_DATES, _scene_dates, _gt_first_match, _valid_scene_base
+
+GRID = 7
+IMG_LEN = GRID * GRID * GRID  # 343
+VARIANTS = ["orig", "rot90", "rot180", "rot270"]
+
+# Earth mean radius in meters (haversine replaces executor-side geopy,
+# data_augmentation.py:69-99 — geodesic isn't available as JVM math).
+EARTH_R_M = 6371008.8
+
+
+# ---------------------------------------------------------------------------
+# Rotation as index arithmetic (data_augmentation.py:12-29, np.rot90 CCW
+# over axes (1,2)):  k=1: out[i][j] = in[j][6-i]
+#                    k=2: out[i][j] = in[6-i][6-j]
+#                    k=3: out[i][j] = in[6-j][i]
+# ---------------------------------------------------------------------------
+
+
+def rot_grid(grid: Column, k: int) -> Column:
+    """Rotate one 7×7 array<array<T>> by k*90° CCW — pure element_at
+    arithmetic, stays in whole-stage codegen."""
+    if k % 4 == 0:
+        return grid
+    n = GRID
+    idx = F.sequence(F.lit(0), F.lit(n - 1))
+
+    def cell(i: Column, j: Column) -> Column:
+        if k % 4 == 1:
+            return F.element_at(F.element_at(grid, j + 1), n - i)
+        if k % 4 == 2:
+            return F.element_at(F.element_at(grid, n - i), n - j)
+        return F.element_at(F.element_at(grid, n - j), i + 1)
+
+    return F.transform(idx, lambda i: F.transform(idx, lambda j: cell(i, j)))
+
+
+def rot_bands(bands: Column, k: int) -> Column:
+    """Rotate every band grid of a (bands × 7 × 7) tensor."""
+    return F.transform(bands, lambda g: rot_grid(g, k))
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed 80/20 split (feature_extractor.py:128-172)
+# ---------------------------------------------------------------------------
+
+
+def exact_split(
+    df: DataFrame,
+    seed: int = 42,
+    train_ratio: float = 0.8,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Add a `split` column with EXACT floor(n*ratio) train rows.
+
+    Distributed contiguous ranking: range-partition on rand(seed),
+    rank within each partition, add cumulative per-partition offsets
+    (tiny broadcast). No single-partition global sort — survives 100 TB.
+    The reference's shuffle+slice (feature_extractor.py:146-169) has
+    the same semantics: random permutation, exact prefix = train.
+    """
+    keyed = df.withColumn("_r", F.rand(seed))
+    ranged = (
+        keyed.repartitionByRange(num_ranges, "_r")
+        .sortWithinPartitions("_r")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = ranged.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy("_r"))
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_n", F.sum("_cnt").over(Window.partitionBy()))
+    )
+    indexed = local.join(
+        F.broadcast(offsets.select("_pid", "_off", "_n")), "_pid"
+    ).withColumn("_gidx", F.col("_lrn") + F.col("_off") - 1)
+    labeled = indexed.withColumn(
+        "split",
+        F.when(
+            F.col("_gidx") < F.floor(F.col("_n") * F.lit(train_ratio)),
+            F.lit("train"),
+        ).otherwise(F.lit("test")),
+    )
+    return labeled.drop("_r", "_pid", "_lrn", "_off", "_n", "_gidx")
+
+
+# ---------------------------------------------------------------------------
+# Random jitters, Spark-native seeding (rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def jitter_date(day: Column, month: Column, seed: int) -> tuple[Column, Column]:
+    """day + randint(5,15) mod 30 (0→1); month + Bernoulli(0.7) mod 12
+    (0→1) — data_augmentation.py:32-53. NB `random.random() > 0.7`
+    keeps month UNshifted with p=0.3, i.e. the shift fires with p=0.7.
+    Mod-30 can produce invalid calendar dates; replicated, not fixed."""
+    day_shift = (F.floor(F.rand(seed) * 11) + 5).cast("int")
+    month_shift = F.when(F.rand(seed + 1) > 0.7, 0).otherwise(1)
+    # 0→1 via greatest(), NOT when(x==0,1).otherwise(x): rand() inside an
+    # otherwise-branch advances its stream only on rows where the branch
+    # runs, desyncing from the condition's copy — greatest evaluates the
+    # expression exactly once per row, and pmod is non-negative.
+    new_day = F.greatest(F.pmod(day.cast("int") + day_shift, F.lit(30)), F.lit(1))
+    new_month = F.greatest(
+        F.pmod(month.cast("int") + month_shift, F.lit(12)), F.lit(1)
+    )
+    return new_day, new_month
+
+
+def _meters_per_degree(lat: Column) -> tuple[Column, Column]:
+    """Haversine meters for 1° of longitude (at this latitude) and 1°
+    of latitude — the JVM-native stand-in for geopy.geodesic
+    (data_augmentation.py:69-99)."""
+    half_deg = F.radians(F.lit(0.5))
+    lon_m = 2.0 * EARTH_R_M * F.asin(F.cos(F.radians(lat)) * F.sin(half_deg))
+    lat_m = 2.0 * EARTH_R_M * F.asin(F.sin(half_deg))
+    return lon_m, lat_m
+
+
+def jitter_geo(
+    lon: Column, lat: Column, max_shift_km: float, seed: int
+) -> tuple[Column, Column]:
+    """Random diagonal move, 5..max_shift_km per axis, one of four
+    directions (data_augmentation.py:110-134)."""
+    lon_m, lat_m = _meters_per_degree(lat)
+    direction = F.floor(F.rand(seed) * 4)  # 0=rb 1=lt 2=rt 3=lb
+    dx = (F.lit(5.0) + F.rand(seed + 1) * F.lit(max_shift_km - 5.0)) * 1000.0
+    dy = (F.lit(5.0) + F.rand(seed + 2) * F.lit(max_shift_km - 5.0)) * 1000.0
+    lon_sign = F.when(direction.isin(0, 2), 1.0).otherwise(-1.0)  # right / left
+    lat_sign = F.when(direction.isin(1, 2), 1.0).otherwise(-1.0)  # top / bottom
+    return lon + lon_sign * dx / lon_m, lat + lat_sign * dy / lat_m
+
+
+# ---------------------------------------------------------------------------
+# Feature-vector plumbing: slice the 365 vector back into a tensor
+# (augmentation operates on the flat layout via negative indexing,
+# data_augmentation.py:160-180 — so these queries go through the
+# `features` column on purpose, proving the layout contract).
+# ---------------------------------------------------------------------------
+
+
+def _img_tensor(features: Column) -> Column:
+    """features[0:343] reshaped to (7, 7, 7), band-major."""
+    idx = F.sequence(F.lit(0), F.lit(GRID - 1))
+    return F.transform(
+        idx,
+        lambda b: F.transform(
+            idx,
+            lambda i: F.transform(
+                idx,
+                lambda j: F.element_at(
+                    features, b * (GRID * GRID) + i * GRID + j + 1
+                ),
+            ),
+        ),
+    )
+
+
+def _features_with_gt(spark: SparkSession) -> DataFrame:
+    """The qualified feature rows (same joins as map_concat_features)."""
+    from ..functions.features import assemble_features
+    from ..functions.radiometry import to_brightness_temperature
+
+    base = _scene_dates(to_brightness_temperature(_valid_scene_base(spark)))
+    gt1 = _gt_first_match(spark)
+    dim = landsat.stations_dim(spark)
+    full = base.join(gt1, ["yr", "mo", "dy", "station_id"]).join(
+        F.broadcast(dim), F.col("station_id") == dim.id
+    )
+    return assemble_features(full)
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+
+def aug_rot90(spark: SparkSession, sf: str) -> DataFrame:
+    """rot90 cross-checked layout-independently: Spark rotates the
+    NESTED patch arrays with higher-order functions and explodes to
+    pixel-long; the oracle remaps coordinates of the pixel-long parquet
+    ((y,x) → (6-x, y)). Any index slip disagrees on every pixel."""
+    patches = landsat.scene_patches(spark)
+    rotated = patches.select(
+        "scene_id",
+        "station_id",
+        F.posexplode(rot_bands(F.col("bands"), 1)).alias("band0", "grid"),
+    )
+    return (
+        rotated.select(
+            "scene_id",
+            "station_id",
+            (F.col("band0") + 1).alias("band"),
+            F.posexplode("grid").alias("y", "row"),
+        )
+        .select(
+            "scene_id", "station_id", "band", "y",
+            F.posexplode("row").alias("x", "value"),
+        )
+    )
+
+
+_ROT90_SQL = """
+SELECT scene_id, station_id, band,
+       (6 - x) AS y, y AS x, dn AS value
+FROM '{fix}/scene_pixels.parquet'
+""".format(fix=FIXTURE_DIR)
+
+
+def aug_explode_4x(spark: SparkSession, sf: str) -> DataFrame:
+    """4-way augmentation explode over the 365-feature vectors
+    (data_augmentation.py:137-239): original + rot90/180/270. The
+    deterministic surface is checked here — per-variant position-
+    weighted checksum of the image slice (rotation preserves the value
+    multiset, so a plain sum would pass even with wrong indexes; the
+    position weights catch that) — while the random jitters live in
+    the rows-only queries."""
+    feat = _features_with_gt(spark)
+    tensor = _img_tensor(F.col("features"))
+    weights = F.sequence(F.lit(0), F.lit(IMG_LEN - 1))
+
+    def checksum(k: int) -> Column:
+        flat = F.flatten(F.flatten(rot_bands(tensor, k)))
+        weighted = F.zip_with(flat, weights, lambda v, i: v * i.cast("double"))
+        return F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+
+    variants = F.array(
+        *[
+            F.struct(F.lit(v).alias("variant"), checksum(k).alias("chk"))
+            for k, v in enumerate(VARIANTS)
+        ]
+    )
+    return feat.select(
+        "scene_id",
+        "station_id",
+        "air_temp",
+        F.explode(variants).alias("v"),
+    ).select(
+        "scene_id",
+        "station_id",
+        F.col("v.variant").alias("variant"),
+        F.round(F.col("v.chk") + 1e-9, 2).alias("img_checksum"),
+        "air_temp",
+    )
+
+
+_EXPLODE4X_SQL = """
+WITH {meta},
+{radpx},
+{sd},
+{gt1},
+imgpx AS (
+  SELECT scene_id, station_id,
+         CASE WHEN n_bands = 7 THEN band - 1 ELSE
+           CASE band WHEN 2 THEN 0 WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 5 THEN 3
+                     WHEN 6 THEN 4 WHEN 10 THEN 5 WHEN 7 THEN 6 END
+         END AS b0,
+         y, x, value
+  FROM btpx
+  WHERE n_bands = 7 OR band IN (2, 3, 4, 5, 6, 10, 7)),
+qual AS (
+  SELECT p.scene_id, p.station_id, g.air_temp
+  FROM (SELECT DISTINCT scene_id, station_id FROM btpx) p
+  JOIN scene_dates d ON p.scene_id = d.scene_id
+  JOIN gt1 g ON d.yr = g.yr AND d.mo = g.mo AND d.dy = g.dy
+            AND p.station_id = g.station_id
+  JOIN read_csv('{fix}/stations.csv') s ON p.station_id = s.id)
+SELECT i.scene_id, i.station_id, v.variant,
+       ROUND(SUM(i.value * (i.b0 * 49 + CASE v.variant
+           WHEN 'orig'   THEN i.y * 7 + i.x
+           WHEN 'rot90'  THEN (6 - i.x) * 7 + i.y
+           WHEN 'rot180' THEN (6 - i.y) * 7 + (6 - i.x)
+           WHEN 'rot270' THEN i.x * 7 + (6 - i.y) END)) + 1e-9, 2)
+         AS img_checksum,
+       q.air_temp
+FROM imgpx i
+JOIN qual q ON i.scene_id = q.scene_id AND i.station_id = q.station_id
+CROSS JOIN (VALUES ('orig'), ('rot90'), ('rot180'), ('rot270')) AS v(variant)
+GROUP BY i.scene_id, i.station_id, v.variant, q.air_temp
+""".format(
+    meta=_META.strip(),
+    radpx=_RADPX.strip(),
+    sd=_SCENE_DATES.strip(),
+    gt1=_GT1.strip(),
+    fix=FIXTURE_DIR,
+)
+
+
+def aug_jitter_date(spark: SparkSession, sf: str) -> DataFrame:
+    """Date jitter per augmented variant (rows-only: Mersenne-Twister
+    order is unreproducible distributed; Spark rand(seed) declared
+    instead — bounds asserted in unit tests)."""
+    dated = _scene_dates(
+        landsat.scene_patches(spark).select("scene_id", "station_id")
+    )
+    out = dated
+    for k, v in enumerate(VARIANTS[1:], start=1):
+        d, m = jitter_date(F.col("dy"), F.col("mo"), seed=100 * k)
+        out = out.withColumn(f"day_{v}", d).withColumn(f"month_{v}", m)
+    return out.select(
+        "scene_id", "station_id", "yr", "mo", "dy",
+        "day_rot90", "month_rot90",
+        "day_rot180", "month_rot180",
+        "day_rot270", "month_rot270",
+    )
+
+
+def aug_geo_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """Coordinate jitter per variant: 5-10 km (rot90/270) or 5-15 km
+    (rot180) random diagonal move (data_augmentation.py:198-200).
+    Rows-only; magnitude bounds asserted in unit tests."""
+    dim = landsat.stations_dim(spark).select("id", "longitude", "latitude")
+    out = dim
+    for k, (v, max_km) in enumerate(
+        [("rot90", 10.0), ("rot180", 15.0), ("rot270", 10.0)], start=1
+    ):
+        lon, lat = jitter_geo(
+            F.col("longitude"), F.col("latitude"), max_km, seed=1000 * k
+        )
+        out = out.withColumn(f"lon_{v}", lon).withColumn(f"lat_{v}", lat)
+    return out
+
+
+def split_train_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 80/20 split sizes (feature_extractor.py:159-169:
+    split_idx = int(n * 0.8), prefix = train). Assignment is random →
+    the deterministic, oracle-checkable surface is the exact sizes."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    return (
+        exact_split(docs, seed=42, train_ratio=0.8)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_SPLIT_SQL = """
+WITH n AS (SELECT COUNT(*) AS c FROM documents)
+SELECT 'train' AS split, CAST(FLOOR(c * 0.8) AS BIGINT) AS n_rows FROM n
+UNION ALL
+SELECT 'test' AS split, c - CAST(FLOOR(c * 0.8) AS BIGINT) AS n_rows FROM n
+"""
+
+
+def aug_train_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """split → 4× augment the train slice ONLY → union test back
+    (main.py:74-98; augmentation after split — the code wins over the
+    README, SURVEY §2.9). Real explode + union; the deterministic
+    surface is the count algebra: 4·floor(0.8n) + (n − floor(0.8n))."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    labeled = exact_split(docs, seed=42, train_ratio=0.8)
+    train = labeled.where(F.col("split") == "train")
+    test = labeled.where(F.col("split") == "test")
+    augmented = train.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(v) for v in VARIANTS])).alias("variant"),
+    )
+    unioned = augmented.unionByName(
+        test.select("doc_id", F.lit("orig").alias("variant"))
+    )
+    return unioned.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.when(F.col("variant") != "orig", 1)).alias("n_augmented"),
+    )
+
+
+_TRAIN_PIPELINE_SQL = """
+WITH n AS (SELECT COUNT(*) AS c, CAST(FLOOR(COUNT(*) * 0.8) AS BIGINT) AS k
+           FROM documents)
+SELECT 4 * k + (c - k) AS n_total, c AS n_docs, 3 * k AS n_augmented FROM n
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "aug_rot90": QuerySpec("aug_rot90", aug_rot90, _ROT90_SQL),
+    "aug_explode_4x": QuerySpec("aug_explode_4x", aug_explode_4x, _EXPLODE4X_SQL),
+    "aug_jitter_date": QuerySpec("aug_jitter_date", aug_jitter_date, None),
+    "aug_geo_shift": QuerySpec("aug_geo_shift", aug_geo_shift, None),
+    "split_train_test": QuerySpec("split_train_test", split_train_test, _SPLIT_SQL),
+    "aug_train_pipeline": QuerySpec(
+        "aug_train_pipeline", aug_train_pipeline, _TRAIN_PIPELINE_SQL
+    ),
+}

@@ -51,9 +51,9 @@ def all_queries() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query id {name!r}")
             merged[name] = spec
     try:
-        from .operators import domain
+        from .operators import augment, domain
 
-        for name, spec in domain.QUERIES.items():
+        for name, spec in {**domain.QUERIES, **augment.QUERIES}.items():
             merged[name] = spec
     except ImportError:
         pass
