@@ -43,9 +43,10 @@ def all_queries() -> dict[str, QuerySpec]:
     """Collect QuerySpecs from every operator module (import-gated so a
     broken optional module never takes down the whole registry)."""
     from .operators import dedup, events, relational, similarity, text
+    from .streaming import windows as streaming_windows
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, events, dedup, similarity, text):
+    for mod in (relational, events, dedup, similarity, text, streaming_windows):
         for name, spec in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query id {name!r}")

@@ -1,0 +1,223 @@
+"""Structured Streaming surface over the events table (SURVEY §2.11).
+
+The reference is pure batch; the engine adds the streaming forms of the
+batch event-time windows in ``operators/events.py``. Each registry query
+here runs a REAL streaming job — file source → watermark/window/state →
+sink — to completion with ``trigger(availableNow=True)``, then returns
+the sink table as a DataFrame. The DuckDB oracle (the batch-equivalent
+SQL) therefore gates the streaming execution end-to-end, not a batch
+stand-in.
+
+Output-mode choices, and why they keep results batch-identical:
+- windowed aggregations run in COMPLETE mode: append mode withholds
+  windows still inside the watermark at end-of-stream, so the tail
+  window(s) would be missing vs batch. Complete mode is exact for a
+  finite source. (Append + watermark late-drop semantics are exercised
+  in tests/test_streaming.py with a staged two-batch feed instead.)
+- dropDuplicates runs in APPEND mode projecting ONLY the dedup keys:
+  which physical duplicate survives is arrival-order-dependent, but the
+  key projection makes the result set deterministic (= DISTINCT keys).
+- the custom stateful operator (applyInPandasWithState) runs in UPDATE
+  mode through foreachBatch, keeping the LAST update per key — equal to
+  the batch aggregate once the source drains.
+
+Scale: state is bounded by watermarks (windows) or per-key fixed-width
+tuples (stateful totals); file-source backpressure via
+maxFilesPerTrigger; state store partitions = shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType
+
+from ..registry import QuerySpec
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table. Schema comes from one
+    batch footer read (file streams require an explicit schema); the
+    TIMESTAMP(NANOS) → long → timestamp conversion mirrors
+    sources.tables.table."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
+
+
+def run_to_memory(
+    sdf: DataFrame, name: str, output_mode: str, timeout_s: int = 300
+) -> DataFrame:
+    """Drain a finite stream into a memory sink and return the table."""
+    spark = sdf.sparkSession
+    spark.catalog.dropTempView(name) if name in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.table(name)
+
+
+def stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming tumbling 1-hour windows per event_type (the streaming
+    form of events_tumbling — same oracle)."""
+    ev = stream_events(spark, sf).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "stream_tumbling_sink", "complete")
+
+
+_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+       event_type,
+       COUNT(*)              AS n_events,
+       ROUND(SUM(value), 2)  AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def stream_session(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming session windows (15-min gap) per user — the streaming
+    form of events_session, same gaps-and-islands oracle."""
+    ev = stream_events(spark, sf).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "stream_session_sink", "complete")
+
+
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '15 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_id
+  FROM flagged)
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM sess
+GROUP BY user_id, sess_id
+"""
+
+
+def stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming dropDuplicates within a watermark. Keys-only
+    projection → deterministic result (= DISTINCT) even though which
+    physical duplicate survives depends on arrival order."""
+    ev = stream_events(spark, sf).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_memory(deduped, "stream_dedup_sink", "append")
+
+
+_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def stream_stateful_user_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    applyInPandasWithState (Arrow-batched, fixed-width state per key).
+    Update mode through foreachBatch, last update per key wins — equal
+    to the batch aggregate once the finite source drains."""
+    ev = stream_events(spark, sf).select("user_id", "value")
+    out_schema = "user_id bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, s double"
+
+    def totals(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((int(n), float(s)))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "sum_value": s}]
+        )
+
+    sdf = ev.groupBy("user_id").applyInPandasWithState(
+        totals, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+    latest: dict[int, tuple] = {}
+
+    def absorb(batch_df: DataFrame, _batch_id: int) -> None:
+        for r in batch_df.collect():
+            latest[r["user_id"]] = (r["user_id"], r["n_events"], r["sum_value"])
+
+    q = (
+        sdf.writeStream.foreachBatch(absorb)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    out = spark.createDataFrame(list(latest.values()), out_schema)
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("sum_value") + 1e-9, 2).alias("sum_value"),
+    )
+
+
+_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(value) + 1e-9, 2) AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "stream_tumbling": QuerySpec("stream_tumbling", stream_tumbling, _TUMBLING_SQL),
+    "stream_session": QuerySpec("stream_session", stream_session, _SESSION_SQL),
+    "stream_dedup": QuerySpec("stream_dedup", stream_dedup, _DEDUP_SQL),
+    "stream_stateful_user_totals": QuerySpec(
+        "stream_stateful_user_totals", stream_stateful_user_totals, _STATEFUL_SQL
+    ),
+}
