@@ -1,0 +1,241 @@
+"""Multimodal binary columns (driver-mandated extension, SURVEY §2.12).
+
+Image/audio/video as opaque ``binary`` payload columns with typed
+metadata, processed by Arrow-batched ``mapInPandas`` stages. The
+image/audio codec libraries are NOT in this container, so the actual
+codec call is stubbed (``decode_image_real`` raises NotImplementedError
+with the dependency named); everything Spark-side — schema, binary
+encoding, metadata modeling, UDF signatures, batch iteration, empty-
+partition handling — is real and tested. A deterministic fake decoder
+(byte-level, codec-free) stands in so the plumbing is exercised end to
+end and (where arithmetic) oracle-checked.
+
+The media table derives deterministically from ``documents``: payload =
+UTF-8 bytes of the text, media type + dimensions are arithmetic on
+doc_id — so DuckDB can reproduce the metadata surface exactly.
+
+Scale: payloads stay opaque bytes until a mapInPandas stage touches
+them — no JVM→Python crossing for metadata-only queries (Catalyst
+prunes the binary column away; check ReadSchema). Decode stages are
+embarrassingly parallel; Arrow moves bytes zero-copy; batch size is
+bounded by spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import QuerySpec
+from ..sources.tables import table
+
+HIST_BINS = 16
+
+
+def media_table(spark: SparkSession, sf: str) -> DataFrame:
+    """documents → media frame: (doc_id, media_type, payload binary,
+    width, height, sample_rate, n_frames)."""
+    docs = table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        (64 + (F.col("doc_id") % 64) * 8).cast("int").alias("width"),
+        (64 + (F.col("doc_id") % 48) * 8).cast("int").alias("height"),
+        (8000 + (F.col("doc_id") % 5) * 8000).cast("int").alias("sample_rate"),
+        (10 + (F.col("doc_id") % 90)).cast("int").alias("n_frames"),
+    )
+
+
+def decode_image_real(payload: bytes) -> "object":
+    """The codec boundary. Real decode needs Pillow/libvips — not in
+    this container; wire it here when available."""
+    raise NotImplementedError(
+        "image codec (Pillow/libvips) not installed; mm pipeline uses the "
+        "deterministic fake decoder — swap decode_image_real in when the "
+        "executor image ships a codec"
+    )
+
+
+def fake_decode_stats(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic codec-free stand-in: (n_bytes, first_byte,
+    byte_sum mod 2^31). Pure byte math — reproducible anywhere."""
+    return len(payload), payload[0] if payload else -1, sum(payload) % (2**31)
+
+
+def mm_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode stage shape: binary in → per-item stats out via
+    mapInPandas. Rows-only (byte checksums aren't SQL); the metadata
+    surface is oracle-checked in mm_type_summary instead."""
+    media = media_table(spark, sf).select("doc_id", "media_type", "payload")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            stats = [fake_decode_stats(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [s[0] for s in stats],
+                    "first_byte": [s[1] for s in stats],
+                    "byte_sum": [s[2] for s in stats],
+                }
+            )
+
+    return media.mapInPandas(
+        decode,
+        schema="doc_id bigint, media_type string, n_bytes bigint,"
+        " first_byte int, byte_sum bigint",
+    )
+
+
+def mm_type_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-only rollup per media type — never touches payload, so
+    the binary column must be pruned from the scan (ReadSchema)."""
+    media = media_table(spark, sf).drop("payload")
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg("width") + 1e-9, 4).alias("avg_width"),
+        F.round(F.avg("height") + 1e-9, 4).alias("avg_height"),
+        F.max("n_frames").alias("max_frames"),
+    )
+
+
+_TYPE_SUMMARY_SQL = """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+         AS media_type,
+       COUNT(*) AS n_items,
+       ROUND(AVG(64 + (doc_id % 64) * 8) + 1e-9, 4) AS avg_width,
+       ROUND(AVG(64 + (doc_id % 48) * 8) + 1e-9, 4) AS avg_height,
+       CAST(MAX(10 + (doc_id % 90)) AS INT) AS max_frames
+FROM documents
+GROUP BY 1
+"""
+
+
+def mm_resize_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize stage: target box 224×224 preserving aspect ratio —
+    the geometry is pure arithmetic (oracle-able); the byte-buffer
+    production happens in the mapInPandas stage (fake fill, real
+    allocation + schema)."""
+    media = media_table(spark, sf).where(F.col("media_type") == "image")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_w, out_h, buf = [], [], []
+            for w, h in zip(pdf["width"], pdf["height"]):
+                scale = min(224.0 / w, 224.0 / h)
+                nw, nh = int(w * scale), int(h * scale)
+                out_w.append(nw)
+                out_h.append(nh)
+                buf.append(bytes(nw * nh * 3))  # fake RGB fill
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "n_out_bytes": [len(b) for b in buf],
+                }
+            )
+
+    return media.select("doc_id", "width", "height").mapInPandas(
+        resize,
+        schema="doc_id bigint, out_width int, out_height int, n_out_bytes bigint",
+    )
+
+
+_RESIZE_SQL = """
+WITH img AS (
+  SELECT doc_id,
+         64 + (doc_id % 64) * 8 AS w,
+         64 + (doc_id % 48) * 8 AS h
+  FROM documents WHERE doc_id % 3 = 0),
+geom AS (
+  SELECT doc_id,
+         CAST(FLOOR(w * LEAST(224.0 / w, 224.0 / h)) AS INT) AS out_width,
+         CAST(FLOOR(h * LEAST(224.0 / w, 224.0 / h)) AS INT) AS out_height
+  FROM img)
+SELECT doc_id, out_width, out_height,
+       out_width * out_height * 3 AS n_out_bytes
+FROM geom
+"""
+
+
+def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame sampling: every 10th frame index per video — pure
+    sequence + explode, no Python, fully prunable."""
+    media = media_table(spark, sf).where(F.col("media_type") == "video")
+    return media.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(10))
+        ).alias("frame_idx"),
+    )
+
+
+_FRAME_SAMPLE_SQL = """
+SELECT doc_id,
+       CAST(10 + (doc_id % 90) AS INT) AS n_frames,
+       CAST(unnest(generate_series(0, 10 + (doc_id % 90) - 1, 10)) AS INT)
+         AS frame_idx
+FROM documents
+WHERE doc_id % 3 = 2
+"""
+
+
+def byte_histogram(payload: bytes, bins: int = HIST_BINS) -> list[float]:
+    """Reference implementation of the fake feature: L1-normalized
+    histogram of byte values in `bins` equal buckets."""
+    counts = [0] * bins
+    for b in payload:
+        counts[b * bins // 256] += 1
+    total = max(1, len(payload))
+    return [c / total for c in counts]
+
+
+def mm_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-extraction stage: payload → fixed-width float vector
+    (byte-histogram stand-in for a real embedding model). Rows-only;
+    numpy-checked in unit tests. Output schema matches the embeddings
+    table convention (array<float>) so downstream similarity ops
+    compose."""
+    media = media_table(spark, sf).select("doc_id", "payload")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(p, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=HIST_BINS).astype("float64")
+                feats.append((hist / max(1, len(arr))).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return media.mapInPandas(
+        extract, schema="doc_id bigint, features array<double>"
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "mm_decode_stats": QuerySpec("mm_decode_stats", mm_decode_stats, None),
+    "mm_type_summary": QuerySpec("mm_type_summary", mm_type_summary, _TYPE_SUMMARY_SQL),
+    "mm_resize_plan": QuerySpec("mm_resize_plan", mm_resize_plan, _RESIZE_SQL),
+    "mm_frame_sample": QuerySpec("mm_frame_sample", mm_frame_sample, _FRAME_SAMPLE_SQL),
+    "mm_feature_extract": QuerySpec(
+        "mm_feature_extract", mm_feature_extract, None
+    ),
+}

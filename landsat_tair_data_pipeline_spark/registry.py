@@ -42,11 +42,19 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 def all_queries() -> dict[str, QuerySpec]:
     """Collect QuerySpecs from every operator module (import-gated so a
     broken optional module never takes down the whole registry)."""
-    from .operators import dedup, events, relational, similarity, text
+    from .operators import dedup, events, multimodal, relational, similarity, text
     from .streaming import windows as streaming_windows
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, events, dedup, similarity, text, streaming_windows):
+    for mod in (
+        relational,
+        events,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+        streaming_windows,
+    ):
         for name, spec in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query id {name!r}")
