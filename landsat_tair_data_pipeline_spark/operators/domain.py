@@ -462,7 +462,242 @@ GROUP BY scene_id
 """.format(lookup=_GT_LOOKUP_SQL.strip())
 
 
+def proj_sensor_flag(spark: SparkSession, sf: str) -> DataFrame:
+    """is_landsat_5 from band count, the sensor discriminator
+    (feature_extractor.py:60-71; data_processor.py:15-36)."""
+    patches = landsat.scene_patches(spark)
+    return (
+        patches.groupBy("scene_id")
+        .agg(F.max(F.size("bands")).alias("n_bands"))
+        .select(
+            "scene_id",
+            "n_bands",
+            F.when(F.col("n_bands") == 7, 1).otherwise(0).alias("is_landsat_5"),
+        )
+    )
+
+
+_SENSOR_FLAG_SQL = """
+SELECT scene_id, CAST(MAX(len(bands)) AS INT) AS n_bands,
+       CASE WHEN MAX(len(bands)) = 7 THEN 1 ELSE 0 END AS is_landsat_5
+FROM '{fix}/scene_patches.parquet'
+GROUP BY scene_id
+""".format(fix=FIXTURE_DIR)
+
+
+def filt_band_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep only 7- or 11-band scenes; others logged + dropped
+    (data_processor.py:76-82,116-119). Exposes the kept/dropped verdict
+    per scene so the malformed fixture scene is visibly rejected."""
+    patches = landsat.scene_patches(spark)
+    return (
+        patches.groupBy("scene_id")
+        .agg(F.max(F.size("bands")).alias("n_bands"))
+        .select(
+            "scene_id",
+            "n_bands",
+            F.col("n_bands").isin(7, 11).cast("int").alias("kept"),
+        )
+    )
+
+
+_BAND_CARD_SQL = """
+SELECT scene_id, CAST(MAX(len(bands)) AS INT) AS n_bands,
+       CAST(MAX(len(bands)) IN (7, 11) AS INT) AS kept
+FROM '{fix}/scene_patches.parquet'
+GROUP BY scene_id
+""".format(fix=FIXTURE_DIR)
+
+
+def filt_metadata_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Require both metadata sections (KeyError-drop semantics,
+    data_processor.py:84-89; feature_extractor.py:51-57): per scene,
+    which sections resolved and whether the scene survives."""
+    scenes = landsat.scene_patches(spark).select("scene_id").distinct()
+    meta = landsat.scene_metadata(spark)
+    joined = scenes.join(F.broadcast(meta), "scene_id", "left")
+    return joined.select(
+        "scene_id",
+        F.col("rescaling").isNotNull().cast("int").alias("has_rescaling"),
+        F.col("thermal").isNotNull().cast("int").alias("has_thermal"),
+        (F.col("rescaling").isNotNull() & F.col("thermal").isNotNull())
+        .cast("int")
+        .alias("kept"),
+    )
+
+
+_META_KEYS_SQL = """
+WITH {meta},
+scenes AS (SELECT DISTINCT scene_id FROM '{fix}/scene_patches.parquet'),
+sections AS (
+  SELECT scene_id,
+    CAST(json_extract(content, '$.LANDSAT_METADATA_FILE.LEVEL1_RADIOMETRIC_RESCALING')
+         IS NOT NULL AS INT) AS has_rescaling,
+    CAST(json_extract(content, '$.LANDSAT_METADATA_FILE.LEVEL1_THERMAL_CONSTANTS')
+         IS NOT NULL AS INT) AS has_thermal
+  FROM meta)
+SELECT s.scene_id,
+       COALESCE(x.has_rescaling, 0) AS has_rescaling,
+       COALESCE(x.has_thermal, 0) AS has_thermal,
+       COALESCE(x.has_rescaling, 0) * COALESCE(x.has_thermal, 0) AS kept
+FROM scenes s LEFT JOIN sections x ON s.scene_id = x.scene_id
+""".format(meta=_META.strip(), fix=FIXTURE_DIR)
+
+
+def filt_skip_first(spark: SparkSession, sf: str) -> DataFrame:
+    """Drop the first tensor (data_loader.py:125, flag main.py:58). The
+    reference's order is os.listdir — OS-dependent; the engine declares
+    an explicit order (scene_id asc) to be deterministic (SURVEY §2.3)."""
+    scenes = landsat.scene_patches(spark).select("scene_id").distinct()
+    w = Window.orderBy("scene_id")
+    return (
+        scenes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("scene_id")
+    )
+
+
+_SKIP_FIRST_SQL = """
+SELECT scene_id FROM (SELECT DISTINCT scene_id FROM '{fix}/scene_patches.parquet')
+WHERE scene_id > (SELECT MIN(scene_id) FROM '{fix}/scene_patches.parquet')
+""".format(fix=FIXTURE_DIR)
+
+
+def filt_load_errors(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-asset try/except-and-skip accounting (data_loader.py:130-159):
+    which scenes are missing which linked asset, and whether the scene
+    loads. The permissive-read analog of the reference's printed
+    warnings — here as queryable rows instead of stdout."""
+    scenes = landsat.scene_patches(spark).select("scene_id").distinct()
+    stxt = landsat.station_lists(spark).select("scene_id").distinct()
+    meta = landsat.scene_metadata(spark).select("scene_id").distinct()
+    out = (
+        scenes.join(stxt.withColumn("has_st", F.lit(1)), "scene_id", "left")
+        .join(meta.withColumn("has_meta", F.lit(1)), "scene_id", "left")
+    )
+    return out.select(
+        "scene_id",
+        F.coalesce("has_st", F.lit(0)).alias("has_stations_file"),
+        F.coalesce("has_meta", F.lit(0)).alias("has_metadata"),
+        (F.coalesce("has_st", F.lit(0)) * F.coalesce("has_meta", F.lit(0))).alias(
+            "loads"
+        ),
+    )
+
+
+_LOAD_ERRORS_SQL = r"""
+WITH scenes AS (SELECT DISTINCT scene_id FROM '{fix}/scene_patches.parquet'),
+st AS (SELECT DISTINCT regexp_extract(filename, '([^/]+)_stations\.txt$', 1)
+         AS scene_id FROM read_text('{fix}/scene_stations/*.txt')),
+mt AS (SELECT DISTINCT regexp_extract(filename, '([^/]+)_MTL_metadata\.json$', 1)
+         AS scene_id FROM read_text('{fix}/metadatas/*.json'))
+SELECT s.scene_id,
+       CAST(st.scene_id IS NOT NULL AS INT) AS has_stations_file,
+       CAST(mt.scene_id IS NOT NULL AS INT) AS has_metadata,
+       CAST(st.scene_id IS NOT NULL AND mt.scene_id IS NOT NULL AS INT) AS loads
+FROM scenes s
+LEFT JOIN st ON s.scene_id = st.scene_id
+LEFT JOIN mt ON s.scene_id = mt.scene_id
+""".format(fix=FIXTURE_DIR)
+
+
+def agg_minmax_scene_dates(spark: SparkSession, sf: str) -> DataFrame:
+    """Acquisition-date span over scene ids (main.py:52-53)."""
+    dated = _scene_dates(landsat.scene_patches(spark).select("scene_id").distinct())
+    d = F.make_date("yr", "mo", "dy")
+    return dated.agg(
+        F.min(d).alias("first_date"),
+        F.max(d).alias("last_date"),
+        F.countDistinct("scene_id").alias("n_scenes"),
+    )
+
+
+_MINMAX_DATES_SQL = """
+WITH {sd}
+SELECT MIN(make_date(yr, mo, dy)) AS first_date,
+       MAX(make_date(yr, mo, dy)) AS last_date,
+       COUNT(DISTINCT scene_id) AS n_scenes
+FROM scene_dates
+""".format(sd=_SCENE_DATES.strip())
+
+
+def src_dir_listing(spark: SparkSession, sf: str) -> DataFrame:
+    """Directory listing + suffix classification (data_loader.py:94-106,
+    .pt vs .txt). Spark side lists via the binaryFile source (distributed
+    manifest, no driver-side os.listdir); only names/kinds surface."""
+    files = (
+        spark.read.format("binaryFile")
+        .load(f"{FIXTURE_DIR}/scene_stations/*.txt")
+        .select(F.input_file_name().alias("p"))
+        .select(
+            F.regexp_extract("p", r"([^/]+)$", 1).alias("file_name"),
+            F.lit("stations").alias("kind"),
+        )
+    )
+    metas = (
+        spark.read.format("binaryFile")
+        .load(f"{FIXTURE_DIR}/metadatas/*.json")
+        .select(F.input_file_name().alias("p"))
+        .select(
+            F.regexp_extract("p", r"([^/]+)$", 1).alias("file_name"),
+            F.lit("metadata").alias("kind"),
+        )
+    )
+    return files.unionByName(metas)
+
+
+_DIR_LISTING_SQL = r"""
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+       'stations' AS kind
+FROM read_text('{fix}/scene_stations/*.txt')
+UNION ALL
+SELECT regexp_extract(filename, '([^/]+)$', 1), 'metadata'
+FROM read_text('{fix}/metadatas/*.json')
+""".format(fix=FIXTURE_DIR)
+
+
+def sink_csv_stations(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-iff-absent stations CSV sink (main.py:116-119:
+    ``if not os.path.exists``) → ``mode('ignore')``, then read back.
+    Round-trips the dimension through the CSV codec; idempotent across
+    runs by construction."""
+    import os as _os
+
+    out_dir = _os.path.join(
+        _os.path.dirname(FIXTURE_DIR), ".scratch", "stations_csv"
+    )
+    dim = landsat.stations_dim(spark)
+    dim.coalesce(1).write.mode("ignore").option("header", True).csv(out_dir)
+    return (
+        spark.read.option("header", True)
+        .schema(dim.schema)
+        .csv(out_dir)
+        .select("id", "name", "longitude", "latitude")
+    )
+
+
+_SINK_CSV_SQL = """
+SELECT id, name, longitude, latitude FROM read_csv('{fix}/stations.csv')
+""".format(fix=FIXTURE_DIR)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "proj_sensor_flag": QuerySpec("proj_sensor_flag", proj_sensor_flag, _SENSOR_FLAG_SQL),
+    "filt_band_cardinality": QuerySpec(
+        "filt_band_cardinality", filt_band_cardinality, _BAND_CARD_SQL
+    ),
+    "filt_metadata_keys": QuerySpec(
+        "filt_metadata_keys", filt_metadata_keys, _META_KEYS_SQL
+    ),
+    "filt_skip_first": QuerySpec("filt_skip_first", filt_skip_first, _SKIP_FIRST_SQL),
+    "filt_load_errors": QuerySpec(
+        "filt_load_errors", filt_load_errors, _LOAD_ERRORS_SQL
+    ),
+    "agg_minmax_scene_dates": QuerySpec(
+        "agg_minmax_scene_dates", agg_minmax_scene_dates, _MINMAX_DATES_SQL
+    ),
+    "src_dir_listing": QuerySpec("src_dir_listing", src_dir_listing, _DIR_LISTING_SQL),
+    "sink_csv_stations": QuerySpec("sink_csv_stations", sink_csv_stations, _SINK_CSV_SQL),
     "src_csv_ground_truths": QuerySpec(
         "src_csv_ground_truths", src_csv_ground_truths, _SRC_GT_SQL
     ),
