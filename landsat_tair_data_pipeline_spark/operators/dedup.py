@@ -102,23 +102,40 @@ def dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     a = docs.repartitionByRange(64, "doc_id").alias("a")
     b = docs.alias("b")
     sz_a, sz_b = F.col("a.sz"), F.col("b.sz")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = sz_a + sz_b - inter
+    cand = a.join(
+        F.broadcast(b),
+        # cheap predicates ONLY — putting the jaccard filter here would
+        # let Catalyst order the O(|toks|) intersect ahead of these
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.least(sz_a, sz_b) * 10 >= F.greatest(sz_a, sz_b) * 4),
+    )
+    # one intersect per candidate pair. The `+ 0*rand` term is a
+    # value-neutral nondeterminism taint: it stops Catalyst from
+    # substituting the jaccard filter back through this projection into
+    # the join condition, which would re-evaluate the O(|toks|)
+    # intersect per probed pair (and again in the output projection) —
+    # measured 3 intersect evals/row without it, 1 with it.
+    inter = (
+        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+        + (F.rand(0) * 0).cast("int")
+    )
+    proj = cand.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        inter.alias("inter"),
+        (sz_a + sz_b).alias("sz_sum"),
+    )
+    jaccard = F.round(
+        F.col("inter").cast("double")
+        / (F.col("sz_sum") - F.col("inter")).cast("double")
+        + 1e-9,
+        4,
+    )
     return (
-        a.join(
-            F.broadcast(b),
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.least(sz_a, sz_b) * 10 >= F.greatest(sz_a, sz_b) * 4),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(inter.cast("double") / union.cast("double") + 1e-9, 4).alias(
-                "jaccard"
-            ),
-        )
+        proj.withColumn("jaccard", jaccard)
         .where(F.col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -189,7 +206,67 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return sums.select("doc_id", sig.alias("simhash")).orderBy("doc_id")
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (SURVEY §2.12): vectors whose
+    cosine similarity >= 0.4 (the testdata's embeddings are random, so
+    the threshold sits at the distribution tail — real corpora with
+    planted dups would use ~0.95).
+
+    Exact all-pairs baseline: norms precomputed once per vector, dot
+    products as JVM zip_with/aggregate, self-join pruned to the upper
+    triangle. Quadratic by design — the 100 TB path blocks candidates
+    through sign-LSH buckets first (sim_lsh_buckets/sim_lsh_topk) or an
+    IVF coarse quantizer, trading recall for a linear-ish pair space.
+    """
+    emb = (
+        table(spark, sf, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn(
+            "norm",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+    )
+    a = emb.repartitionByRange(64, "vec_id").alias("a")
+    b = emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos + 1e-9, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.4)
+    )
+
+
+_EMB_COSINE_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) + 1e-9, 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_embedding_cosine": QuerySpec(
+        "dedup_embedding_cosine", dedup_embedding_cosine, _EMB_COSINE_SQL
+    ),
     "ext_dedup_exact": QuerySpec("ext_dedup_exact", ext_dedup_exact, _EXACT_SQL),
     "dedup_normalized": QuerySpec("dedup_normalized", dedup_normalized, _NORMALIZED_SQL),
     "dedup_jaccard_pairs": QuerySpec(
