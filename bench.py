@@ -32,9 +32,15 @@ HEADLINE = [
     "events_session",
     "ext_dedup_exact",
     "dedup_jaccard_pairs",
+    "dedup_embedding_cosine",
     "text_tfidf_top",
     "ext_sim_search",
     "sim_lsh_topk",
+    "domain_pipeline_summary",
+    "aug_explode_4x",
+    "split_train_test",
+    "mm_feature_extract",
+    "stream_tumbling",
 ]
 
 

