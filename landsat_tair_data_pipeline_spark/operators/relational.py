@@ -680,7 +680,68 @@ FROM lineitem
 """
 
 
+def window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frame (vs the ROWS frame above): per customer, total spend
+    over orders within the preceding 30 days of each order — a value-
+    based sliding frame keyed on days-since-epoch. Peer rows (same day)
+    enter the frame together, which ROWS frames can't express."""
+    o = table(spark, sf, "orders")
+    day = F.datediff("o_orderdate", F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
+
+
+_WINDOW_RANGE_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER w, 2) AS spend_30d,
+       COUNT(*) OVER w                    AS n_orders_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS: the two single-dimension rollups in one pass over
+    lineitem (what cube would over-produce), via the SQL surface."""
+    table(spark, sf, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "window_range_frame": QuerySpec(
+        "window_range_frame", window_range_frame, _WINDOW_RANGE_SQL
+    ),
+    "agg_grouping_sets": QuerySpec(
+        "agg_grouping_sets", agg_grouping_sets, _GROUPING_SETS_SQL
+    ),
     "q1_pricing_summary": QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_SQL),
     "q3_shipping_priority": QuerySpec(
         "q3_shipping_priority", q3_shipping_priority, _Q3_SQL

@@ -123,22 +123,42 @@ def scene_pixels(spark: SparkSession, fixture_dir: str = FIXTURE_DIR) -> DataFra
     return spark.read.parquet(f"{fixture_dir}/scene_pixels.parquet")
 
 
-def ingest_pt_tensors(spark: SparkSession, pt_dir: str) -> DataFrame:
-    """One-time .pt → relational conversion job (src_pt_tensor,
-    data_loader.py:131-132: torch.load + permute(1,0,2,3)).
+def _torch_pt_decoder(content: bytes) -> list:
+    """Default .pt decoder: torch.load + permute(1,0,2,3)
+    (data_loader.py:131-132) → nested (stations, bands, 7, 7) ints.
+    Torch isn't in this container — raises cleanly until the executor
+    image ships it."""
+    import io
 
-    Runs binaryFile → mapInPandas; each executor unpickles a tensor
-    and emits (scene_id, station_pos, bands) rows. Torch isn't in this
-    container, so the decode is gated: the Spark plumbing (schema,
-    batching, filename→scene_id) is real and tested with a fake
-    decoder in tests; the torch path raises ImportError cleanly.
+    try:
+        import torch
+    except ImportError as exc:  # pragma: no cover - container has no torch
+        raise ImportError(
+            "torch is required for .pt ingestion; convert offline or "
+            "install torch on the executors"
+        ) from exc
+    return torch.load(io.BytesIO(content)).permute(1, 0, 2, 3).int().tolist()
+
+
+def ingest_pt_tensors(
+    spark: SparkSession, pt_dir: str, decoder=None, pattern: str = ".pt"
+) -> DataFrame:
+    """One-time .pt → relational conversion job (src_pt_tensor,
+    data_loader.py:131-132).
+
+    binaryFile source → mapInPandas; each executor decodes a tensor
+    blob and emits (scene_id, station_pos, bands) rows. The decoder is
+    injectable (bytes → nested (stations, bands, 7, 7) list) so the
+    distributed plumbing — file manifest, batching, filename→scene_id,
+    output schema — is tested with a deterministic fake while the torch
+    decoder stays gated behind its missing dependency.
     """
-    import pandas as pd  # noqa: F401 — used inside the iterator
+    decode_one = decoder or _torch_pt_decoder
 
     files = (
         spark.read.format("binaryFile")
         .load(pt_dir)
-        .filter(F.col("path").endswith(".pt"))
+        .filter(F.col("path").endswith(pattern))
         .select("path", "content")
     )
 
@@ -147,29 +167,20 @@ def ingest_pt_tensors(spark: SparkSession, pt_dir: str) -> DataFrame:
     )
 
     def decode(batches):
-        import io
         import os as _os
 
-        try:
-            import torch
-        except ImportError as exc:  # pragma: no cover - container has no torch
-            raise ImportError(
-                "torch is required for .pt ingestion; convert offline or "
-                "install torch on the executors"
-            ) from exc
         import pandas as pd
 
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                scene_id = _os.path.basename(path)[: -len(".pt")]
-                t = torch.load(io.BytesIO(content)).permute(1, 0, 2, 3)
-                for pos in range(t.shape[0]):
+                scene_id = _os.path.basename(path)[: -len(pattern)]
+                for pos, bands in enumerate(decode_one(bytes(content))):
                     rows.append(
                         {
                             "scene_id": scene_id,
                             "station_pos": pos,
-                            "bands": t[pos].int().tolist(),
+                            "bands": bands,
                         }
                     )
             yield pd.DataFrame(rows, columns=["scene_id", "station_pos", "bands"])
