@@ -60,9 +60,13 @@ def all_queries() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query id {name!r}")
             merged[name] = spec
     try:
-        from .operators import augment, domain
+        from .operators import augment, domain, mapping
 
-        for name, spec in {**domain.QUERIES, **augment.QUERIES}.items():
+        for name, spec in {
+            **domain.QUERIES,
+            **augment.QUERIES,
+            **mapping.QUERIES,
+        }.items():
             merged[name] = spec
     except ImportError:
         pass

@@ -224,6 +224,29 @@ GROUP BY user_id
 
 
 QUERIES: dict[str, QuerySpec] = {
+    # SURVEY §2.12 id for the streaming-window surface — same streaming
+    # execution as stream_tumbling, registered under the inventory key
+    "ext_stream_window": QuerySpec(
+        "ext_stream_window",
+        lambda spark, sf: run_to_memory(
+            stream_events(spark, sf)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("bucket_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            ),
+            "ext_stream_window_sink",
+            "complete",
+        ),
+        _TUMBLING_SQL,
+    ),
     "stream_tumbling": QuerySpec("stream_tumbling", stream_tumbling, _TUMBLING_SQL),
     "stream_session": QuerySpec("stream_session", stream_session, _SESSION_SQL),
     "stream_dedup": QuerySpec("stream_dedup", stream_dedup, _DEDUP_SQL),
