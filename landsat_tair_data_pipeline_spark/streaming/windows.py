@@ -54,21 +54,35 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_memory(
-    sdf: DataFrame, name: str, output_mode: str, timeout_s: int = 300
+    sdf: DataFrame,
+    name: str,
+    output_mode: str,
+    timeout_s: int = 300,
+    state_partitions: int = 8,
 ) -> DataFrame:
-    """Drain a finite stream into a memory sink and return the table."""
+    """Drain a finite stream into a memory sink and return the table.
+
+    State partition count is frozen at query start; at this scale more
+    partitions only multiply state-store setup cost, so pin a small
+    count for the run and restore the session conf after (a real
+    deployment sizes this to executor count × cores)."""
     spark = sdf.sparkSession
     spark.catalog.dropTempView(name) if name in [
         t.name for t in spark.catalog.listTables()
     ] else None
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if q.exception() is not None:
         raise q.exception()
     return spark.table(name)
