@@ -40,9 +40,22 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    """Collect QuerySpecs from every operator module (import-gated so a
-    broken optional module never takes down the whole registry)."""
-    from .operators import dedup, events, multimodal, relational, similarity, text
+    """Collect QuerySpecs from every operator module. Imports fail
+    LOUDLY: a silently-shrinking registry would pass the correctness
+    gate with less coverage, which is worse than a visible error (the
+    one genuinely optional dependency, torch, is gated inside
+    sources.landsat at call time, not import time)."""
+    from .operators import (
+        augment,
+        dedup,
+        domain,
+        events,
+        mapping,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
     from .streaming import windows as streaming_windows
 
     merged: dict[str, QuerySpec] = {}
@@ -54,22 +67,14 @@ def all_queries() -> dict[str, QuerySpec]:
         text,
         multimodal,
         streaming_windows,
+        domain,
+        augment,
+        mapping,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query id {name!r}")
             merged[name] = spec
-    try:
-        from .operators import augment, domain, mapping
-
-        for name, spec in {
-            **domain.QUERIES,
-            **augment.QUERIES,
-            **mapping.QUERIES,
-        }.items():
-            merged[name] = spec
-    except ImportError:
-        pass
     return merged
 
 

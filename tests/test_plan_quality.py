@@ -1,0 +1,97 @@
+"""Physical-plan regression tests: lock in the plan shapes the engine
+is designed around, so a refactor that silently degrades a plan (lost
+broadcast, un-pushed filter, extra shuffle, Python creep) fails here
+rather than only showing up in the bench.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from landsat_tair_data_pipeline_spark.registry import all_queries
+
+SPECS = all_queries()
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        SPECS[name]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def _shuffles(plan: str) -> int:
+    return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+
+def test_q5_star_join_is_all_broadcast(spark):
+    """Five dimension joins → five broadcast-hash joins, zero
+    sort-merge, one shuffle (the final aggregation)."""
+    plan = _plan(spark, "q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    assert _shuffles(plan) == 1
+
+
+def test_q1_filter_reaches_scan(spark):
+    """The shipdate predicate must be pushed into the parquet scan."""
+    plan = _plan(spark, "q1_pricing_summary")
+    pushed = re.search(r"PushedFilters: \[[^\]]*l_shipdate[^\]]*\]", plan)
+    assert pushed, "l_shipdate filter not pushed to scan"
+    assert _shuffles(plan) == 1
+
+
+def test_q1_scan_prunes_columns(spark):
+    """Only the consumed lineitem columns may be read (ReadSchema)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        SPECS["q1_pricing_summary"].fn(spark, SF).explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert "l_comment" not in cols and "l_partkey" not in cols, cols
+
+
+def test_station_dim_join_is_broadcast(spark):
+    plan = _plan(spark, "join_station_dim")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_jaccard_intersect_evaluated_once(spark):
+    """The O(|toks|) intersect must appear exactly once in the plan —
+    the pushdown-barrier regression (3 evaluations) was a 5× slowdown."""
+    plan = _plan(spark, "dedup_jaccard_pairs")
+    assert plan.count("array_intersect") == 1
+
+
+def test_radiometry_stays_jvm_side(spark):
+    """No Python evaluation anywhere in the BT pixel pipeline — the
+    math must be higher-order column expressions. (Codegen spans are
+    broken by the posexplode Generate nodes by design, so the
+    assertion is Python-absence, not codegen-presence.)"""
+    plan = _plan(spark, "map_bt_pixels")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "transform(" in plan  # the HOF expressions, JVM-side
+
+
+def test_topk_is_single_shuffle_window(spark):
+    plan = _plan(spark, "ext_topk")
+    assert _shuffles(plan) == 1
+
+
+@pytest.mark.parametrize(
+    "name", ["events_tumbling", "agg_group_stats", "agg_summary_stats"]
+)
+def test_aggs_are_single_shuffle(spark, name):
+    assert _shuffles(_plan(spark, name)) <= 1
