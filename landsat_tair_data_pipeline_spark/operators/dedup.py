@@ -279,7 +279,93 @@ SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4
 """
 
 
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    jaccard pair graph (pairs >= 0.4), cluster id = min doc_id in the
+    component — the keeper-selection step that turns pairwise dedup
+    into corpus dedup.
+
+    Iterative min-label propagation (the Pregel/GraphX idiom as plain
+    DataFrames): each round every node takes the min of its own and
+    its neighbors' labels; converged when no label changes. Rounds ~
+    graph diameter (dense near-dup clusters → few). localCheckpoint
+    per round cuts the growing lineage — without it each iteration
+    re-plans the whole history. The oracle is DuckDB's recursive CTE
+    computing the same transitive closure, so the iterative execution
+    is value-checked end to end.
+    """
+    pairs = dedup_jaccard_pairs(spark, sf).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .withColumn("lbl", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(25):
+        nbr = edges.join(
+            labels.withColumnRenamed("doc", "nbr_doc"),
+            edges.doc_b == F.col("nbr_doc"),
+        ).select(F.col("doc_a").alias("doc"), "lbl")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("doc")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "doc")
+            .where(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("doc").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+# the jaccard-pair CTEs (t, p) shared with _JACCARD_SQL
+_PAIR_CTES = """
+t AS (
+  SELECT doc_id, source, list_distinct({toks}) AS toks FROM documents
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+               + 1e-9, 4) AS jaccard
+  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+""".format(toks=_TOKENS_SQL)
+
+_CLUSTERS_SQL = """
+WITH RECURSIVE {pair_ctes},
+sym AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.4
+        UNION ALL
+        SELECT doc_b, doc_a FROM p WHERE jaccard >= 0.4),
+reach(src, dst) AS (
+  SELECT doc_a, doc_b FROM sym
+  UNION
+  SELECT r.src, s.doc_b FROM reach r JOIN sym s ON r.dst = s.doc_a),
+lbl AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+  FROM reach GROUP BY src)
+SELECT l.doc_id, l.cluster_id, c.cluster_size
+FROM lbl l
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl GROUP BY cluster_id) c
+  ON l.cluster_id = c.cluster_id
+""".format(pair_ctes=_PAIR_CTES.strip())
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_clusters": QuerySpec("dedup_clusters", dedup_clusters, _CLUSTERS_SQL),
     "dedup_embedding_cosine": QuerySpec(
         "dedup_embedding_cosine", dedup_embedding_cosine, _EMB_COSINE_SQL
     ),

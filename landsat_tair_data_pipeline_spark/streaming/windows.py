@@ -237,7 +237,48 @@ GROUP BY user_id
 """
 
 
+def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: follow-up
+    events of the same (user, type) within 5 minutes. Both sides are
+    watermarked; the time-range condition bounds the join state Spark
+    must buffer (without it, stream-stream state grows forever).
+    Inner joins emit on match — no watermark-close withholding — so a
+    drained finite source equals the batch self-join (the oracle)."""
+    a = stream_events(spark, sf).withWatermark("ts", "30 minutes").alias("a")
+    b = stream_events(spark, sf).withWatermark("ts", "30 minutes").alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 minutes")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.event_id").alias("event_a"),
+        F.col("b.event_id").alias("event_b"),
+        F.col("a.ts").alias("ts_a"),
+        F.col("b.ts").alias("ts_b"),
+    )
+    return run_to_memory(joined, "stream_stream_join_sink", "append")
+
+
+_STREAM_JOIN_SQL = """
+SELECT a.user_id, a.event_type,
+       a.event_id AS event_a, b.event_id AS event_b,
+       a.ts AS ts_a, b.ts AS ts_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_type = b.event_type
+ AND a.event_id < b.event_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_stream_join": QuerySpec(
+        "stream_stream_join", stream_stream_join, _STREAM_JOIN_SQL
+    ),
     # SURVEY §2.12 id for the streaming-window surface — same streaming
     # execution as stream_tumbling, registered under the inventory key
     "ext_stream_window": QuerySpec(
