@@ -735,7 +735,107 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
 
 
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returns in
+    a quarter — 4-way join (two broadcast dims), grouped revenue agg,
+    top 20. Exercises join+agg+sort+limit in one plan."""
+    li = table(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    o = table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(rev + 1e-9, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-style revenue share (predicate adapted to
+    this data's p_type domain so the numerator is non-trivial) — conditional aggregate
+    over a fact⋈dim join, one scalar out."""
+    li = table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = table(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("STANDARD"), rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev) + 1e-9, 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'STANDARD%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 4)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold — aggregate-then-semi-join back to the fact (the
+    classic HAVING-driven row selection across tables)."""
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+_Q18_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING ROUND(SUM(l_quantity), 2) > 150) t
+  ON o_orderkey = t.l_orderkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q10_returned_items": QuerySpec(
+        "q10_returned_items", q10_returned_items, _Q10_SQL
+    ),
+    "q14_promo_revenue": QuerySpec("q14_promo_revenue", q14_promo_revenue, _Q14_SQL),
+    "q18_large_orders": QuerySpec("q18_large_orders", q18_large_orders, _Q18_SQL),
     "window_range_frame": QuerySpec(
         "window_range_frame", window_range_frame, _WINDOW_RANGE_SQL
     ),
