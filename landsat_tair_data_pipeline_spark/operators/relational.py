@@ -830,7 +830,24 @@ JOIN (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
 """
 
 
+def agg_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """The sketch-based aggregates a 100 TB sweep leads with:
+    approx_count_distinct (HyperLogLog++) and approx_percentile — both
+    single-pass, mergeable, no exact-distinct shuffle. Rows-only
+    (sketch estimates are engine-specific); the relative-error bound
+    vs the exact values is asserted in tests/test_relational_extra.py."""
+    li = table(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "agg_approx": QuerySpec("agg_approx", agg_approx, None),
     "q10_returned_items": QuerySpec(
         "q10_returned_items", q10_returned_items, _Q10_SQL
     ),

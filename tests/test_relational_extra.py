@@ -1,0 +1,46 @@
+"""Accuracy bounds for the sketch aggregates (agg_approx is rows-only —
+estimates are engine-specific — so the guarantee lives here), and the
+partitioned-layout pruning demonstration from SURVEY §4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from landsat_tair_data_pipeline_spark.operators.relational import agg_approx
+from landsat_tair_data_pipeline_spark.sources.tables import table
+
+
+def test_approx_aggregates_within_bounds(spark, sf_dir):
+    got = agg_approx(spark, sf_dir).first()
+    li = table(spark, sf_dir, "lineitem")
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("orders"),
+        F.countDistinct("l_partkey").alias("parts"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+    ).first()
+    assert abs(got["approx_orders"] - exact["orders"]) / exact["orders"] < 0.05
+    assert abs(got["approx_parts"] - exact["parts"]) / exact["parts"] < 0.05
+    assert abs(got["median_price"] - exact["median"]) / exact["median"] < 0.02
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    """The SURVEY §4 layout decision: pixels partitioned by scene land
+    in per-scene directories, and a scene-filtered read prunes to ONE
+    partition (PartitionFilters at the scan, one input directory)."""
+    from landsat_tair_data_pipeline_spark.sources.landsat import scene_pixels
+
+    out = str(tmp_path / "px_by_scene")
+    scene_pixels(spark).write.partitionBy("scene_id").parquet(out)
+
+    one = spark.read.parquet(out).where(
+        F.col("scene_id") == "LT05_L1TP_175038_20101007_20200823_02_T1"
+    )
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "scene_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    # pruning is real: the filtered scan reads exactly the one scene
+    assert one.select("scene_id").distinct().count() == 1
+    full = spark.read.parquet(out)
+    assert full.select("scene_id").distinct().count() > 1
