@@ -74,11 +74,29 @@ def to_brightness_temperature(df: DataFrame, out: str = "bt_bands") -> DataFrame
     k1 = k_constant("thermal", "K1")
     k2 = k_constant("thermal", "K2")
 
+    def _np_div(a: Column, b: Column) -> Column:
+        # numpy division semantics: x/0 → ±inf (sign of x), 0/0 → NaN.
+        # Spark 4's ANSI mode raises DIVIDE_BY_ZERO instead (found by
+        # the hypothesis property test on a radiance that lands exactly
+        # on 0); CaseWhen's lazy branches keep the ANSI division from
+        # ever seeing a zero divisor.
+        return (
+            F.when(
+                b == 0,
+                F.when(a > 0, F.lit(float("inf")))
+                .when(a < 0, F.lit(float("-inf")))
+                .otherwise(F.lit(float("nan"))),
+            )
+            .otherwise(a / b)
+        )
+
     def band_expr(grid: Column, i: Column) -> Column:
         ml = coeff("rescaling", "RADIANCE_MULT_BAND_", i + 1)
         al = coeff("rescaling", "RADIANCE_ADD_BAND_", i + 1)
         radiance = lambda px: px.cast("double") * ml + al  # noqa: E731
-        bt_l89 = lambda px: k2 / (k1 / (radiance(px) + F.lit(1.0)))  # noqa: E731
+        bt_l89 = lambda px: _np_div(  # noqa: E731
+            k2, _np_div(k1, radiance(px) + F.lit(1.0))
+        )
 
         def _ln(arg):
             # numpy semantics (the reference uses np.log): ln(neg)→NaN,
@@ -89,7 +107,9 @@ def to_brightness_temperature(df: DataFrame, out: str = "bt_bands") -> DataFrame
                 .otherwise(F.lit(float("nan")))
             )
 
-        bt_l5 = lambda px: k2 / _ln(k1 / radiance(px) + F.lit(1.0))  # noqa: E731
+        bt_l5 = lambda px: _np_div(  # noqa: E731
+            k2, _ln(_np_div(k1, radiance(px)) + F.lit(1.0))
+        )
         return F.when(
             i == thermal_idx,
             F.when(

@@ -159,6 +159,53 @@ GROUP BY user_id, sess_id
 """
 
 
+def stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming sliding windows (1 h length, 30 min slide): every
+    event lands in exactly two windows — the streaming form of
+    events_sliding, same unnest-based oracle."""
+    ev = stream_events(spark, sf).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value") + 1e-9, 4).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "avg_value")
+    )
+    return run_to_memory(agg, "stream_sliding_sink", "complete")
+
+
+_SLIDING_SQL = """
+WITH assigned AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+           AS bucket_start,
+         value
+  FROM events
+)
+SELECT bucket_start, COUNT(*) AS n_events, ROUND(AVG(value) + 1e-9, 4) AS avg_value
+FROM assigned
+GROUP BY bucket_start
+"""
+
+
+def stream_dedup_then_window(spark: SparkSession, sf: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming job: at-least-once
+    redelivery dedup (dropDuplicates on key+event time — the survivor's
+    window is therefore deterministic regardless of arrival order),
+    then a tumbling rollup over the deduped stream. The
+    ingest-dedup-then-aggregate shape a streaming training-data
+    pipeline runs. Oracle: DISTINCT triples then the same rollup."""
+    ev = stream_events(spark, sf).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicates(["user_id", "event_type", "ts"])
+    agg = (
+        deduped.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_unique_events"))
+        .select(F.col("w.start").alias("bucket_start"), "n_unique_events")
+    )
+    return run_to_memory(agg, "stream_chain_sink", "complete")
+
+
 def stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming dropDuplicates within a watermark. Keys-only
     projection → deterministic result (= DISTINCT) even though which
@@ -303,6 +350,17 @@ QUERIES: dict[str, QuerySpec] = {
         _TUMBLING_SQL,
     ),
     "stream_tumbling": QuerySpec("stream_tumbling", stream_tumbling, _TUMBLING_SQL),
+    "stream_sliding": QuerySpec("stream_sliding", stream_sliding, _SLIDING_SQL),
+    "stream_dedup_then_window": QuerySpec(
+        "stream_dedup_then_window",
+        stream_dedup_then_window,
+        """
+WITH d AS (SELECT DISTINCT user_id, event_type, ts FROM events)
+SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket_start,
+       COUNT(*) AS n_unique_events
+FROM d GROUP BY 1
+""",
+    ),
     "stream_session": QuerySpec("stream_session", stream_session, _SESSION_SQL),
     "stream_dedup": QuerySpec("stream_dedup", stream_dedup, _DEDUP_SQL),
     "stream_stateful_user_totals": QuerySpec(
