@@ -279,6 +279,82 @@ SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4
 """
 
 
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-trigram shingle Jaccard (the n-gram flavor; word-set
+    jaccard above catches token reorders, char shingles catch small
+    edits). Same plan shape as dedup_jaccard_pairs: source-blocked
+    candidates, cheap predicates in the join, shingle sets hashed to
+    int64, one intersect per pair behind the pushdown barrier."""
+    canon = F.trim(F.lower(F.col("text")))
+    docs = (
+        table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(canon) - 2, F.lit(1))),
+                    lambda i: F.xxhash64(canon.substr(i, F.lit(3))),
+                )
+            ).alias("shingles"),
+        )
+        .withColumn("sz", F.size("shingles"))
+    )
+    a = docs.repartitionByRange(64, "doc_id").alias("a")
+    b = docs.alias("b")
+    sz_a, sz_b = F.col("a.sz"), F.col("b.sz")
+    cand = a.join(
+        F.broadcast(b),
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.least(sz_a, sz_b) * 10 >= F.greatest(sz_a, sz_b) * 6),
+    )
+    inter = (
+        F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+        + (F.rand(0) * 0).cast("int")
+    )
+    proj = cand.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        inter.alias("inter"),
+        (sz_a + sz_b).alias("sz_sum"),
+    )
+    jaccard = F.round(
+        F.col("inter").cast("double")
+        / (F.col("sz_sum") - F.col("inter")).cast("double")
+        + 1e-9,
+        4,
+    )
+    return (
+        proj.withColumn("jaccard3", jaccard)
+        .where(F.col("jaccard3") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard3")
+    )
+
+
+_NGRAM_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(trim(lower(text))) - 2, 1)),
+           i -> substring(trim(lower(text)), i, 3))) AS shingles
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles)))
+               + 1e-9, 4) AS jaccard3
+  FROM t a JOIN t b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+   AND least(len(a.shingles), len(b.shingles)) * 10
+       >= greatest(len(a.shingles), len(b.shingles)) * 6
+)
+SELECT doc_a, doc_b, jaccard3 FROM p WHERE jaccard3 >= 0.6
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the
     jaccard pair graph (pairs >= 0.4), cluster id = min doc_id in the
@@ -365,6 +441,9 @@ JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl GROUP BY cluster_id) 
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_ngram_jaccard": QuerySpec(
+        "dedup_ngram_jaccard", dedup_ngram_jaccard, _NGRAM_SQL
+    ),
     "dedup_clusters": QuerySpec("dedup_clusters", dedup_clusters, _CLUSTERS_SQL),
     "dedup_embedding_cosine": QuerySpec(
         "dedup_embedding_cosine", dedup_embedding_cosine, _EMB_COSINE_SQL

@@ -46,6 +46,66 @@ def test_salted_join_splits_hot_key(spark):
     assert n_salts_used == 8
 
 
+def test_radiometry_at_volume(spark):
+    """The nested-HOF radiometry path at ~1M pixels (100 scenes × 20
+    stations × 11 bands × 49 px): generated distributedly, converted,
+    exploded, aggregated — validates the per-scene-parallel shape the
+    fixtures are too small to exercise, with a spot value check."""
+    from landsat_tair_data_pipeline_spark.functions.radiometry import (
+        to_brightness_temperature,
+    )
+
+    scenes = spark.range(100).select(
+        F.concat(F.lit("LC08_SYN_"), F.col("id")).alias("scene_id")
+    )
+    stations = spark.range(20).select(F.col("id").alias("station_id"))
+    grid = F.transform(
+        F.sequence(F.lit(0), F.lit(10)),
+        lambda b: F.transform(
+            F.sequence(F.lit(0), F.lit(6)),
+            lambda y: F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda x: (b * 49 + y * 7 + x + 1).cast("int"),
+            ),
+        ),
+    )
+    rescaling = F.map_concat(
+        *[
+            F.create_map(
+                F.lit(f"RADIANCE_MULT_BAND_{i}"),
+                F.lit("2.0E-0"),
+                F.lit(f"RADIANCE_ADD_BAND_{i}"),
+                F.lit("1.0E-0"),
+            )
+            for i in range(1, 12)
+        ]
+    )
+    thermal = F.create_map(
+        F.lit("K1_CONSTANT_BAND_10"), F.lit("774.8853"),
+        F.lit("K2_CONSTANT_BAND_10"), F.lit("1321.0789"),
+    )
+    patches = (
+        scenes.crossJoin(stations)
+        .repartition(32)
+        .select(
+            "scene_id", "station_id",
+            grid.alias("bands"),
+            rescaling.alias("rescaling"),
+            thermal.alias("thermal"),
+        )
+    )
+    bt = to_brightness_temperature(patches)
+    out = (
+        bt.select(F.explode(F.flatten(F.flatten("bt_bands"))).alias("v"))
+        .agg(F.count("v").alias("n"), F.round(F.sum("v"), 2).alias("s"))
+        .first()
+    )
+    assert out["n"] == 100 * 20 * 11 * 49
+    # spot check: band 1 (non-thermal), dn=1 → 2*1+1 = 3.0
+    first = bt.select(F.col("bt_bands")[0][0][0].alias("v")).first()
+    assert first["v"] == 3.0
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """Same-bucketed orders/lineitem join on the bucket key: zero
     Exchange in the executed plan, and results match the plain join."""
