@@ -261,7 +261,84 @@ WHERE rk <= 3
 """.format(toks=_TOKS_SQL)
 
 
+_BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+def text_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting two ways (the LLM-pipeline budget columns):
+    whitespace tokens and a GPT-2-style pretokenizer regex (contraction
+    suffixes / letter runs / digit runs / punctuation runs / whitespace)
+    — both pure JVM regex, no Python."""
+    docs = table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(TOKENS()).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        F.round(
+            F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).cast("double")
+            / F.size(TOKENS()).cast("double")
+            + 1e-9,
+            4,
+        ).alias("bpe_per_word"),
+    )
+
+
+_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len({toks}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{bpe}')) AS n_bpe_tokens,
+       ROUND(CAST(len(regexp_extract_all(text, '{bpe}')) AS DOUBLE)
+             / len({toks}) + 1e-9, 4) AS bpe_per_word
+FROM documents
+""".format(toks=_TOKS_SQL, bpe=_BPE_RE.replace("'", "''"))
+
+
+def text_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprint via Karp-Rabin rolling hash over character
+    codepoints: h = fold(acc·31 + code) mod 1e9+7 — order-sensitive
+    (unlike the sorted-token md5 in text_fingerprint), position-uniform,
+    and incrementally updatable at ingest. Codepoint extraction and the
+    fold are identical higher-order expressions in both engines."""
+    docs = table(spark, sf, "documents")
+    canon = F.trim(F.lower(F.col("text")))
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(canon)),
+        lambda i: F.ascii(canon.substr(i, F.lit(1))).cast("long"),
+    )
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % 1000000007,
+    )
+    return docs.groupBy(h.alias("rolling_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+_ROLLING_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, length(trim(lower(text)))),
+                            i -> CAST(ascii(substring(trim(lower(text)), i, 1)) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
+  FROM documents)
+SELECT rolling_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_docs
+FROM h GROUP BY rolling_hash
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_token_count": QuerySpec(
+        "text_token_count", text_token_count, _TOKEN_COUNT_SQL
+    ),
+    "text_rolling_hash": QuerySpec(
+        "text_rolling_hash", text_rolling_hash, _ROLLING_SQL
+    ),
     "ext_text_stats": QuerySpec("ext_text_stats", ext_text_stats, _TEXT_STATS_SQL),
     "text_quality": QuerySpec("text_quality", text_quality, _QUALITY_SQL),
     "text_lang_guess": QuerySpec("text_lang_guess", text_lang_guess, _LANG_SQL),
