@@ -220,7 +220,57 @@ GROUP BY label
 """.format(emb=_EMB_SQL)
 
 
+def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer (k=16, fixed seed) over
+    the corpus, queries probe their nearest `nprobe=2` centroids, exact
+    cosine re-rank inside the probed cells. The classic
+    inverted-file trade: recall vs the fraction of cells scanned.
+    Rows-only (k-means cells are engine-specific); recall vs the exact
+    top-k is asserted in tests/test_ml_paths.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _emb(spark, sf).withColumn("vec", array_to_vector("v"))
+    km = KMeans(k=16, seed=42, featuresCol="vec", predictionCol="cell")
+    model = km.fit(emb)
+    assigned = model.transform(emb).select("vec_id", "v", "cell")
+
+    # queries probe their 2 nearest centroids (nprobe=2)
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    centers_df = spark.createDataFrame(centers, "cell int, center array<double>")
+    q = assigned.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qd = q.crossJoin(F.broadcast(centers_df)).select(
+        "query_id",
+        "qv",
+        "cell",
+        _dot(F.col("qv"), F.col("center")).alias("cdot"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cdot"), "cell")
+    probed = qd.withColumn("cr", F.row_number().over(wq)).where(F.col("cr") <= 2)
+
+    c = assigned.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "cell"
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = (
+        F.broadcast(probed.select("query_id", "qv", "cell"))
+        .join(c, "cell")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", F.round(cos + 1e-9, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sim_ivf_topk": QuerySpec("sim_ivf_topk", sim_ivf_topk, None),
     "ext_sim_search": QuerySpec("ext_sim_search", ext_sim_search, _SIM_SEARCH_SQL),
     "sim_lsh_buckets": QuerySpec("sim_lsh_buckets", sim_lsh_buckets, _LSH_BUCKETS_SQL),
     "sim_lsh_topk": QuerySpec("sim_lsh_topk", sim_lsh_topk, _LSH_TOPK_SQL),

@@ -42,6 +42,34 @@ def test_hashed_tfidf_pipeline(spark, sf_dir):
     ]
 
 
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF@nprobe=2 must recover a solid share of the exact top-5 per
+    query (random embeddings are the hard case for IVF — real clustered
+    corpora do far better; the assertion is a floor, not a target)."""
+    from landsat_tair_data_pipeline_spark.operators.similarity import (
+        ext_sim_search,
+        sim_ivf_topk,
+    )
+    from landsat_tair_data_pipeline_spark.session import tune
+
+    tune(spark)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in ext_sim_search(spark, sf_dir).collect()
+        if r["rank"] <= 5
+    }
+    ivf = {
+        (r["query_id"], r["cand_id"]) for r in sim_ivf_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall:.2f}"
+    # and the IVF result must be internally consistent: 5 per query
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in ivf)
+    assert all(n == 5 for n in per_q.values())
+
+
 def test_minhash_lsh_candidates_superset_of_exact(spark, sf_dir):
     """ext_dedup_near's LSH candidates must (with these parameters, on
     this data) recover every exact-jaccard pair above the distance
