@@ -441,6 +441,50 @@ FROM feats
 """.format(feats=_FEATURES_SQL.strip())
 
 
+def agg_domain_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped domain statistics (SURVEY §2.5 note: the reference only
+    aggregates globally; the engine adds the natural grouped variants):
+    per (sensor, acquisition year) brightness-temperature stats over
+    the thermal band."""
+    base = to_brightness_temperature(_valid_scene_base(spark))
+    thermal_idx = F.when(F.size("bands") == 7, 6).otherwise(10)
+    dated = _scene_dates(base)
+    thermal_px = dated.select(
+        F.col("is_landsat_5"),
+        F.col("yr"),
+        F.explode(
+            F.flatten(F.element_at("bt_bands", thermal_idx))
+        ).alias("bt"),
+    )
+    return thermal_px.groupBy("is_landsat_5", "yr").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.min("bt") + 1e-9, 4).alias("min_bt"),
+        F.round(F.max("bt") + 1e-9, 4).alias("max_bt"),
+        F.round(F.avg("bt") + 1e-9, 4).alias("avg_bt"),
+        F.round(F.stddev_pop("bt") + 1e-9, 4).alias("std_bt"),
+    )
+
+
+_DOMAIN_GROUPED_SQL = """
+WITH {meta},
+{radpx},
+{sd},
+tpx AS (
+  SELECT CASE WHEN b.n_bands = 7 THEN 1 ELSE 0 END AS is_landsat_5,
+         d.yr, b.value AS bt
+  FROM btpx b JOIN scene_dates d ON b.scene_id = d.scene_id
+  WHERE (b.n_bands = 7 AND b.band = 6) OR (b.n_bands = 11 AND b.band = 10))
+SELECT is_landsat_5, yr,
+       COUNT(*) AS n_px,
+       ROUND(MIN(bt) + 1e-9, 4) AS min_bt,
+       ROUND(MAX(bt) + 1e-9, 4) AS max_bt,
+       ROUND(AVG(bt) + 1e-9, 4) AS avg_bt,
+       ROUND(STDDEV_POP(bt) + 1e-9, 4) AS std_bt
+FROM tpx
+GROUP BY is_landsat_5, yr
+""".format(meta=_META.strip(), radpx=_RADPX.strip(), sd=_SCENE_DATES.strip())
+
+
 def filt_sentinel_gt(spark: SparkSession, sf: str) -> DataFrame:
     """Sentinel accounting per scene (feature_extractor.py:44-46):
     how many stations resolved a ground truth vs got -9999.0."""
@@ -721,4 +765,7 @@ QUERIES: dict[str, QuerySpec] = {
         "domain_pipeline_summary", domain_pipeline_summary, _SUMMARY_SQL
     ),
     "filt_sentinel_gt": QuerySpec("filt_sentinel_gt", filt_sentinel_gt, _SENTINEL_SQL),
+    "agg_domain_grouped": QuerySpec(
+        "agg_domain_grouped", agg_domain_grouped, _DOMAIN_GROUPED_SQL
+    ),
 }

@@ -485,9 +485,6 @@ def map_flatten(spark: SparkSession, sf: str) -> DataFrame:
     positional probes — flat[b·49 + y·7 + x] must equal the pixel at
     (b, y, x) of the REMAPPED tensor; probes at 0, 170, 342 catch
     any stride error."""
-    from .domain import map_concat_features  # noqa: F401 — shared shape
-
-    from ..functions.features import assemble_features
     from ..functions.radiometry import (
         filter_valid_scenes,
         to_brightness_temperature,
