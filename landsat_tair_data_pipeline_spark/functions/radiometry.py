@@ -44,6 +44,30 @@ def k_constant(map_col: str, which: str) -> Column:
     ).cast("double")
 
 
+def np_div(a: Column, b: Column) -> Column:
+    """numpy division semantics: x/0 → ±inf (sign of x), 0/0 → NaN.
+    Spark 4's ANSI mode raises DIVIDE_BY_ZERO instead (found by the
+    hypothesis property test on a radiance landing exactly on 0);
+    CaseWhen's lazy branches keep the ANSI division from ever seeing a
+    zero divisor."""
+    return (
+        F.when(
+            b == 0,
+            F.when(a > 0, F.lit(float("inf")))
+            .when(a < 0, F.lit(float("-inf")))
+            .otherwise(F.lit(float("nan"))),
+        )
+        .otherwise(a / b)
+    )
+
+
+def thermal_band_index(n_bands: Column, base: int = 0) -> Column:
+    """The sensor→thermal-band mapping, single source of truth
+    (data_processor.py:109/102: L5 band 6, L8/9 band 10). ``base=0``
+    for positional array indexing, ``base=1`` for element_at/band ids."""
+    return F.when(n_bands == 7, F.lit(5 + base)).otherwise(F.lit(9 + base))
+
+
 def filter_valid_scenes(df: DataFrame) -> DataFrame:
     """Drop scenes the reference drops before any math:
     band cardinality ∉ {7, 11} (data_processor.py:76-82) and missing
@@ -70,25 +94,11 @@ def to_brightness_temperature(df: DataFrame, out: str = "bt_bands") -> DataFrame
     map lookups are loop-invariant so Catalyst evaluates them once per
     row, not per pixel.
     """
-    thermal_idx = F.when(F.size("bands") == 7, F.lit(5)).otherwise(F.lit(9))
+    thermal_idx = thermal_band_index(F.size("bands"), base=0)
     k1 = k_constant("thermal", "K1")
     k2 = k_constant("thermal", "K2")
 
-    def _np_div(a: Column, b: Column) -> Column:
-        # numpy division semantics: x/0 → ±inf (sign of x), 0/0 → NaN.
-        # Spark 4's ANSI mode raises DIVIDE_BY_ZERO instead (found by
-        # the hypothesis property test on a radiance that lands exactly
-        # on 0); CaseWhen's lazy branches keep the ANSI division from
-        # ever seeing a zero divisor.
-        return (
-            F.when(
-                b == 0,
-                F.when(a > 0, F.lit(float("inf")))
-                .when(a < 0, F.lit(float("-inf")))
-                .otherwise(F.lit(float("nan"))),
-            )
-            .otherwise(a / b)
-        )
+    _np_div = np_div
 
     def band_expr(grid: Column, i: Column) -> Column:
         ml = coeff("rescaling", "RADIANCE_MULT_BAND_", i + 1)

@@ -445,17 +445,56 @@ def agg_domain_grouped(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped domain statistics (SURVEY §2.5 note: the reference only
     aggregates globally; the engine adds the natural grouped variants):
     per (sensor, acquisition year) brightness-temperature stats over
-    the thermal band."""
-    base = to_brightness_temperature(_valid_scene_base(spark))
-    thermal_idx = F.when(F.size("bands") == 7, 6).otherwise(10)
-    dated = _scene_dates(base)
-    thermal_px = dated.select(
-        F.col("is_landsat_5"),
-        F.col("yr"),
-        F.explode(
-            F.flatten(F.element_at("bt_bands", thermal_idx))
-        ).alias("bt"),
+    the thermal band.
+
+    Sensor classification is SCENE-level (max band count over the
+    scene's patches, Window) — the reference detects the sensor per
+    tensor, not per station row (data_processor.py:15-36), and the
+    oracle's nb CTE is scene-level too. Only the thermal grid is
+    converted (49 px/patch), not all 7-11 bands to_brightness_
+    temperature would process — the rest of this query never reads
+    them."""
+    from ..functions.radiometry import np_div, thermal_band_index
+
+    base = _scene_dates(_valid_scene_base(spark))
+    scene_nb = F.max(F.size("bands")).over(Window.partitionBy("scene_id"))
+    base = base.withColumn("n_bands_scene", scene_nb).where(
+        F.size("bands") == F.col("n_bands_scene")
     )
+    thermal_grid = F.element_at(
+        "bands", thermal_band_index(F.col("n_bands_scene"), base=1)
+    )
+    k1 = F.coalesce(
+        F.element_at("thermal", "K1_CONSTANT_BAND_10"),
+        F.element_at("thermal", "K1_CONSTANT_BAND_6"),
+    ).cast("double")
+    k2 = F.coalesce(
+        F.element_at("thermal", "K2_CONSTANT_BAND_10"),
+        F.element_at("thermal", "K2_CONSTANT_BAND_6"),
+    ).cast("double")
+    band_1b = thermal_band_index(F.col("n_bands_scene"), base=1)
+    ml = F.element_at(
+        "rescaling", F.concat(F.lit("RADIANCE_MULT_BAND_"), band_1b.cast("string"))
+    ).cast("double")
+    al = F.element_at(
+        "rescaling", F.concat(F.lit("RADIANCE_ADD_BAND_"), band_1b.cast("string"))
+    ).cast("double")
+    is_l5 = F.when(F.col("n_bands_scene") == 7, 1).otherwise(0)
+    px = base.select(
+        is_l5.alias("is_landsat_5"),
+        "yr",
+        F.explode(F.flatten(thermal_grid)).alias("dn"),
+        ml.alias("ml"),
+        al.alias("al"),
+        k1.alias("k1"),
+        k2.alias("k2"),
+    )
+    rad = F.col("dn").cast("double") * F.col("ml") + F.col("al")
+    bt = F.when(
+        F.col("is_landsat_5") == 1,
+        np_div(F.col("k2"), F.log(np_div(F.col("k1"), rad) + 1.0)),
+    ).otherwise(np_div(F.col("k2"), np_div(F.col("k1"), rad + 1.0)))
+    thermal_px = px.select("is_landsat_5", "yr", bt.alias("bt"))
     return thermal_px.groupBy("is_landsat_5", "yr").agg(
         F.count(F.lit(1)).alias("n_px"),
         F.round(F.min("bt") + 1e-9, 4).alias("min_bt"),
