@@ -61,6 +61,19 @@ def np_div(a: Column, b: Column) -> Column:
     )
 
 
+def np_ln(arg: Column) -> Column:
+    """numpy natural-log semantics (the reference uses np.log,
+    data_processor.py:113): ln(neg)→NaN, ln(0)→-inf. Spark's log()
+    returns NULL for non-positive arguments, which would silently drop
+    such pixels from downstream aggregates while still counting them —
+    every BT path must use this, never F.log directly."""
+    return (
+        F.when(arg > 0, F.log(arg))
+        .when(arg == 0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan")))
+    )
+
+
 def thermal_band_index(n_bands: Column, base: int = 0) -> Column:
     """The sensor→thermal-band mapping, single source of truth
     (data_processor.py:109/102: L5 band 6, L8/9 band 10). ``base=0``
@@ -71,11 +84,17 @@ def thermal_band_index(n_bands: Column, base: int = 0) -> Column:
 def filter_valid_scenes(df: DataFrame) -> DataFrame:
     """Drop scenes the reference drops before any math:
     band cardinality ∉ {7, 11} (data_processor.py:76-82) and missing
-    metadata sections (KeyError path, data_processor.py:84-89)."""
+    metadata (KeyError path, data_processor.py:84-89;
+    feature_extractor.py:82-96 skips via else-continue). The K-constant
+    probe — not mere section presence — is the reference's predicate: a
+    LEVEL1_THERMAL_CONSTANTS section lacking both BAND_10 and BAND_6
+    constants still raises KeyError there, so it must drop here too
+    (and the DuckDB oracle's meta_k WHERE k1/k2 IS NOT NULL agrees)."""
     return df.where(
         F.size("bands").isin(7, 11)
         & F.col("rescaling").isNotNull()
-        & F.col("thermal").isNotNull()
+        & k_constant("thermal", "K1").isNotNull()
+        & k_constant("thermal", "K2").isNotNull()
     )
 
 
@@ -108,17 +127,8 @@ def to_brightness_temperature(df: DataFrame, out: str = "bt_bands") -> DataFrame
             k2, _np_div(k1, radiance(px) + F.lit(1.0))
         )
 
-        def _ln(arg):
-            # numpy semantics (the reference uses np.log): ln(neg)→NaN,
-            # ln(0)→-inf — Spark's log() would return NULL instead.
-            return (
-                F.when(arg > 0, F.log(arg))
-                .when(arg == 0, F.lit(float("-inf")))
-                .otherwise(F.lit(float("nan")))
-            )
-
         bt_l5 = lambda px: _np_div(  # noqa: E731
-            k2, _ln(_np_div(k1, radiance(px)) + F.lit(1.0))
+            k2, np_ln(_np_div(k1, radiance(px)) + F.lit(1.0))
         )
         return F.when(
             i == thermal_idx,

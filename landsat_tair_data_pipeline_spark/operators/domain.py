@@ -83,17 +83,23 @@ coef AS (
   GROUP BY scene_id, band)
 """.format(fix=FIXTURE_DIR)
 
-# radiance + BT in pixel-long form; valid scenes only (bands ∈ {7,11},
-# both metadata sections present — the reference's drop semantics)
+# radiance + BT in pixel-long form; valid patches only (bands ∈ {7,11},
+# K constants present — the reference's drop semantics). n_bands is
+# PER-PATCH (scene_id, station_id), mirroring the Spark side's
+# size("bands") / filter_valid_scenes row predicate: every patch is a
+# slice of one scene tensor, so the counts agree scene-wide in real
+# data, but a synthetic ragged patch must be judged by its own count
+# on both sides.
 _RADPX = """
 px AS (SELECT * FROM '{fix}/scene_pixels.parquet'),
-nb AS (SELECT scene_id, MAX(band) AS n_bands FROM px GROUP BY scene_id),
+nb AS (SELECT scene_id, station_id, MAX(band) AS n_bands
+       FROM px GROUP BY scene_id, station_id),
 radpx AS (
   SELECT p.scene_id, p.station_id, p.band, p.y, p.x, nb.n_bands,
          p.dn * c.ml + c.al AS rad, mk.k1, mk.k2
   FROM px p
   JOIN coef c ON p.scene_id = c.scene_id AND p.band = c.band
-  JOIN nb ON p.scene_id = nb.scene_id
+  JOIN nb ON p.scene_id = nb.scene_id AND p.station_id = nb.station_id
   JOIN meta_k mk ON p.scene_id = mk.scene_id
   WHERE nb.n_bands IN (7, 11) AND mk.k1 IS NOT NULL AND mk.k2 IS NOT NULL),
 btpx AS (
@@ -375,16 +381,16 @@ WITH {meta},
 {radpx},
 {sd},
 {gt1},
-valid AS (SELECT DISTINCT scene_id, n_bands FROM btpx),
+valid AS (SELECT DISTINCT scene_id, station_id, n_bands FROM btpx),
 f0 AS (
   SELECT scene_id, station_id, value AS f_img0
   FROM btpx WHERE y = 0 AND x = 0
     AND band = CASE WHEN n_bands = 7 THEN 1 ELSE 2 END),
 c0 AS (
-  SELECT c.scene_id, c.ml AS f_coeff0
+  SELECT v.scene_id, v.station_id, c.ml AS f_coeff0
   FROM coef c JOIN valid v ON c.scene_id = v.scene_id
   WHERE c.band = CASE WHEN v.n_bands = 7 THEN 1 ELSE 2 END)
-SELECT v.scene_id, s.station_id,
+SELECT v.scene_id, v.station_id,
        CAST(365 AS INT) AS n_features,
        ROUND(f0.f_img0 + 1e-9, 6) AS f_img0,
        ROUND(c0.f_coeff0 + 1e-9, 6) AS f_coeff0,
@@ -395,14 +401,13 @@ SELECT v.scene_id, s.station_id,
        CAST(dt.yr AS DOUBLE) AS f_year,
        g.air_temp
 FROM valid v
-JOIN (SELECT DISTINCT scene_id, station_id FROM btpx) s ON v.scene_id = s.scene_id
 JOIN scene_dates dt ON v.scene_id = dt.scene_id
 JOIN gt1 g ON dt.yr = g.yr AND dt.mo = g.mo AND dt.dy = g.dy
-          AND s.station_id = g.station_id
-JOIN read_csv('{fix}/stations.csv') d ON s.station_id = d.id
+          AND v.station_id = g.station_id
+JOIN read_csv('{fix}/stations.csv') d ON v.station_id = d.id
 JOIN meta_k mk ON v.scene_id = mk.scene_id
-JOIN f0 ON s.scene_id = f0.scene_id AND s.station_id = f0.station_id
-JOIN c0 ON v.scene_id = c0.scene_id
+JOIN f0 ON v.scene_id = f0.scene_id AND v.station_id = f0.station_id
+JOIN c0 ON v.scene_id = c0.scene_id AND v.station_id = c0.station_id
 """.format(
     meta=_META.strip(),
     radpx=_RADPX.strip(),
@@ -447,23 +452,23 @@ def agg_domain_grouped(spark: SparkSession, sf: str) -> DataFrame:
     per (sensor, acquisition year) brightness-temperature stats over
     the thermal band.
 
-    Sensor classification is SCENE-level (max band count over the
-    scene's patches, Window) — the reference detects the sensor per
-    tensor, not per station row (data_processor.py:15-36), and the
-    oracle's nb CTE is scene-level too. Only the thermal grid is
-    converted (49 px/patch), not all 7-11 bands to_brightness_
-    temperature would process — the rest of this query never reads
-    them."""
-    from ..functions.radiometry import np_div, thermal_band_index
+    Sensor classification is PER-PATCH band count — identical to the
+    reference, which detects the sensor per tensor
+    (data_processor.py:15-36): every patch row here is a slice of one
+    scene tensor, so all patches of a scene share a band count in any
+    ingested data, and per-patch size() needs no Window shuffle. The
+    oracle's nb CTE computes the same per-patch count from the
+    pixel-long table. Only the thermal grid is converted (49 px/patch),
+    not all 7-11 bands to_brightness_temperature would process — the
+    rest of this query never reads them. BT uses np_ln / np_div (numpy
+    semantics): plain F.log returns NULL on non-positive radiance,
+    silently excluding such pixels from min/max/avg/stddev while n_px
+    still counts them."""
+    from ..functions.radiometry import np_div, np_ln, thermal_band_index
 
     base = _scene_dates(_valid_scene_base(spark))
-    scene_nb = F.max(F.size("bands")).over(Window.partitionBy("scene_id"))
-    base = base.withColumn("n_bands_scene", scene_nb).where(
-        F.size("bands") == F.col("n_bands_scene")
-    )
-    thermal_grid = F.element_at(
-        "bands", thermal_band_index(F.col("n_bands_scene"), base=1)
-    )
+    n_bands = F.size("bands")
+    thermal_grid = F.element_at("bands", thermal_band_index(n_bands, base=1))
     k1 = F.coalesce(
         F.element_at("thermal", "K1_CONSTANT_BAND_10"),
         F.element_at("thermal", "K1_CONSTANT_BAND_6"),
@@ -472,14 +477,14 @@ def agg_domain_grouped(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at("thermal", "K2_CONSTANT_BAND_10"),
         F.element_at("thermal", "K2_CONSTANT_BAND_6"),
     ).cast("double")
-    band_1b = thermal_band_index(F.col("n_bands_scene"), base=1)
+    band_1b = thermal_band_index(n_bands, base=1)
     ml = F.element_at(
         "rescaling", F.concat(F.lit("RADIANCE_MULT_BAND_"), band_1b.cast("string"))
     ).cast("double")
     al = F.element_at(
         "rescaling", F.concat(F.lit("RADIANCE_ADD_BAND_"), band_1b.cast("string"))
     ).cast("double")
-    is_l5 = F.when(F.col("n_bands_scene") == 7, 1).otherwise(0)
+    is_l5 = F.when(n_bands == 7, 1).otherwise(0)
     px = base.select(
         is_l5.alias("is_landsat_5"),
         "yr",
@@ -492,7 +497,7 @@ def agg_domain_grouped(spark: SparkSession, sf: str) -> DataFrame:
     rad = F.col("dn").cast("double") * F.col("ml") + F.col("al")
     bt = F.when(
         F.col("is_landsat_5") == 1,
-        np_div(F.col("k2"), F.log(np_div(F.col("k1"), rad) + 1.0)),
+        np_div(F.col("k2"), np_ln(np_div(F.col("k1"), rad) + 1.0)),
     ).otherwise(np_div(F.col("k2"), np_div(F.col("k1"), rad + 1.0)))
     thermal_px = px.select("is_landsat_5", "yr", bt.alias("bt"))
     return thermal_px.groupBy("is_landsat_5", "yr").agg(

@@ -465,8 +465,16 @@ FROM mapped m JOIN coef c ON m.scene_id = c.scene_id AND m.band = c.band
 
 def map_k_coeffs(spark: SparkSession, sf: str) -> DataFrame:
     """[K2, K1] — K2 first, BAND_10 probed before BAND_6
-    (feature_extractor.py:82-95)."""
-    meta = landsat.scene_metadata(spark).where(F.col("thermal").isNotNull())
+    (feature_extractor.py:82-95). The row predicate is the K-constant
+    probe itself, not thermal-section presence: a
+    LEVEL1_THERMAL_CONSTANTS section lacking both BAND_10 and BAND_6
+    keys raises KeyError in the reference (skipped via else-continue,
+    feature_extractor.py:82-96) and must drop here and in the oracle
+    identically."""
+    meta = landsat.scene_metadata(spark).where(
+        k_constant("thermal", "K1").isNotNull()
+        & k_constant("thermal", "K2").isNotNull()
+    )
     return meta.select(
         "scene_id",
         k_constant("thermal", "K2").alias("k2"),
@@ -476,7 +484,8 @@ def map_k_coeffs(spark: SparkSession, sf: str) -> DataFrame:
 
 _K_COEFFS_SQL = """
 WITH {meta}
-SELECT scene_id, k2, k1 FROM meta_k WHERE k1 IS NOT NULL
+SELECT scene_id, k2, k1 FROM meta_k
+WHERE k1 IS NOT NULL AND k2 IS NOT NULL
 """.format(meta=_META.strip())
 
 

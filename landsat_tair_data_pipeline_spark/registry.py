@@ -58,18 +58,24 @@ def all_queries() -> dict[str, QuerySpec]:
     )
     from .streaming import windows as streaming_windows
 
+    # Merge order is LOAD-BEARING: the driver's correctness gate records
+    # only the first 50 registry entries in this insertion order. Round 1
+    # verified relational/events/dedup/similarity-head; round 2 fronts the
+    # never-verified surfaces (domain, mapping, text, streaming = exactly
+    # 50 oracled keys). Round 3 should front multimodal/augment/similarity
+    # to pick up the remaining 14 unverified keys.
     merged: dict[str, QuerySpec] = {}
     for mod in (
-        relational,
-        events,
-        dedup,
-        similarity,
-        text,
-        multimodal,
-        streaming_windows,
         domain,
-        augment,
         mapping,
+        text,
+        streaming_windows,
+        multimodal,
+        augment,
+        similarity,
+        dedup,
+        events,
+        relational,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:
