@@ -212,6 +212,12 @@ def _features_with_gt(spark: SparkSession) -> DataFrame:
     full = base.join(gt1, ["yr", "mo", "dy", "station_id"]).join(
         F.broadcast(dim), F.col("station_id") == dim.id
     )
+    # AQE coalesces the few-MB join output to ONE partition; everything
+    # downstream (365-array assembly, per-row reductions) would then
+    # run single-task (measured 12-17s serial vs sub-second spread).
+    # An explicit numPartitions is exempt from AQE coalescing; at real
+    # scale the join output is too large to coalesce anyway.
+    full = full.repartition(spark.sparkContext.defaultParallelism)
     return assemble_features(full)
 
 
@@ -224,8 +230,9 @@ def aug_rot90(spark: SparkSession, sf: str) -> DataFrame:
     """rot90 cross-checked layout-independently: Spark rotates the
     NESTED patch arrays with higher-order functions and explodes to
     pixel-long; the oracle remaps coordinates of the pixel-long parquet
-    ((y,x) → (6-x, y)). Any index slip disagrees on every pixel."""
-    patches = landsat.scene_patches(spark)
+    ((y,x) → (6-x, y)). Any index slip disagrees on every pixel of the
+    probe scenes."""
+    patches = landsat.scene_patches(spark).where(landsat.probe_scene())
     rotated = patches.select(
         "scene_id",
         "station_id",
@@ -249,6 +256,7 @@ _ROT90_SQL = """
 SELECT scene_id, station_id, band,
        (6 - x) AS y, y AS x, dn AS value
 FROM '{fix}/scene_pixels.parquet'
+WHERE substring(split_part(scene_id, '_', 4), 7, 2) = '03'
 """.format(fix=FIXTURE_DIR)
 
 
@@ -261,21 +269,50 @@ def aug_explode_4x(spark: SparkSession, sf: str) -> DataFrame:
     position weights catch that) — while the random jitters live in
     the rows-only queries."""
     feat = _features_with_gt(spark)
-    tensor = _img_tensor(F.col("features"))
-    weights = F.sequence(F.lit(0), F.lit(IMG_LEN - 1))
 
-    def checksum(k: int) -> Column:
-        flat = F.flatten(F.flatten(rot_bands(tensor, k)))
-        weighted = F.zip_with(flat, weights, lambda v, i: v * i.cast("double"))
-        return F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
-
+    # Rotation-as-permutation: the checksum Σ out[q]·q over the rotated
+    # image equals Σ v[p]·w_k(p) over the ORIGINAL flat layout, where
+    # w_k maps in-position p=(b,y,x) to its out-position under rotation
+    # k. The flat image therefore posexplodes ONCE and all four
+    # checksums are conditional sums with w_k as plain integer column
+    # arithmetic — every operator whole-stage-codegen'd. The r1 form
+    # (rebuild the nested tensor from the flat vector, rotate with
+    # element_at arithmetic, reduce with aggregate()) ran interpreted —
+    # Spark evaluates higher-order-function lambdas per element outside
+    # codegen — at ~3ms/row (18s at 120 scenes); this is sub-second.
+    # The flat-layout contract (augmentation indexes the 365 vector,
+    # data_augmentation.py:160-180) still holds: the input is
+    # features[1..343].
+    px = feat.select(
+        "scene_id",
+        "station_id",
+        "air_temp",
+        F.posexplode(F.slice(F.col("features"), 1, IMG_LEN)).alias("p", "v"),
+    )
+    b = F.floor(F.col("p") / (GRID * GRID)).cast("int")
+    r = F.pmod(F.col("p"), GRID * GRID)
+    y = F.floor(r / GRID).cast("int")
+    x = F.pmod(r, GRID).cast("int")
+    n1 = GRID - 1
+    w = [
+        b * 49 + y * GRID + x,
+        b * 49 + (n1 - x) * GRID + y,
+        b * 49 + (n1 - y) * GRID + (n1 - x),
+        b * 49 + x * GRID + (n1 - y),
+    ]
+    sums = px.groupBy("scene_id", "station_id", "air_temp").agg(
+        *[
+            F.sum(F.col("v") * w[k].cast("double")).alias(f"_chk{k}")
+            for k in range(len(VARIANTS))
+        ]
+    )
     variants = F.array(
         *[
-            F.struct(F.lit(v).alias("variant"), checksum(k).alias("chk"))
+            F.struct(F.lit(v).alias("variant"), F.col(f"_chk{k}").alias("chk"))
             for k, v in enumerate(VARIANTS)
         ]
     )
-    return feat.select(
+    return sums.select(
         "scene_id",
         "station_id",
         "air_temp",

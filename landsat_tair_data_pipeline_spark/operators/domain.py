@@ -156,8 +156,19 @@ def _gt_first_match(spark: SparkSession) -> DataFrame:
 
 
 def _valid_scene_base(spark: SparkSession) -> DataFrame:
-    """patches ⋈ metadata, reference drop semantics applied."""
-    patches = landsat.scene_patches(spark)
+    """patches ⋈ metadata, reference drop semantics applied.
+
+    The patches fixture is a single small parquet file → one input
+    split; since the metadata join is broadcast, EVERYTHING downstream
+    (BT conversion, feature assembly) would fuse into that one scan
+    task and run on a single core (measured 12-17s serial for the
+    feature queries vs ~1s spread). The explicit repartition is
+    bench-scale insurance only — a real corpus spans many splits and
+    this shuffle of a few MB is noise; AQE never coalesces an explicit
+    numPartitions."""
+    patches = landsat.scene_patches(spark).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     meta = landsat.scene_metadata(spark)
     return with_sensor_flag(
         filter_valid_scenes(patches.join(F.broadcast(meta), "scene_id"))
@@ -305,8 +316,12 @@ def map_bt_pixels(spark: SparkSession, sf: str) -> DataFrame:
     """The radiometric core, cross-checked two ways: Spark computes
     DN→radiance→BT on the NESTED band arrays (higher-order functions),
     the oracle computes the same from the pixel-long parquet with plain
-    column math — layout-independent agreement on every pixel."""
-    base = to_brightness_temperature(_valid_scene_base(spark))
+    column math — layout-independent agreement on every pixel of the
+    PROBE scenes (landsat.probe_scene — both sensor families; the
+    full-corpus aggregates cover the rest)."""
+    base = to_brightness_temperature(
+        _valid_scene_base(spark).where(landsat.probe_scene())
+    )
     exploded = (
         base.select(
             "scene_id",
@@ -342,8 +357,8 @@ _BT_PIXELS_SQL = """
 WITH {meta},
 {radpx}
 SELECT scene_id, station_id, band, y, x, ROUND(value + 1e-9, 6) AS value
-FROM btpx
-""".format(meta=_META.strip(), radpx=_RADPX.strip())
+FROM btpx WHERE {probe}
+""".format(meta=_META.strip(), radpx=_RADPX.strip(), probe=landsat.PROBE_SQL)
 
 
 def map_concat_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -359,6 +374,10 @@ def map_concat_features(spark: SparkSession, sf: str) -> DataFrame:
         base.join(gt1, ["yr", "mo", "dy", "station_id"])  # sentinel rows drop
         .join(F.broadcast(dim), F.col("station_id") == dim.id)
     )
+    # spread before the wide per-row projection — AQE would coalesce
+    # this few-MB join output to one partition and serialize the
+    # 365-array assembly (see _features_with_gt in augment.py)
+    full = full.repartition(spark.sparkContext.defaultParallelism)
     feat = assemble_features(full)
     f = F.col("features")
     return feat.select(
@@ -747,12 +766,18 @@ FROM read_text('{fix}/metadatas/*.json')
 def sink_csv_stations(spark: SparkSession, sf: str) -> DataFrame:
     """Write-iff-absent stations CSV sink (main.py:116-119:
     ``if not os.path.exists``) → ``mode('ignore')``, then read back.
-    Round-trips the dimension through the CSV codec; idempotent across
-    runs by construction."""
+    Round-trips the dimension through the CSV codec. The output dir is
+    content-addressed by the source file's digest: a re-run with the
+    same dim hits the ignore path (the reference's os.path.exists
+    semantics), while regenerated fixtures get a fresh dir instead of
+    silently reading back a stale write."""
+    import hashlib
     import os as _os
 
+    with open(f"{FIXTURE_DIR}/stations.csv", "rb") as fh:
+        tag = hashlib.md5(fh.read()).hexdigest()[:12]
     out_dir = _os.path.join(
-        _os.path.dirname(FIXTURE_DIR), ".scratch", "stations_csv"
+        _os.path.dirname(FIXTURE_DIR), ".scratch", f"stations_csv_{tag}"
     )
     dim = landsat.stations_dim(spark)
     dim.coalesce(1).write.mode("ignore").option("header", True).csv(out_dir)

@@ -41,9 +41,14 @@ def src_pt_tensor(spark: SparkSession, sf: str) -> DataFrame:
     mapInPandas decode → pixel-long rows. The oracle is the pixel
     parquet the blobs were derived from — full value parity for the
     binary path. The torch decoder swaps in via the same injection
-    point when the executor image ships it."""
+    point when the executor image ships it. Restricted to probe scenes
+    at the MANIFEST level — excluded blobs are never read, the binary
+    analogue of parquet predicate pushdown."""
     decoded = landsat.ingest_pt_tensors(
-        spark, f"{FIXTURE_DIR}/pt_blobs", decoder=_blob_decoder
+        spark,
+        f"{FIXTURE_DIR}/pt_blobs",
+        decoder=_blob_decoder,
+        scene_predicate=landsat.probe_scene(),
     )
     return (
         decoded.select(
@@ -74,6 +79,7 @@ WITH stxt AS (
 SELECT p.scene_id, s.station_pos, p.band, p.y, p.x, p.dn
 FROM '{fix}/scene_pixels.parquet' p
 JOIN stxt s ON p.scene_id = s.scene_id AND p.station_id = s.station_id
+WHERE substring(split_part(p.scene_id, '_', 4), 7, 2) = '03'
 """.format(fix=FIXTURE_DIR)
 
 
@@ -252,8 +258,9 @@ FROM n
 
 
 def map_cast_double(spark: SparkSession, sf: str) -> DataFrame:
-    """int32 DN → float64 (data_processor.py:92), checked per pixel."""
-    px = landsat.scene_pixels(spark)
+    """int32 DN → float64 (data_processor.py:92), checked per pixel of
+    the probe scenes."""
+    px = landsat.scene_pixels(spark).where(landsat.probe_scene())
     return px.select(
         "scene_id", "station_id", "band", "y", "x",
         F.col("dn").cast("double").alias("dn_f64"),
@@ -262,8 +269,8 @@ def map_cast_double(spark: SparkSession, sf: str) -> DataFrame:
 
 _CAST_SQL = """
 SELECT scene_id, station_id, band, y, x, CAST(dn AS DOUBLE) AS dn_f64
-FROM '{fix}/scene_pixels.parquet'
-""".format(fix=FIXTURE_DIR)
+FROM '{fix}/scene_pixels.parquet' WHERE {probe}
+""".format(fix=FIXTURE_DIR, probe=landsat.PROBE_SQL)
 
 
 def map_str_to_float(spark: SparkSession, sf: str) -> DataFrame:
@@ -296,7 +303,7 @@ def _radiance_pixels(spark: SparkSession) -> DataFrame:
     NESTED arrays then exploded (layout-independent vs the oracle)."""
     from ..functions.radiometry import filter_valid_scenes
 
-    patches = landsat.scene_patches(spark)
+    patches = landsat.scene_patches(spark).where(landsat.probe_scene())
     meta = landsat.scene_metadata(spark)
     base = filter_valid_scenes(patches.join(F.broadcast(meta), "scene_id"))
 
@@ -338,8 +345,8 @@ WITH {meta},
 {radpx}
 SELECT scene_id, station_id, band, y, x,
        ROUND(rad + 1e-9, 6) AS radiance
-FROM radpx
-""".format(meta=_META.strip(), radpx=_RADPX.strip())
+FROM radpx WHERE {probe}
+""".format(meta=_META.strip(), radpx=_RADPX.strip(), probe=landsat.PROBE_SQL)
 
 
 def map_bt_l5(spark: SparkSession, sf: str) -> DataFrame:
@@ -362,8 +369,8 @@ _BT_L5_SQL = """
 WITH {meta},
 {radpx}
 SELECT scene_id, station_id, band, y, x, ROUND(value + 1e-9, 6) AS value
-FROM btpx WHERE n_bands = 7 AND band = 6
-""".format(meta=_META.strip(), radpx=_RADPX.strip())
+FROM btpx WHERE n_bands = 7 AND band = 6 AND {probe}
+""".format(meta=_META.strip(), radpx=_RADPX.strip(), probe=landsat.PROBE_SQL)
 
 
 def map_bt_l89(spark: SparkSession, sf: str) -> DataFrame:
@@ -385,8 +392,8 @@ _BT_L89_SQL = """
 WITH {meta},
 {radpx}
 SELECT scene_id, station_id, band, y, x, ROUND(value + 1e-9, 6) AS value
-FROM btpx WHERE n_bands = 11 AND band = 10
-""".format(meta=_META.strip(), radpx=_RADPX.strip())
+FROM btpx WHERE n_bands = 11 AND band = 10 AND {probe}
+""".format(meta=_META.strip(), radpx=_RADPX.strip(), probe=landsat.PROBE_SQL)
 
 
 def map_band_remap_l8(spark: SparkSession, sf: str) -> DataFrame:

@@ -1,13 +1,40 @@
 #!/usr/bin/env python
 """Generate the deterministic domain fixtures (FIXTURES.md §A).
 
-The reference's inputs, synthesized small and seed-fixed:
+The reference's inputs, synthesized at reference-realistic cardinality
+and seed-fixed. The reference ships 1,298 scenes with 23-93 stations
+each and a 170-station dimension (BASELINE.md; config.py:34-205);
+these fixtures model that shape at ~1/10 scene count so correctness
+holds at a cardinality where plan bugs (skewed stations per scene,
+wide GT join) would actually show:
 
+- 8 TRAP scenes (unchanged from round 1): L5 + L8/9 happy paths, a
+  5-band malformed scene (filt_band_cardinality), metadata missing
+  LEVEL1_THERMAL_CONSTANTS (filt_metadata_keys), a scene with no
+  metadata file (join_scene_assets drop), a station id absent from
+  the dim (join_station_dim inner drop), GT rows missing for some
+  (date, station) (sentinel -9999.0) and duplicated for others
+  (first-match wins). Trap scenes keep small station lists so the
+  hand-checkable probes in the unit tests stay hand-checkable.
+- 112 GENERATED scenes: station counts uniform in [23, 93] drawn from
+  the 170-station dim, mixed L5/L8/L9, dates spread 2009-2023.
+
+PROBE SCENES: the per-pixel parity queries (map_bt_pixels,
+map_cast_double, map_dn_to_radiance, aug_rot90, src_pt_tensor, ...)
+restrict their OUTPUT to scenes whose acquisition day-of-month is
+"03" — a predicate computable from the scene_id string identically in
+Spark and DuckDB — so oracle compares stay bounded while the
+full-corpus aggregates (agg_domain_grouped, domain_pipeline_summary)
+still verify every pixel. The generator guarantees day-03 scenes in
+BOTH sensor families (incl. the two trap 0603 scenes).
+
+Outputs:
 - fixtures/ground_truths.csv      — GT table (utc_date, station_id,
   air_temp, gt_id). gt_id makes the reference's implicit CSV file
   order explicit so first-match dedup is deterministic in a
   distributed read (data_loader.py:70 takes iloc[0] in file order).
-- fixtures/stations.csv           — IMS_STATIONS mirror (config.py:34-205).
+- fixtures/stations.csv           — 170-row IMS_STATIONS mirror
+  (config.py:34-205); id 99 deliberately absent (inner-join trap).
 - fixtures/scene_stations/*.txt   — raw `[1, 2, 3]` station files
   (data_loader.py:15-28 format).
 - fixtures/metadatas/*_MTL_metadata.json — nested, all-string-valued
@@ -16,14 +43,6 @@ The reference's inputs, synthesized small and seed-fixed:
   per (scene_id, station_pos, station_id), bands array<array<array<int>>>.
 - fixtures/scene_pixels.parquet   — fully-long pixel form (the 100 TB
   layout, SURVEY §1.7): scene_id, station_id, band, y, x, dn.
-
-Trap coverage: L5 (7-band) + L8/9 (11-band) scenes, a 5-band malformed
-scene (filt_band_cardinality), a scene with metadata missing
-LEVEL1_THERMAL_CONSTANTS (filt_metadata_keys), a scene with no
-metadata file at all (join_scene_assets drop), a station id absent
-from the dim (join_station_dim inner drop), GT rows missing for some
-(date, station) (sentinel -9999.0) and duplicated for others
-(first-match wins).
 """
 
 from __future__ import annotations
@@ -38,7 +57,7 @@ import pyarrow.parquet as pq
 
 ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
 
-SCENES = [
+TRAP_SCENES = [
     # (scene_id, n_bands, has_metadata, has_thermal)
     ("LT05_L1TP_174038_20100715_20200823_02_T1", 7, True, True),
     ("LT05_L1TP_175038_20101007_20200823_02_T1", 7, True, True),
@@ -50,13 +69,42 @@ SCENES = [
     ("LC08_L1TP_178041_20160101_20200901_02_T1", 11, False, True),  # no metadata
 ]
 
-STATION_IDS = [2, 6, 8, 10, 13, 16, 21, 28, 29, 30, 41, 42]
-MISSING_FROM_DIM = 99  # appears in scenes, absent from stations.csv
+TRAP_STATION_IDS = [2, 6, 8, 10, 13, 16, 21, 28, 29, 30, 41, 42]
+MISSING_FROM_DIM = 99  # appears in scene lists, absent from stations.csv
+
+N_GEN_SCENES = 112
+STATIONS_PER_SCENE = (23, 93)  # reference: 23-93 (BASELINE.md)
+N_DIM_STATIONS = 170  # reference: 170 (config.py:34-205)
 
 
 def scene_date(scene_id: str) -> str:
     tok = scene_id.split("_")[3]
     return f"{tok[:4]}-{tok[4:6]}-{tok[6:8]}"
+
+
+def generated_scenes(rng: random.Random) -> list[tuple[str, int, bool, bool]]:
+    """112 bulk scenes. Deterministic ids; ~1/14 get acquisition day
+    03 (the probe-scene predicate), guaranteed in both sensor
+    families; a handful repeat (path, row, date) neighbors to create
+    same-date GT reuse."""
+    scenes = []
+    sensors = [("LT05", 7), ("LC08", 11), ("LC09", 11)]
+    for i in range(N_GEN_SCENES):
+        prefix, n_bands = sensors[i % 3]
+        path = 170 + (i % 12)
+        row = 30 + (i * 7) % 16
+        year = 2009 + (i * 5) % 15
+        if prefix == "LT05":
+            year = min(year, 2011)  # L5 decommissioned era, keep plausible
+        month = 1 + (i * 3) % 12
+        day = 3 if i % 14 == 0 else 1 + (i * 11) % 28
+        proc_year = min(year + 1, 2023)
+        scene_id = (
+            f"{prefix}_L1TP_{path:03d}{row:03d}_{year:04d}{month:02d}{day:02d}"
+            f"_{proc_year:04d}0101_02_T1"
+        )
+        scenes.append((scene_id, n_bands, True, True))
+    return scenes
 
 
 def main() -> None:
@@ -65,46 +113,89 @@ def main() -> None:
     os.makedirs(ROOT, exist_ok=True)
     os.makedirs(f"{ROOT}/scene_stations", exist_ok=True)
     os.makedirs(f"{ROOT}/metadatas", exist_ok=True)
+    for d in ("scene_stations", "metadatas"):
+        for f in os.listdir(f"{ROOT}/{d}"):
+            os.remove(f"{ROOT}/{d}/{f}")
 
-    # stations dim (easting/northing kept as strings, per config.py)
+    # 170-station dim; id 99 is skipped (the inner-join-drop trap) but
+    # every TRAP_STATION_IDS member is present
+    dim_ids = [i for i in range(2, 2 + N_DIM_STATIONS + 1) if i != MISSING_FROM_DIM]
+    dim_ids = dim_ids[:N_DIM_STATIONS]
+    assert set(TRAP_STATION_IDS) <= set(dim_ids)
     with open(f"{ROOT}/stations.csv", "w") as f:
         f.write("id,name,longitude,latitude,easting,northing\n")
-        for sid in STATION_IDS:
+        for sid in dim_ids:
             lon = round(34.0 + rng.random() * 2.0, 5)
             lat = round(29.5 + rng.random() * 3.5, 5)
             f.write(f"{sid},STATION_{sid},{lon},{lat},{600000 + sid * 13},{3300000 + sid * 17}\n")
 
+    scenes = TRAP_SCENES + generated_scenes(rng)
+
     # per-scene station lists (reference text format), patches, pixels
     patch_rows: list[dict] = []
-    pixel_cols: dict[str, list] = {k: [] for k in ("scene_id", "station_id", "band", "y", "x", "dn")}
+    px_scene: list[str] = []
+    px_station: list[np.ndarray] = []
+    px_band: list[np.ndarray] = []
+    px_y: list[np.ndarray] = []
+    px_x: list[np.ndarray] = []
+    px_dn: list[np.ndarray] = []
     scene_station_map: dict[str, list[int]] = {}
-    for scene_id, n_bands, _, _ in SCENES:
-        k = rng.randint(6, 9)
-        stations = sorted(rng.sample(STATION_IDS, k))
+    for idx, (scene_id, n_bands, _, _) in enumerate(scenes):
+        if idx < len(TRAP_SCENES):
+            k = rng.randint(6, 9)
+            stations = sorted(rng.sample(TRAP_STATION_IDS, k))
+        else:
+            k = rng.randint(*STATIONS_PER_SCENE)
+            stations = sorted(rng.sample(dim_ids, k))
         if rng.random() < 0.5:
             stations.append(MISSING_FROM_DIM)
         scene_station_map[scene_id] = stations
         with open(f"{ROOT}/scene_stations/{scene_id}_stations.txt", "w") as f:
             f.write("[" + ", ".join(str(s) for s in stations) + "]")
+        n_st = len(stations)
+        dn = nprng.randint(1, 255, size=(n_st, n_bands, 7, 7)).astype(np.int32)
         for pos, sid in enumerate(stations):
-            dn = nprng.randint(1, 255, size=(n_bands, 7, 7)).astype(np.int32)
             patch_rows.append(
                 {
                     "scene_id": scene_id,
                     "station_pos": pos,
                     "station_id": sid,
-                    "bands": dn.tolist(),
+                    "bands": dn[pos].tolist(),
                 }
             )
-            for b in range(n_bands):
-                for y in range(7):
-                    for x in range(7):
-                        pixel_cols["scene_id"].append(scene_id)
-                        pixel_cols["station_id"].append(sid)
-                        pixel_cols["band"].append(b + 1)  # 1-based band number
-                        pixel_cols["y"].append(y)
-                        pixel_cols["x"].append(x)
-                        pixel_cols["dn"].append(int(dn[b, y, x]))
+        # vectorized pixel-long form: (station, band, y, x) row order
+        n_px = n_st * n_bands * 49
+        px_scene.append(scene_id)  # one entry; expanded at assembly
+        px_station.append(np.repeat(np.array(stations, dtype=np.int32), n_bands * 49))
+        px_band.append(np.tile(np.repeat(np.arange(1, n_bands + 1, dtype=np.int32), 49), n_st))
+        px_y.append(np.tile(np.repeat(np.arange(7, dtype=np.int32), 7), n_st * n_bands))
+        px_x.append(np.tile(np.arange(7, dtype=np.int32), n_st * n_bands * 7))
+        px_dn.append(dn.reshape(-1))
+        assert px_station[-1].size == n_px
+
+    scene_col = pa.chunked_array(
+        [
+            pa.array(
+                np.repeat(np.arange(len(px_scene)), [a.size for a in px_station])
+            ).cast(pa.int32())
+        ]
+    )
+    scene_dict = pa.DictionaryArray.from_arrays(
+        scene_col.combine_chunks(), pa.array(px_scene, pa.string())
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "scene_id": scene_dict.cast(pa.string()),
+                "station_id": pa.array(np.concatenate(px_station), pa.int32()),
+                "band": pa.array(np.concatenate(px_band), pa.int32()),
+                "y": pa.array(np.concatenate(px_y), pa.int32()),
+                "x": pa.array(np.concatenate(px_x), pa.int32()),
+                "dn": pa.array(np.concatenate(px_dn), pa.int32()),
+            }
+        ),
+        f"{ROOT}/scene_pixels.parquet",
+    )
 
     patch_schema = pa.schema(
         [
@@ -118,22 +209,9 @@ def main() -> None:
         pa.Table.from_pylist(patch_rows, schema=patch_schema),
         f"{ROOT}/scene_patches.parquet",
     )
-    pq.write_table(
-        pa.table(
-            {
-                "scene_id": pa.array(pixel_cols["scene_id"], pa.string()),
-                "station_id": pa.array(pixel_cols["station_id"], pa.int32()),
-                "band": pa.array(pixel_cols["band"], pa.int32()),
-                "y": pa.array(pixel_cols["y"], pa.int32()),
-                "x": pa.array(pixel_cols["x"], pa.int32()),
-                "dn": pa.array(pixel_cols["dn"], pa.int32()),
-            }
-        ),
-        f"{ROOT}/scene_pixels.parquet",
-    )
 
     # metadata JSONs — every leaf a string, E-notation like the real files
-    for scene_id, n_bands, has_meta, has_thermal in SCENES:
+    for scene_id, n_bands, has_meta, has_thermal in scenes:
         if not has_meta:
             continue
         rescale = {}
@@ -169,11 +247,15 @@ def main() -> None:
     # ground truths: rows for most (scene_date, station); ~15% missing
     # (sentinel path), ~10% duplicated (first-match path)
     gt_id = 0
+    seen: set[tuple[str, int]] = set()
     with open(f"{ROOT}/ground_truths.csv", "w") as f:
         f.write("utc_date,station_id,air_temp,gt_id\n")
-        for scene_id, *_ in SCENES:
+        for scene_id, *_ in scenes:
             d = scene_date(scene_id)
             for sid in scene_station_map[scene_id]:
+                if (d, sid) in seen:
+                    continue  # same-date scenes share one GT row
+                seen.add((d, sid))
                 r = rng.random()
                 if r < 0.15:
                     continue  # missing → -9999.0 sentinel downstream
@@ -184,8 +266,13 @@ def main() -> None:
                     f.write(f"{d} 08:30:00,{sid},{round(temp + 5.0, 2)},{gt_id}\n")
                     gt_id += 1
 
+    n_probe = sum(1 for s, *_ in scenes if s.split("_")[3][6:8] == "03")
+    n_px_total = sum(a.size for a in px_station)
     print(f"fixtures written to {ROOT}")
-    print(f"  scenes={len(SCENES)} patch_rows={len(patch_rows)} pixels={len(pixel_cols['dn'])} gt_rows={gt_id}")
+    print(
+        f"  scenes={len(scenes)} (probe day-03: {n_probe}) "
+        f"patch_rows={len(patch_rows)} pixels={n_px_total} gt_rows={gt_id}"
+    )
 
 
 if __name__ == "__main__":
