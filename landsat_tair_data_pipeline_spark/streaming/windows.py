@@ -223,8 +223,14 @@ _DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 def stream_stateful_user_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful operator: per-user running totals via
     applyInPandasWithState (Arrow-batched, fixed-width state per key).
-    Update mode through foreachBatch, last update per key wins — equal
-    to the batch aggregate once the finite source drains."""
+
+    Update-mode drain goes to the memory SINK TABLE (the r1 version
+    looped over foreachBatch ``.collect()`` into a driver dict — a
+    driver bottleneck at high key cardinality, and the one piece of
+    this module that wasn't a sink). The sink accumulates one row per
+    (key, batch-with-activity); "last update wins" is recovered
+    relationally: n_events is monotone per key, so the max-n_events row
+    IS the final state — a row_number prune, no driver loop."""
     ev = stream_events(spark, sf).select("user_id", "value")
     out_schema = "user_id bigint, n_events bigint, sum_value double"
     state_schema = "n bigint, s double"
@@ -243,33 +249,16 @@ def stream_stateful_user_totals(spark: SparkSession, sf: str) -> DataFrame:
         totals, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
 
-    latest: dict[int, tuple] = {}
+    from pyspark.sql import Window
 
-    def absorb(batch_df: DataFrame, _batch_id: int) -> None:
-        for r in batch_df.collect():
-            latest[r["user_id"]] = (r["user_id"], r["n_events"], r["sum_value"])
-
-    # State partition count is frozen at query start; with O(100)
-    # distinct keys, 32 partitions just multiplies Python-worker and
-    # state-store startup (measured 16.7s → 5.6s at 8). On a real
-    # cluster with high-cardinality keys, size this to the executor
-    # count instead.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            sdf.writeStream.foreachBatch(absorb)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    if q.exception() is not None:
-        raise q.exception()
-    out = spark.createDataFrame(list(latest.values()), out_schema)
-    return out.select(
+    out = run_to_memory(sdf, "stream_stateful_sink", "update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    latest = (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return latest.select(
         "user_id",
         "n_events",
         F.round(F.col("sum_value") + 1e-9, 2).alias("sum_value"),
