@@ -432,10 +432,17 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     component — the keeper-selection step that turns pairwise dedup
     into corpus dedup.
 
-    Iterative min-label propagation (the Pregel/GraphX idiom as plain
-    DataFrames): each round every node takes the min of its own and
-    its neighbors' labels; converged when no label changes. Rounds ~
-    graph diameter (dense near-dup clusters → few). localCheckpoint
+    Iterative min-label propagation PLUS pointer jumping (the
+    Pregel/GraphX idiom as plain DataFrames): each round every node
+    takes the min of its own, its neighbors', and — the path-doubling
+    step — its LABEL's label; converged when no label changes.
+    Neighbor-min alone needs rounds ~ graph diameter (a pathological
+    duplicate chain of length L costs L rounds); the extra
+    label-of-label join halves remaining path lengths each round, so
+    rounds ~ log(diameter) — the same doubling large-star/small-star
+    exploits, for one extra hash join per round. Labels are always
+    ids of same-component nodes and monotonically non-increasing, so
+    the fixed point is exactly the component minimum. localCheckpoint
     per round cuts the growing lineage — without it each iteration
     re-plans the whole history. The oracle is DuckDB's recursive CTE
     computing the same transitive closure, so the iterative execution
@@ -457,10 +464,24 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             labels.withColumnRenamed("doc", "nbr_doc"),
             edges.doc_b == F.col("nbr_doc"),
         ).select(F.col("doc_a").alias("doc"), "lbl")
+        propagated = (
+            labels.unionByName(nbr).groupBy("doc").agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jumping: also adopt the label of my label (doc is
+        # unique in `propagated`, so doc→lbl is a function; the left
+        # join misses only when my label is a node outside the label
+        # table, impossible here since labels are member ids)
+        hop = propagated.select(
+            F.col("doc").alias("lbl"), F.col("lbl").alias("_lbl2")
+        )
         new = (
-            labels.unionByName(nbr)
-            .groupBy("doc")
-            .agg(F.min("lbl").alias("lbl"))
+            propagated.join(hop, "lbl", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("lbl"), F.coalesce("_lbl2", F.col("lbl"))
+                ).alias("lbl"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -522,6 +543,81 @@ JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl GROUP BY cluster_id) 
 """.format(pair_ctes=_PAIR_CTES.strip())
 
 
+def pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for LLM training batches: the corpus token
+    stream is concatenated in doc_id order and split into
+    fixed-capacity context windows (512 tokens); each document is
+    assigned to the chunk where it STARTS, and chunks are summarized
+    (doc count, token fill, id span). This is the standard
+    concatenate-then-split packing used to build pretraining batches —
+    deterministic given the ordering, unlike greedy bin packing, which
+    is why it carries a full DuckDB oracle (SUM OVER the same order).
+
+    Scale shape: the global running token count is a DISTRIBUTED
+    prefix sum (same idiom as augment.exact_split) — range-partition
+    by doc_id, cumsum within partitions, add broadcast per-partition
+    offsets. No single-partition global window, which is the classic
+    scalability trap of `SUM() OVER (ORDER BY ...)` on one range.
+    """
+    capacity = 512
+    docs = table(spark, sf, "documents").select(
+        "doc_id", F.size(TOKENS()).alias("n_tok")
+    )
+    ranged = (
+        docs.repartitionByRange(32, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wloc = Window.partitionBy("_pid").orderBy("doc_id")
+    local = ranged.withColumn("_lcum", F.sum("n_tok").over(wloc))
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.sum("n_tok").alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    cum = local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+    start = F.col("_off") + F.col("_lcum") - F.col("n_tok")
+    chunked = cum.withColumn(
+        "chunk_id", F.floor(start / F.lit(float(capacity)))
+    )
+    return chunked.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, len({toks}) AS n_tok FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start
+  FROM t
+)
+SELECT CAST(floor(start / 512.0) AS BIGINT) AS chunk_id,
+       COUNT(*)                  AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       MIN(doc_id)               AS first_doc,
+       MAX(doc_id)               AS last_doc
+FROM c GROUP BY 1
+""".format(toks=_TOKENS_SQL)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(
         "dedup_ngram_jaccard", dedup_ngram_jaccard, _NGRAM_SQL
@@ -537,4 +633,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ext_dedup_near": QuerySpec("ext_dedup_near", ext_dedup_near, None),
     "dedup_simhash": QuerySpec("dedup_simhash", dedup_simhash, None),
+    # appended post-r2: must stay AFTER the first 50 merged keys so the
+    # driver's correctness window keeps covering the planned surface
+    "pack_chunks": QuerySpec("pack_chunks", pack_chunks, _PACK_SQL),
 }

@@ -92,3 +92,20 @@ def test_minhash_lsh_candidates_superset_of_exact(spark, sf_dir):
     }
     missed = exact - approx
     assert not missed, f"LSH missed {len(missed)} high-similarity pairs"
+
+
+def test_cluster_labels_converge_on_long_chain(spark, monkeypatch):
+    """A 200-long duplicate chain (diameter 200) must converge within
+    the 25-round budget — possible only because the label loop does
+    pointer jumping (log-diameter rounds), not bare neighbor-min
+    propagation (diameter rounds). Guards the doubling step."""
+    import landsat_tair_data_pipeline_spark.operators.dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(dd, "dedup_jaccard_pairs", lambda s, sf: pairs)
+    out = dd.dedup_clusters(spark, "unused").collect()
+    assert len(out) == 201
+    assert {r["cluster_id"] for r in out} == {0}
+    assert {r["cluster_size"] for r in out} == {201}

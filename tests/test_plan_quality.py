@@ -75,6 +75,45 @@ def test_jaccard_intersect_evaluated_once(spark):
     assert plan.count("array_intersect") == 1
 
 
+def test_jaccard_has_no_corpus_broadcast_hint(spark):
+    """The r1 plan force-broadcast the whole documents corpus
+    (verdict: scale-weak). The prefix-filter rewrite must not carry a
+    broadcast HINT anywhere — small-side broadcasts AQE picks at this
+    sf are fine (adaptive, disappears at scale), a hint is not."""
+    df = SPECS["dedup_jaccard_pairs"].fn(spark, SF)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "BROADCAST" not in logical
+
+
+def test_embedding_cosine_is_distributed(spark):
+    """No driver-side collect: the block matmul must appear as an
+    Arrow-batched grouped-map node fed by a shuffle on the block grid,
+    not as a LocalTableScan of pre-collected rows."""
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "LocalTableScan" not in plan
+
+
+def test_pack_chunks_has_no_global_window(spark):
+    """The running token count must be the distributed two-phase
+    prefix sum: cumsum windows partitioned by _pid, never a
+    partition-less global ORDER BY window over the corpus (the
+    single-task trap). The only unpartitioned window allowed is the
+    per-partition-offsets pass over O(#partitions) rows."""
+    df = SPECS["pack_chunks"].fn(spark, SF)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    import re as _re
+
+    corpus_windows = [
+        ln
+        for ln in logical.splitlines()
+        if "Window" in ln and "_pid" not in ln and "windowspecdefinition" in ln
+    ]
+    # the offsets pass aggregates per _pid first, so its window input
+    # is tiny; it is recognizable by summing _cnt
+    assert all("_cnt" in ln for ln in corpus_windows), corpus_windows
+
+
 def test_radiometry_stays_jvm_side(spark):
     """No Python evaluation anywhere in the BT pixel pipeline — the
     math must be higher-order column expressions. (Codegen spans are
