@@ -41,6 +41,10 @@ HEADLINE = [
     "split_train_test",
     "mm_feature_extract",
     "stream_tumbling",
+    # r2 additions — append-only so r(N) vs r(N-1) per-query deltas
+    # stay comparable
+    "join_asof",
+    "pack_chunks",
 ]
 
 

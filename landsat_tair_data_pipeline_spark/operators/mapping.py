@@ -500,14 +500,17 @@ def map_flatten(spark: SparkSession, sf: str) -> DataFrame:
     """(7,7,7) → 343 flatten (feature_extractor.py:112): length plus
     positional probes — flat[b·49 + y·7 + x] must equal the pixel at
     (b, y, x) of the REMAPPED tensor; probes at 0, 170, 342 catch
-    any stride error."""
+    any stride error. Probe scenes only: each element_at probe inlines
+    the whole flatten tree, so this query evaluates it 3× per row —
+    the 10× corpus restriction (both sensor families guaranteed) is
+    what keeps that affordable, same policy as map_bt_pixels."""
     from ..functions.radiometry import (
         filter_valid_scenes,
         to_brightness_temperature,
         with_sensor_flag,
     )
 
-    patches = landsat.scene_patches(spark)
+    patches = landsat.scene_patches(spark).where(landsat.probe_scene())
     meta = landsat.scene_metadata(spark)
     base = with_sensor_flag(
         filter_valid_scenes(patches.join(F.broadcast(meta), "scene_id"))
@@ -535,7 +538,7 @@ mapped AS (
            CASE band WHEN 2 THEN 0 WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 5 THEN 3
                      WHEN 6 THEN 4 WHEN 10 THEN 5 WHEN 7 THEN 6 END
          END AS b0
-  FROM btpx WHERE n_bands = 7 OR band IN (2,3,4,5,6,10,7))
+  FROM btpx WHERE (n_bands = 7 OR band IN (2,3,4,5,6,10,7)) AND {probe})
 SELECT s.scene_id, s.station_id, CAST(343 AS INT) AS n,
        ROUND(p0.value + 1e-9, 6) AS flat_0,
        ROUND(p170.value + 1e-9, 6) AS flat_170,
@@ -547,7 +550,7 @@ JOIN mapped p170 ON s.scene_id = p170.scene_id AND s.station_id = p170.station_i
               AND p170.b0 = 3 AND p170.y = 3 AND p170.x = 2
 JOIN mapped p342 ON s.scene_id = p342.scene_id AND s.station_id = p342.station_id
               AND p342.b0 = 6 AND p342.y = 6 AND p342.x = 6
-""".format(meta=_META.strip(), radpx=_RADPX.strip())
+""".format(meta=_META.strip(), radpx=_RADPX.strip(), probe=landsat.PROBE_SQL)
 
 
 QUERIES: dict[str, QuerySpec] = {
