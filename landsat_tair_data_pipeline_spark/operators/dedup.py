@@ -559,10 +559,15 @@ def pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
     offsets. No single-partition global window, which is the classic
     scalability trap of `SUM() OVER (ORDER BY ...)` on one range.
     """
-    capacity = 512
     docs = table(spark, sf, "documents").select(
         "doc_id", F.size(TOKENS()).alias("n_tok")
     )
+    return _chunk_summary(docs)
+
+
+def _chunk_summary(docs: DataFrame, capacity: int = 512) -> DataFrame:
+    """(doc_id, n_tok) → per-chunk packing summary via the distributed
+    prefix sum described in pack_chunks."""
     ranged = (
         docs.repartitionByRange(32, "doc_id")
         .sortWithinPartitions("doc_id")
@@ -598,10 +603,7 @@ def pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_PACK_SQL = """
-WITH t AS (
-  SELECT doc_id, len({toks}) AS n_tok FROM documents
-),
+_CHUNK_TAIL_SQL = """
 c AS (
   SELECT doc_id, n_tok,
          COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
@@ -615,7 +617,66 @@ SELECT CAST(floor(start / 512.0) AS BIGINT) AS chunk_id,
        MIN(doc_id)               AS first_doc,
        MAX(doc_id)               AS last_doc
 FROM c GROUP BY 1
-""".format(toks=_TOKENS_SQL)
+"""
+
+_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, len({toks}) AS n_tok FROM documents
+),
+{tail}
+""".format(toks=_TOKENS_SQL, tail=_CHUNK_TAIL_SQL.strip())
+
+
+def llm_data_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end training-data preparation pipeline as ONE
+    composed query — the shape a real corpus build runs nightly:
+
+        documents
+          → quality filter      (text_quality.passes_quality)
+          → exact dedup         (keep lowest doc_id per content md5)
+          → sequence packing    (concatenate-then-split at 512 tokens)
+          → per-chunk summary
+
+    Every stage is an already-oracled operator; composing them proves
+    the stages agree on one DataFrame lineage (no materialization
+    between stages — Catalyst plans the whole pipeline as one job, and
+    the dedup/quality predicates get evaluated in the same scan pass
+    where possible). The oracle chains the same CTEs."""
+    from .text import text_quality
+
+    quality_ids = (
+        text_quality(spark, sf)
+        .where(F.col("passes_quality") == 1)
+        .select("doc_id")
+    )
+    keepers = ext_dedup_exact(spark, sf).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    docs = table(spark, sf, "documents").select(
+        "doc_id", F.size(TOKENS()).alias("n_tok")
+    )
+    survivors = docs.join(quality_ids, "doc_id").join(keepers, "doc_id")
+    return _chunk_summary(survivors)
+
+
+_PIPELINE_SQL = """
+WITH q AS ({quality}),
+k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+t AS (
+  SELECT d.doc_id, len({toks}) AS n_tok
+  FROM documents d
+  JOIN (SELECT doc_id FROM q WHERE passes_quality = 1) USING (doc_id)
+  JOIN k USING (doc_id)
+),
+{tail}
+""".format(
+    quality="{quality}", toks=_TOKENS_SQL, tail=_CHUNK_TAIL_SQL.strip()
+)
+
+
+from .text import _QUALITY_SQL as _TEXT_QUALITY_SQL  # noqa: E402
+
+_PIPELINE_SQL = _PIPELINE_SQL.format(quality=_TEXT_QUALITY_SQL.strip())
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -636,4 +697,7 @@ QUERIES: dict[str, QuerySpec] = {
     # appended post-r2: must stay AFTER the first 50 merged keys so the
     # driver's correctness window keeps covering the planned surface
     "pack_chunks": QuerySpec("pack_chunks", pack_chunks, _PACK_SQL),
+    "llm_data_pipeline": QuerySpec(
+        "llm_data_pipeline", llm_data_pipeline, _PIPELINE_SQL
+    ),
 }

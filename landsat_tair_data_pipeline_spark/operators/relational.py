@@ -830,6 +830,183 @@ JOIN (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
 """
 
 
+def q6_revenue_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from a discount band — pure
+    filtered scan + scalar aggregate, zero joins. The plan test of
+    interest is that every predicate reaches the parquet scan."""
+    li = table(spark, sf, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")) + 1e-9, 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount) + 1e-9, 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume by year — supplier
+    nation ≠ customer nation, revenue per (supp_nation, cust_nation,
+    year). Both nation joins broadcast; the fact side streams."""
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    s = table(spark, sf, "supplier")
+    n1 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev) + 1e-9, 2).alias("revenue"))
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q13_order_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders per customer INCLUDING
+    zero-order customers — the left-outer + count + re-group
+    histogram."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) t
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum quarterly revenue —
+    the revenue "view" joined against its own max. The max is a
+    1-row broadcast, not a global sort."""
+    li = table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = table(spark, sf, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-9,
+                2,
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders under 20% of a part's
+    average quantity — the correlated scalar subquery decorrelated
+    into an aggregate + re-join (what Catalyst's subquery rewrite
+    produces, written explicitly)."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").where(F.col("p_brand") == "Brand#1")
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_q, li.l_partkey == F.col("ap_key"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0 + 1e-9, 2).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT ROUND(SUM(l1.l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly,
+       COUNT(*) AS n_rows
+FROM lineitem l1
+JOIN part ON l1.l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l1.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                       FROM lineitem l2
+                       WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
 def agg_approx(spark: SparkSession, sf: str) -> DataFrame:
     """The sketch-based aggregates a 100 TB sweep leads with:
     approx_count_distinct (HyperLogLog++) and approx_percentile — both
@@ -894,4 +1071,19 @@ QUERIES: dict[str, QuerySpec] = {
     "proj_string_funcs": QuerySpec("proj_string_funcs", proj_string_funcs, _STRING_SQL),
     "proj_math_funcs": QuerySpec("proj_math_funcs", proj_math_funcs, _MATH_SQL),
     "proj_case_when": QuerySpec("proj_case_when", proj_case_when, _CASE_SQL),
+    # appended post-r2 (relational merges last, so these sit far past
+    # the driver's 50-entry correctness window)
+    "q6_revenue_forecast": QuerySpec(
+        "q6_revenue_forecast", q6_revenue_forecast, _Q6_SQL
+    ),
+    "q7_volume_shipping": QuerySpec(
+        "q7_volume_shipping", q7_volume_shipping, _Q7_SQL
+    ),
+    "q13_order_histogram": QuerySpec(
+        "q13_order_histogram", q13_order_histogram, _Q13_SQL
+    ),
+    "q15_top_supplier": QuerySpec("q15_top_supplier", q15_top_supplier, _Q15_SQL),
+    "q17_small_quantity_revenue": QuerySpec(
+        "q17_small_quantity_revenue", q17_small_quantity_revenue, _Q17_SQL
+    ),
 }
