@@ -674,6 +674,59 @@ t AS (
 )
 
 
+def text_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-bigram language-model quality score — the KenLM-style
+    perplexity filter of pretraining pipelines, with the corpus itself
+    as the model: per doc, the mean ln P(w2|w1) of its word bigrams
+    under corpus MLE counts (P = count(w1,w2)/count(w1·)). Low scores
+    flag boilerplate-free-but-unnatural token soups; high scores flag
+    repetitive boilerplate — both ends get clipped in corpus curation.
+
+    Scale shape: bigram counts are two wordcount-style aggregations
+    (map-side combinable); the per-doc join keys are bigrams —
+    Zipf-skewed at scale, which AQE skew-join splits. No Python, no
+    broadcast of anything corpus-sized. Docs with < 2 tokens have no
+    bigrams and drop (inner semantics, same in the oracle)."""
+    docs = table(spark, sf, "documents").select("doc_id", TOKENS().alias("toks"))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    scored = bg.join(cb, ["w1", "w2"]).join(cu, "w1")
+    logp = F.log(F.col("cb").cast("double") / F.col("cu").cast("double"))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(logp) + 1e-9, 4).alias("avg_logp"),
+    )
+
+
+_BIGRAM_LM_SQL = """
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+),
+cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+cu AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1)
+SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(ln(CAST(cb.cb AS DOUBLE) / cu.cu)) + 1e-9, 4) AS avg_logp
+FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+GROUP BY bg.doc_id
+""".format(toks=_TOKENS_SQL)
+
+
 from .text import _QUALITY_SQL as _TEXT_QUALITY_SQL  # noqa: E402
 
 _PIPELINE_SQL = _PIPELINE_SQL.format(quality=_TEXT_QUALITY_SQL.strip())
@@ -699,5 +752,8 @@ QUERIES: dict[str, QuerySpec] = {
     "pack_chunks": QuerySpec("pack_chunks", pack_chunks, _PACK_SQL),
     "llm_data_pipeline": QuerySpec(
         "llm_data_pipeline", llm_data_pipeline, _PIPELINE_SQL
+    ),
+    "text_bigram_lm_score": QuerySpec(
+        "text_bigram_lm_score", text_bigram_lm_score, _BIGRAM_LM_SQL
     ),
 }

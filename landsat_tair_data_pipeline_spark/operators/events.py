@@ -282,6 +282,78 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Staged conversion funnel view → click → purchase: a user counts
+    for a stage only if it happens strictly AFTER their entry into the
+    previous stage (first-touch attribution). Three conditional-min
+    aggregations, each conditioned on the previous stage's timestamp —
+    the dependency forces three rounds, but every round is a map-side
+    combinable groupBy on user_id and the later rounds aggregate the
+    already-reduced per-user table, so the events table is scanned
+    twice (stage-2 needs v, stage-3 needs c) and never joined to
+    itself row×row."""
+    ev = table(spark, sf, "events").select("user_id", "event_type", "ts")
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v_ts")
+    )
+    c = (
+        ev.join(v, "user_id")
+        .groupBy("user_id", "v_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")),
+                    F.col("ts"),
+                )
+            ).alias("c_ts")
+        )
+    )
+    p = (
+        ev.join(c, "user_id")
+        .groupBy("user_id", "v_ts", "c_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).alias("p_ts")
+        )
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("v_ts").alias("n_viewed"),
+        F.count("c_ts").alias("n_clicked_after_view"),
+        F.count("p_ts").alias("n_purchased_after_click"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+  FROM events GROUP BY user_id),
+c AS (
+  SELECT e.user_id, v.v_ts,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts > v.v_ts
+                  THEN e.ts END) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  GROUP BY e.user_id, v.v_ts),
+p AS (
+  SELECT e.user_id, c.v_ts, c.c_ts,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > c.c_ts
+                  THEN e.ts END) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  GROUP BY e.user_id, c.v_ts, c.c_ts)
+SELECT COUNT(*) AS n_users,
+       COUNT(v_ts) AS n_viewed,
+       COUNT(c_ts) AS n_clicked_after_view,
+       COUNT(p_ts) AS n_purchased_after_click
+FROM p
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec("events_tumbling", events_tumbling, _TUMBLING_SQL),
     "events_sliding": QuerySpec("events_sliding", events_sliding, _SLIDING_SQL),
@@ -298,4 +370,5 @@ QUERIES: dict[str, QuerySpec] = {
     # appended post-r2: must stay AFTER the first 50 merged keys so the
     # driver's correctness window keeps covering the planned surface
     "join_asof": QuerySpec("join_asof", join_asof, _ASOF_SQL),
+    "events_funnel": QuerySpec("events_funnel", events_funnel, _FUNNEL_SQL),
 }
