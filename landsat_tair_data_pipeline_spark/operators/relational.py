@@ -1007,6 +1007,46 @@ WHERE p_brand = 'Brand#1'
 """
 
 
+def sql_q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """The same Q1 pricing summary through the spark.sql() ENTRY PATH:
+    tables registered as temp views, query expressed as one SQL string
+    (the dialect-parity surface — a user of the SQL API, not the
+    DataFrame API, gets the identical Catalyst plan and identical
+    results; the oracle is the same SQL DuckDB runs)."""
+    for t in ("lineitem",):
+        table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2)                AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2)           AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                                                        AS sum_disc_price,
+               COUNT(*)                                 AS count_order,
+               ROUND(AVG(l_quantity) + 1e-9, 4)         AS avg_qty,
+               ROUND(AVG(l_discount) + 1e-9, 4)         AS avg_disc
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+_SQL_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)           AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                                                AS sum_disc_price,
+       COUNT(*)                                 AS count_order,
+       ROUND(AVG(l_quantity) + 1e-9, 4)         AS avg_qty,
+       ROUND(AVG(l_discount) + 1e-9, 4)         AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def agg_approx(spark: SparkSession, sf: str) -> DataFrame:
     """The sketch-based aggregates a 100 TB sweep leads with:
     approx_count_distinct (HyperLogLog++) and approx_percentile — both
@@ -1085,5 +1125,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q15_top_supplier": QuerySpec("q15_top_supplier", q15_top_supplier, _Q15_SQL),
     "q17_small_quantity_revenue": QuerySpec(
         "q17_small_quantity_revenue", q17_small_quantity_revenue, _Q17_SQL
+    ),
+    "sql_q1_pricing_summary": QuerySpec(
+        "sql_q1_pricing_summary", sql_q1_pricing_summary, _SQL_Q1_SQL
     ),
 }

@@ -79,3 +79,54 @@ def test_stream_matches_batch_tumbling(spark, sf_dir):
     batch = sorted(map(tuple, events_tumbling(spark, sf_dir).collect()))
     stream = sorted(map(tuple, stream_tumbling(spark, sf_dir).collect()))
     assert batch == stream
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Stop/restart with a checkpoint must neither re-count batch-1
+    rows nor miss batch-2 rows: run an aggregation stream to
+    completion, STOP the query, append more source files, restart a
+    NEW query from the SAME checkpoint — final totals must equal one
+    batch aggregation over everything (exactly-once across restarts,
+    the property checkpoints exist to provide)."""
+    src = str(tmp_path / "cp_src")
+    cp = str(tmp_path / "cp_state")
+    schema = "ts timestamp, k string, v double"
+
+    batch1 = spark.createDataFrame(
+        [(_ts(10, 0), "a", 1.0), (_ts(10, 1), "a", 2.0), (_ts(10, 2), "b", 5.0)],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+
+    def start():
+        agg = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        )
+        return (
+            agg.writeStream.format("memory")
+            .queryName("cp_sink")
+            .outputMode("complete")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(120)
+    assert q.exception() is None
+    first = {r["k"]: (r["n"], r["s"]) for r in spark.table("cp_sink").collect()}
+    assert first == {"a": (2, 3.0), "b": (1, 5.0)}
+
+    batch2 = spark.createDataFrame(
+        [(_ts(11, 0), "a", 10.0), (_ts(11, 1), "c", 7.0)], schema
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    q2 = start()  # fresh query object, same checkpoint → resumes state
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    final = {r["k"]: (r["n"], r["s"]) for r in spark.table("cp_sink").collect()}
+    assert final == {"a": (3, 13.0), "b": (1, 5.0), "c": (1, 7.0)}
