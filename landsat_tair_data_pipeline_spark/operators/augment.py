@@ -177,28 +177,11 @@ def jitter_geo(
 
 
 # ---------------------------------------------------------------------------
-# Feature-vector plumbing: slice the 365 vector back into a tensor
-# (augmentation operates on the flat layout via negative indexing,
-# data_augmentation.py:160-180 — so these queries go through the
-# `features` column on purpose, proving the layout contract).
+# Feature-vector plumbing (augmentation operates on the flat 365
+# layout via negative indexing, data_augmentation.py:160-180 — so the
+# aug queries go through the `features` column on purpose, proving the
+# layout contract).
 # ---------------------------------------------------------------------------
-
-
-def _img_tensor(features: Column) -> Column:
-    """features[0:343] reshaped to (7, 7, 7), band-major."""
-    idx = F.sequence(F.lit(0), F.lit(GRID - 1))
-    return F.transform(
-        idx,
-        lambda b: F.transform(
-            idx,
-            lambda i: F.transform(
-                idx,
-                lambda j: F.element_at(
-                    features, b * (GRID * GRID) + i * GRID + j + 1
-                ),
-            ),
-        ),
-    )
 
 
 def _features_with_gt(spark: SparkSession) -> DataFrame:
