@@ -74,9 +74,17 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    import gc
+
     times: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in HEADLINE:
+        # Drop py4j references from the previous query BEFORE timing the
+        # next: localCheckpoint/broadcast blocks are freed by Spark's
+        # ContextCleaner only after the Python-side DataFrame objects
+        # are garbage-collected, and accumulated executor blocks were
+        # observed inflating late bench keys 5-10x.
+        gc.collect()
         t0 = time.perf_counter()
         try:
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
