@@ -60,10 +60,11 @@ def all_queries() -> dict[str, QuerySpec]:
 
     # Merge order is LOAD-BEARING: the driver's correctness gate records
     # only the first 50 registry entries in this insertion order. Round 1
-    # verified relational/events/dedup/similarity-head; round 2 fronts the
-    # never-verified surfaces (domain, mapping, text, streaming = exactly
-    # 50 oracled keys). Round 3 should front multimodal/augment/similarity
-    # to pick up the remaining 14 unverified keys.
+    # verified relational/events/dedup/similarity-head; rounds 2-3 covered
+    # domain, mapping, text, streaming. Round 4 fronts the 25 keys no
+    # driver window has ever recorded (_ROUND4_FRONT), then 25 r1-verified
+    # relational/events keys for re-confirmation; everything else follows
+    # in module order. After r4 every registry key has driver evidence.
     merged: dict[str, QuerySpec] = {}
     for mod in (
         domain,
@@ -81,7 +82,73 @@ def all_queries() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query id {name!r}")
             merged[name] = spec
-    return merged
+
+    front = [k for k in _ROUND4_FRONT if k in merged]
+    missing = [k for k in _ROUND4_FRONT if k not in merged]
+    if missing:
+        raise ValueError(f"front-ordered keys missing from registry: {missing}")
+    ordered = {k: merged[k] for k in front}
+    ordered.update((k, v) for k, v in merged.items() if k not in ordered)
+    return ordered
+
+
+# First 50 slots of the driver's correctness window: 25 keys never checked
+# in any of rounds 1-3 (verified against CORRECTNESS_r0{1,2,3}.json), then
+# 25 r1-hash-green keys re-confirmed for stability.
+_ROUND4_FRONT = [
+    # never driver-checked (21 oracled + 4 rows-only by design)
+    "stream_stateful_user_totals",
+    "mm_decode_stats",
+    "mm_type_summary",
+    "mm_resize_plan",
+    "mm_frame_sample",
+    "mm_feature_extract",
+    "aug_rot90",
+    "aug_explode_4x",
+    "aug_jitter_date",
+    "aug_geo_shift",
+    "split_train_test",
+    "aug_train_pipeline",
+    "sim_lsh_topk",
+    "emb_label_stats",
+    "pack_chunks",
+    "llm_data_pipeline",
+    "text_bigram_lm_score",
+    "join_asof",
+    "events_funnel",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q13_order_histogram",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "sql_q1_pricing_summary",
+    # r1-verified re-confirmation fill (25)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "agg_summary_stats",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "join_semi",
+    "join_anti",
+    "join_outer_coalesce",
+    "window_rank",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_range_frame",
+    "ext_topk",
+    "sort_limit",
+    "setop_union",
+    "events_tumbling",
+    "events_session",
+    "ext_dedup_exact",
+    "dedup_jaccard_pairs",
+]
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
