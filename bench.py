@@ -5,7 +5,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query is executed to completion with a noop sink (full plan runs,
 nothing collected to the driver), timed individually after a warmup
-query primes the JVM/codegen.
+query primes the JVM/codegen. Each key runs $SPARK_GRAFT_BENCH_REPS
+times (default 2) and reports the per-key MIN: round-3-vs-round-2
+reruns of byte-identical code swung up to 3.3x per key single-shot,
+so one-shot numbers carry no signal at this scale.
 """
 
 from __future__ import annotations
@@ -76,22 +79,32 @@ def main() -> None:
 
     import gc
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     times: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in HEADLINE:
-        # Drop py4j references from the previous query BEFORE timing the
-        # next: localCheckpoint/broadcast blocks are freed by Spark's
-        # ContextCleaner only after the Python-side DataFrame objects
-        # are garbage-collected, and accumulated executor blocks were
-        # observed inflating late bench keys 5-10x.
-        gc.collect()
-        t0 = time.perf_counter()
-        try:
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            times[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # one broken query must not sink the bench
-            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
-            print(f"BENCH FAILURE {name}: {failures[name]}", file=sys.stderr)
+        best = None
+        for _ in range(reps):
+            # Drop py4j references from the previous run BEFORE timing
+            # the next: localCheckpoint/broadcast blocks are freed by
+            # Spark's ContextCleaner only after the Python-side
+            # DataFrame objects are garbage-collected, and accumulated
+            # executor blocks were observed inflating late bench keys
+            # 5-10x.
+            gc.collect()
+            t0 = time.perf_counter()
+            try:
+                qs[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # a broken query must not sink the bench
+                failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+                print(f"BENCH FAILURE {name}: {failures[name]}", file=sys.stderr)
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            times[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -101,6 +114,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **({"failures": failures} if failures else {}),
             }
