@@ -81,7 +81,7 @@ def exact_split(
     df: DataFrame,
     seed: int = 42,
     train_ratio: float = 0.8,
-    num_ranges: int = 32,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Add a `split` column with EXACT floor(n*ratio) train rows.
 
@@ -90,7 +90,13 @@ def exact_split(
     (tiny broadcast). No single-partition global sort — survives 100 TB.
     The reference's shuffle+slice (feature_extractor.py:146-169) has
     the same semantics: random permutation, exact prefix = train.
+
+    ``num_ranges`` defaults to the cluster's parallelism; the global
+    rank (and hence the split assignment) orders rows by the seeded
+    rand key alone, so the result is partition-count-independent.
     """
+    if num_ranges is None:
+        num_ranges = df.sparkSession.sparkContext.defaultParallelism
     keyed = df.withColumn("_r", F.rand(seed))
     ranged = (
         keyed.repartitionByRange(num_ranges, "_r")

@@ -295,7 +295,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     CANDIDATE path is sign-LSH buckets (sim_lsh_buckets/sim_lsh_topk)
     or the IVF coarse quantizer (sim_ivf_topk).
     """
-    P = 8  # P² = 64 block pairs ≈ 2× local[32]; each block ≤ n/P rows
+    # Block-grid fan-out derived, not hardcoded: P² block pairs ≈ 2×
+    # the cluster's parallelism keeps every core busy without shrinking
+    # blocks below BLAS-efficient sizes. On a real cluster P must also
+    # satisfy the memory bound (n/P)·d·8B ≤ executor working memory —
+    # the n-dependent term; defaultParallelism scales with executors,
+    # which tracks corpus size under normal sizing, and
+    # SPARK_GRAFT_COSINE_BLOCKS overrides when it doesn't.
+    import math
+    import os
+
+    dp = spark.sparkContext.defaultParallelism
+    P = int(
+        os.environ.get("SPARK_GRAFT_COSINE_BLOCKS", 0)
+    ) or max(2, round(math.sqrt(2 * dp)))
 
     emb = table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -567,9 +580,13 @@ def pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
 
 def _chunk_summary(docs: DataFrame, capacity: int = 512) -> DataFrame:
     """(doc_id, n_tok) → per-chunk packing summary via the distributed
-    prefix sum described in pack_chunks."""
+    prefix sum described in pack_chunks. The range fan-out follows the
+    cluster's parallelism (it only shapes the prefix-sum partitioning;
+    chunk assignment depends on the global doc_id order alone, so the
+    result is partition-count-independent)."""
+    num_ranges = docs.sparkSession.sparkContext.defaultParallelism
     ranged = (
-        docs.repartitionByRange(32, "doc_id")
+        docs.repartitionByRange(num_ranges, "doc_id")
         .sortWithinPartitions("doc_id")
         .withColumn("_pid", F.spark_partition_id())
     )

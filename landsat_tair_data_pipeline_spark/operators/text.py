@@ -217,8 +217,12 @@ def text_tfidf_top(spark: SparkSession, sf: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # the term→df join is NOT broadcast-hinted: df is vocab-sized (grows
+    # with the corpus, unbounded at 100 TB). AQE broadcasts it at bench
+    # scale where it measures small and falls back to a shuffle join at
+    # scale; the 1-row n_docs frame is the only always-tiny side.
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
