@@ -65,17 +65,23 @@ def main() -> None:
     # (mapInPandas fork + numpy import per worker, ~3-7 s across 32
     # workers) and the Structured Streaming engine (state-store +
     # micro-batch planner). Per-query timings stay first-run.
-    qs["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
     import pandas as _pd
 
-    spark.range(64).repartition(32).mapInPandas(
-        lambda it: (pdf for pdf in it), schema="id long"
-    ).write.format("noop").mode("overwrite").save()
-    qs["stream_dedup"](spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    def _warmup(thunk) -> None:
+        # A failed warmup must not sink the whole bench (r4: the
+        # stream_dedup warmup crashed before a single query was timed).
+        try:
+            thunk().write.format("noop").mode("overwrite").save()
+        except Exception as exc:
+            print(f"BENCH WARMUP FAILURE: {exc}"[:300], file=sys.stderr)
+
+    _warmup(lambda: qs["q1_pricing_summary"](spark, SF_DIR))
+    _warmup(
+        lambda: spark.range(64)
+        .repartition(32)
+        .mapInPandas(lambda it: (pdf for pdf in it), schema="id long")
+    )
+    _warmup(lambda: qs["stream_dedup"](spark, SF_DIR))
 
     import gc
 

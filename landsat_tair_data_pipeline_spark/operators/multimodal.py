@@ -204,12 +204,13 @@ def byte_histogram(payload: bytes, bins: int = HIST_BINS) -> list[float]:
     return [c / total for c in counts]
 
 
-def mm_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
+def mm_feature_vectors(spark: SparkSession, sf: str) -> DataFrame:
     """Feature-extraction stage: payload → fixed-width float vector
-    (byte-histogram stand-in for a real embedding model). Rows-only;
-    numpy-checked in unit tests. Output schema matches the embeddings
-    table convention (array<float>) so downstream similarity ops
-    compose."""
+    (byte-histogram stand-in for a real embedding model). Output schema
+    matches the embeddings table convention (array of floats) so
+    downstream similarity ops compose. Internal vector form — the
+    registry surface is mm_feature_extract (posexploded), because the
+    driver harness can't canonicalize array columns."""
     # documents lands as one parquet split at test scale → repartition so
     # the Python stage runs on every core, not one (at 100 TB the source
     # is already many splits and this is a no-op cost-wise)
@@ -237,12 +238,46 @@ def mm_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def mm_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-checkable surface of the feature extractor: the histogram
+    posexploded to (doc_id, bin_idx, value) rows — scalar columns the
+    harness can sort and hash. Values rounded with the repo's +1e-9
+    tie-break so the DuckDB oracle (char-level histogram; payload is
+    UTF-8 of ASCII text, so ord(char) == byte) matches exactly."""
+    vec = mm_feature_vectors(spark, sf)
+    return vec.select(
+        "doc_id", F.posexplode("features").alias("bin_idx", "value")
+    ).select(
+        "doc_id",
+        "bin_idx",
+        F.round(F.col("value") + F.lit(1e-9), 6).alias("value"),
+    )
+
+
+_FEATURE_EXTRACT_SQL = f"""
+WITH counts AS (
+  SELECT doc_id, ord(ch) // 16 AS bin_idx, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+  GROUP BY doc_id, bin_idx
+),
+docs AS (SELECT doc_id, GREATEST(1, length(text)) AS n FROM documents),
+bins AS (SELECT CAST(unnest(generate_series(0, {HIST_BINS - 1})) AS INT)
+           AS bin_idx)
+SELECT d.doc_id,
+       b.bin_idx,
+       ROUND(COALESCE(c.c, 0) * 1.0 / d.n + 1e-9, 6) AS value
+FROM docs d
+CROSS JOIN bins b
+LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin_idx = b.bin_idx
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "mm_decode_stats": QuerySpec("mm_decode_stats", mm_decode_stats, None),
     "mm_type_summary": QuerySpec("mm_type_summary", mm_type_summary, _TYPE_SUMMARY_SQL),
     "mm_resize_plan": QuerySpec("mm_resize_plan", mm_resize_plan, _RESIZE_SQL),
     "mm_frame_sample": QuerySpec("mm_frame_sample", mm_frame_sample, _FRAME_SAMPLE_SQL),
     "mm_feature_extract": QuerySpec(
-        "mm_feature_extract", mm_feature_extract, None
+        "mm_feature_extract", mm_feature_extract, _FEATURE_EXTRACT_SQL
     ),
 }

@@ -61,10 +61,12 @@ def all_queries() -> dict[str, QuerySpec]:
     # Merge order is LOAD-BEARING: the driver's correctness gate records
     # only the first 50 registry entries in this insertion order. Round 1
     # verified relational/events/dedup/similarity-head; rounds 2-3 covered
-    # domain, mapping, text, streaming. Round 4 fronts the 25 keys no
-    # driver window has ever recorded (_ROUND4_FRONT), then 25 r1-verified
-    # relational/events keys for re-confirmation; everything else follows
-    # in module order. After r4 every registry key has driver evidence.
+    # domain, mapping, text, streaming; round 4 the 25 never-checked keys.
+    # Round 5 fronts the 9 keys broken by the r4 testdata regeneration
+    # (7 watermarked streaming + join_asof + mm_feature_extract, all fixed
+    # this round) followed by the 41 r3-vintage keys the regenerated
+    # environment has never re-confirmed; everything else follows in
+    # module order.
     merged: dict[str, QuerySpec] = {}
     for mod in (
         domain,
@@ -83,8 +85,8 @@ def all_queries() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query id {name!r}")
             merged[name] = spec
 
-    front = [k for k in _ROUND4_FRONT if k in merged]
-    missing = [k for k in _ROUND4_FRONT if k not in merged]
+    front = [k for k in _ROUND5_FRONT if k in merged]
+    missing = [k for k in _ROUND5_FRONT if k not in merged]
     if missing:
         raise ValueError(f"front-ordered keys missing from registry: {missing}")
     ordered = {k: merged[k] for k in front}
@@ -92,9 +94,71 @@ def all_queries() -> dict[str, QuerySpec]:
     return ordered
 
 
-# First 50 slots of the driver's correctness window: 25 keys never checked
-# in any of rounds 1-3 (verified against CORRECTNESS_r0{1,2,3}.json), then
-# 25 r1-hash-green keys re-confirmed for stability.
+# First 50 slots of the driver's correctness window for round 5:
+# the 9 keys broken by the r4 testdata regeneration (fixed this round —
+# events.ts NTZ normalization + mm_feature_extract canonicalizable
+# surface), then the r3-vintage keys whose last driver check predates the
+# regeneration, most-data-sensitive first (text/documents before
+# fixture-backed domain/mapping). Two fixture-only r3-green keys
+# (src_csv_ground_truths, sink_csv_stations) overflow past slot 50 —
+# they read in-repo fixtures the driver never regenerates.
+_ROUND5_FRONT = [
+    # broken-in-r4, fixed-in-r5 (9)
+    "stream_tumbling",
+    "stream_session",
+    "stream_sliding",
+    "stream_dedup",
+    "stream_dedup_then_window",
+    "stream_stream_join",
+    "ext_stream_window",
+    "join_asof",
+    "mm_feature_extract",
+    # r3-vintage, documents-table-backed (data-sensitive) (8)
+    "text_token_count",
+    "text_rolling_hash",
+    "ext_text_stats",
+    "text_quality",
+    "text_lang_guess",
+    "text_fingerprint",
+    "text_bigrams_top",
+    "text_tfidf_top",
+    # r3-vintage fixture/domain/mapping block (33)
+    "proj_sensor_flag",
+    "filt_band_cardinality",
+    "filt_metadata_keys",
+    "filt_skip_first",
+    "filt_load_errors",
+    "agg_minmax_scene_dates",
+    "src_dir_listing",
+    "src_station_txt",
+    "src_json_metadata",
+    "proj_scene_date_parse",
+    "join_scene_assets",
+    "join_gt_lookup",
+    "join_station_dim",
+    "map_bt_pixels",
+    "map_concat_features",
+    "domain_pipeline_summary",
+    "filt_sentinel_gt",
+    "agg_domain_grouped",
+    "src_pt_tensor",
+    "proj_scene_id_from_filename",
+    "proj_date_parts_csv",
+    "join_zip_positional",
+    "agg_count",
+    "agg_ratio",
+    "map_cast_double",
+    "map_str_to_float",
+    "map_dn_to_radiance",
+    "map_bt_l5",
+    "map_bt_l89",
+    "map_band_remap_l8",
+    "map_coeff_vector",
+    "map_k_coeffs",
+    "map_flatten",
+]
+
+# Historical r4 order kept for reference (drove CORRECTNESS_r04).
 _ROUND4_FRONT = [
     # never driver-checked (21 oracled + 4 rows-only by design)
     "stream_stateful_user_totals",

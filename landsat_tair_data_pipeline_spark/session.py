@@ -22,8 +22,11 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # events.parquet stores TIMESTAMP(NANOS); Spark has no ns timestamp,
-    # so read as long and convert (tables.table handles the div-1000).
+    # Data-vintage robustness: older driver testdata stored events.ts as
+    # TIMESTAMP(NANOS) (Spark has no ns timestamp → read as long; kept
+    # harmless for current timestamp[us] data); current data reads as
+    # TIMESTAMP_NTZ. Both are normalized to TIMESTAMP in
+    # sources.tables._normalize_event_ts.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -35,9 +35,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # TIMESTAMP(NANOS) parquet read as long via
-        # spark.sql.legacy.parquet.nanosAsLong; integer div keeps the
-        # conversion lossless (the data's sub-µs part is zero).
+    if name == "events":
+        df = _normalize_event_ts(df)
+    return df
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TIMESTAMP (with local time zone)
+    regardless of the driver data vintage:
+
+    - ``timestamp[us]`` parquet → Spark reads TIMESTAMP_NTZ; cast to
+      TIMESTAMP is lossless under the UTC session pin (session.py) and
+      restores ``withWatermark`` / ``unix_micros`` compatibility.
+    - TIMESTAMP(NANOS) parquet → read as long via
+      ``spark.sql.legacy.parquet.nanosAsLong``; integer div keeps the
+      conversion lossless (the data's sub-µs part is zero).
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif isinstance(dt, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df

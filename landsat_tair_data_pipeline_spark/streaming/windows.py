@@ -32,25 +32,22 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType
-
 from ..registry import QuerySpec
+from ..sources.tables import _normalize_event_ts
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table. Schema comes from one
     batch footer read (file streams require an explicit schema); the
-    TIMESTAMP(NANOS) → long → timestamp conversion mirrors
-    sources.tables.table."""
+    ts normalization (NTZ → TIMESTAMP, or nanos-long → TIMESTAMP)
+    mirrors sources.tables.table so watermarks always see TIMESTAMP."""
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(raw.schema["ts"].dataType, LongType):
-        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return raw
+    return _normalize_event_ts(raw)
 
 
 def run_to_memory(

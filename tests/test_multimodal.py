@@ -16,6 +16,7 @@ from landsat_tair_data_pipeline_spark.operators.multimodal import (
     media_table,
     mm_decode_stats,
     mm_feature_extract,
+    mm_feature_vectors,
     mm_type_summary,
 )
 
@@ -49,7 +50,7 @@ def test_decode_stats_match_local(spark, sf_dir):
 def test_feature_extract_matches_numpy(spark, sf_dir):
     feats = {
         r["doc_id"]: r["features"]
-        for r in mm_feature_extract(spark, sf_dir).collect()
+        for r in mm_feature_vectors(spark, sf_dir).collect()
     }
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
@@ -59,6 +60,19 @@ def test_feature_extract_matches_numpy(spark, sf_dir):
         got = feats[r["doc_id"]]
         assert len(got) == HIST_BINS
         assert np.allclose(got, want)
+
+
+def test_feature_extract_surface_is_scalar_and_dense(spark, sf_dir):
+    """Registry surface: (doc_id, bin_idx, value) scalar rows, all
+    HIST_BINS bins per doc (zero bins included), values summing to ~1."""
+    rows = mm_feature_extract(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs * HIST_BINS
+    by_doc: dict[int, float] = {}
+    for r in rows:
+        assert 0 <= r["bin_idx"] < HIST_BINS
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0.0) + r["value"]
+    assert all(abs(s - 1.0) < 1e-3 for s in by_doc.values())
 
 
 def test_metadata_query_prunes_payload(spark, sf_dir):
