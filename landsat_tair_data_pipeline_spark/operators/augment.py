@@ -24,8 +24,11 @@ Scale notes:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..registry import QuerySpec
 from ..sources import landsat
@@ -190,8 +193,27 @@ def jitter_geo(
 # ---------------------------------------------------------------------------
 
 
+# Session-scoped memo for the assembled feature frame. The frame is
+# fixture-derived (no sf parameter) and deterministic within a session,
+# and its plan is expensive on BOTH sides: driver-side analysis of the
+# 365-element array assembly (~4 s) plus the radiometry/join execution
+# (~5 s) — rebuilt identically by every consumer otherwise. Weak keys:
+# the cache dies with its session, so a restarted session can't see
+# stale persisted blocks. The persisted frame is dimension-sized
+# (one row per qualified scene — thousands, not billions — even at
+# full reference cardinality), so MEMORY_AND_DISK is safe at scale.
+_FEATURES_MEMO: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _features_with_gt(spark: SparkSession) -> DataFrame:
-    """The qualified feature rows (same joins as map_concat_features)."""
+    """The qualified feature rows (same joins as map_concat_features),
+    memoized + persisted per SparkSession."""
+    cached = _FEATURES_MEMO.get(spark)
+    if cached is not None:
+        return cached
+
     from ..functions.features import assemble_features
     from ..functions.radiometry import to_brightness_temperature
 
@@ -207,7 +229,9 @@ def _features_with_gt(spark: SparkSession) -> DataFrame:
     # An explicit numPartitions is exempt from AQE coalescing; at real
     # scale the join output is too large to coalesce anyway.
     full = full.repartition(spark.sparkContext.defaultParallelism)
-    return assemble_features(full)
+    out = assemble_features(full).persist(StorageLevel.MEMORY_AND_DISK)
+    _FEATURES_MEMO[spark] = out
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..registry import QuerySpec
 from ..sources.tables import table
@@ -118,7 +119,12 @@ def _prefix_filter_pairs(
     # and both sides of the verify join-back); materializing it once on
     # the executors (linear in corpus size, stays distributed) beats
     # re-tokenizing per branch — measured 6.6s → 4.9s at sf0.1.
-    docs = docs.localCheckpoint()
+    # persist(MEMORY_AND_DISK), not localCheckpoint: same reuse, but
+    # lineage is kept (an executor loss recomputes the lost partitions
+    # instead of failing the job — localCheckpoint blocks are
+    # unreplicated) and memory pressure spills instead of pinning
+    # executor storage, which is the 100 TB-safe behavior.
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     tok = docs.select("doc_id", "source", "sz", F.explode("toks").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     # ceil(t·sz) in exact integer math: (t_num·sz + t_den - 1) div t_den
