@@ -67,6 +67,39 @@ def src_pt_tensor(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def src_pt_real(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed ingest of REAL torch.save .pt archives
+    (fixtures/pt_real, written in the genuine zipfile serialization by
+    tools/make_real_pt.py): binaryFile manifest → mapInPandas with the
+    default decoder — torch.load where available, else the torch-free
+    format reader (sources/torch_pt.py) — → pixel-long rows. Same
+    oracle as src_pt_tensor: the pixel parquet the archives derive
+    from, restricted to the probe scenes the pt_real dir holds. This
+    closes the reference's one previously-unexercised operator
+    (torch.load + permute, data_loader.py:131-132) with end-to-end
+    evidence in a torch-free environment."""
+    decoded = landsat.ingest_pt_tensors(
+        spark,
+        f"{FIXTURE_DIR}/pt_real",
+        scene_predicate=landsat.probe_scene(),
+    )
+    return (
+        decoded.select(
+            "scene_id",
+            "station_pos",
+            F.posexplode("bands").alias("band0", "grid"),
+        )
+        .select(
+            "scene_id", "station_pos", (F.col("band0") + 1).alias("band"),
+            F.posexplode("grid").alias("y", "row"),
+        )
+        .select(
+            "scene_id", "station_pos", "band", "y",
+            F.posexplode("row").alias("x", "dn"),
+        )
+    )
+
+
 _PT_SQL = """
 WITH stxt AS (
   SELECT scene_id, station_pos, station_id FROM (
@@ -555,6 +588,7 @@ JOIN mapped p342 ON s.scene_id = p342.scene_id AND s.station_id = p342.station_i
 
 QUERIES: dict[str, QuerySpec] = {
     "src_pt_tensor": QuerySpec("src_pt_tensor", src_pt_tensor, _PT_SQL),
+    "src_pt_real": QuerySpec("src_pt_real", src_pt_real, _PT_SQL),
     "proj_scene_id_from_filename": QuerySpec(
         "proj_scene_id_from_filename", proj_scene_id_from_filename, _SCENE_ID_SQL
     ),

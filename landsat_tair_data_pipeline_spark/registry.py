@@ -113,6 +113,8 @@ _ROUND5_FRONT = [
     "ext_stream_window",
     "join_asof",
     "mm_feature_extract",
+    # new in r5: real torch.save ingest via the torch-free reader
+    "src_pt_real",
     # r3-vintage, documents-table-backed (data-sensitive) (8)
     "text_token_count",
     "text_rolling_hash",
@@ -155,7 +157,6 @@ _ROUND5_FRONT = [
     "map_band_remap_l8",
     "map_coeff_vector",
     "map_k_coeffs",
-    "map_flatten",
 ]
 
 # Historical r4 order kept for reference (drove CORRECTNESS_r04).

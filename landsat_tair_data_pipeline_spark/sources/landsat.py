@@ -26,9 +26,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import MapType, StringType
 
-FIXTURE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "fixtures",
+# Env-overridable so the gated full-cardinality validation
+# (tools/fullcard_check.py) can point the whole engine — including the
+# oracle SQL strings that format this path in at import time — at a
+# 1,298-scene fixture set in a fresh process.
+FIXTURE_DIR = os.environ.get(
+    "SPARK_GRAFT_FIXTURE_DIR",
+    os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "fixtures",
+    ),
 )
 
 # PROBE SCENES: the fixtures model the reference's cardinality (120
@@ -151,21 +160,31 @@ def scene_pixels(spark: SparkSession, fixture_dir: str = FIXTURE_DIR) -> DataFra
     return spark.read.parquet(f"{fixture_dir}/scene_pixels.parquet")
 
 
-def _torch_pt_decoder(content: bytes) -> list:
-    """Default .pt decoder: torch.load + permute(1,0,2,3)
-    (data_loader.py:131-132) → nested (stations, bands, 7, 7) ints.
-    Torch isn't in this container — raises cleanly until the executor
-    image ships it."""
+def _real_pt_decoder(content: bytes) -> list:
+    """Default .pt decoder for REAL torch.save archives: decode +
+    permute(1,0,2,3) + int (data_loader.py:131-132) → nested
+    (stations, bands, 7, 7) ints. Uses torch.load when the executor
+    image ships torch; otherwise the torch-free reader of the same
+    public zipfile format (sources/torch_pt.py) — so the real ingest
+    path runs end to end in this container too."""
     import io
 
     try:
         import torch
-    except ImportError as exc:  # pragma: no cover - container has no torch
-        raise ImportError(
-            "torch is required for .pt ingestion; convert offline or "
-            "install torch on the executors"
-        ) from exc
-    return torch.load(io.BytesIO(content)).permute(1, 0, 2, 3).int().tolist()
+
+        t = torch.load(io.BytesIO(content), map_location="cpu")
+        return t.permute(1, 0, 2, 3).int().tolist()
+    except ImportError:
+        import numpy as np
+
+        from .torch_pt import load_pt
+
+        arr = load_pt(content)
+        return arr.transpose(1, 0, 2, 3).astype(np.int32).tolist()
+
+
+# Back-compat alias (pre-r5 name, when the path was torch-gated).
+_torch_pt_decoder = _real_pt_decoder
 
 
 def ingest_pt_tensors(

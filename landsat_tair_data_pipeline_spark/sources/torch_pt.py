@@ -1,0 +1,160 @@
+"""Torch-free reader for PyTorch's zipfile serialization format.
+
+``torch.save`` (default since torch 1.6) writes a ZIP archive:
+
+    <root>/data.pkl     pickle stream; tensors are pickled as a call of
+                        ``torch._utils._rebuild_tensor_v2(storage, ...)``
+                        where each storage is externalized through the
+                        pickle *persistent id* protocol as a tuple
+                        ``('storage', <StorageClass>, key, location, numel)``
+    <root>/data/<key>   the raw little-endian storage bytes
+    <root>/version      format version
+    <root>/byteorder    'little' (newer versions; optional)
+
+Everything above is public format knowledge (the torch.serialization
+source and the many independent loaders of it). This module decodes
+dense CPU tensors to numpy WITHOUT importing torch, which is exactly
+what the reference's ``torch.load(...).permute(1, 0, 2, 3)`` ingest
+(reference data_loader.py:131-132) needs on executors whose image does
+not ship torch: the engine's .pt ingest path stays runnable anywhere.
+
+Security: ``find_class`` is an allow-list — only the tensor-rebuild
+helpers, storage type markers, and containers needed to express plain
+(possibly nested) tensor payloads unpickle; any other global raises.
+That is MORE restrictive than ``torch.load`` with weights_only=True.
+
+Scope: dense little-endian CPU tensors (any of the standard numeric
+dtypes). Sparse/quantized layouts and the pre-1.6 non-zip stream raise
+``UnsupportedPtError`` with the reason named.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+import zipfile
+from collections import OrderedDict
+
+import numpy as np
+
+
+class UnsupportedPtError(ValueError):
+    """Raised for .pt payloads outside the dense-CPU-tensor scope."""
+
+
+_STORAGE_DTYPES: dict[str, np.dtype] = {
+    "DoubleStorage": np.dtype("<f8"),
+    "FloatStorage": np.dtype("<f4"),
+    "HalfStorage": np.dtype("<f2"),
+    "LongStorage": np.dtype("<i8"),
+    "IntStorage": np.dtype("<i4"),
+    "ShortStorage": np.dtype("<i2"),
+    "CharStorage": np.dtype("i1"),
+    "ByteStorage": np.dtype("u1"),
+    "BoolStorage": np.dtype("?"),
+    # untyped storages carry bytes; the dtype is applied at rebuild
+    "UntypedStorage": np.dtype("u1"),
+}
+
+
+class _StorageType:
+    """Marker returned by find_class for ``torch.<X>Storage`` globals."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.dtype = _STORAGE_DTYPES[name]
+
+    def __call__(self, *a, **k):  # never constructed in valid streams
+        raise UnsupportedPtError(f"direct construction of torch.{self.name}")
+
+
+def _rebuild_tensor_v2(
+    storage: np.ndarray,
+    storage_offset: int,
+    size: tuple,
+    stride: tuple,
+    requires_grad: bool = False,
+    backward_hooks=None,
+    metadata=None,
+) -> np.ndarray:
+    """numpy equivalent of torch._utils._rebuild_tensor_v2 for dense
+    tensors: strided view over the flat storage, copied out so the
+    result owns its memory."""
+    itemsize = storage.dtype.itemsize
+    byte_strides = tuple(int(s) * itemsize for s in stride)
+    base = storage[int(storage_offset):]
+    view = np.lib.stride_tricks.as_strided(
+        base, shape=tuple(int(d) for d in size), strides=byte_strides
+    )
+    return np.array(view)  # materialize: decouple from the mmap'd buffer
+
+
+def _rebuild_tensor(storage, storage_offset, size, stride):
+    return _rebuild_tensor_v2(storage, storage_offset, size, stride)
+
+
+_ALLOWED_REBUILDS = {
+    ("torch._utils", "_rebuild_tensor_v2"): _rebuild_tensor_v2,
+    ("torch._utils", "_rebuild_tensor"): _rebuild_tensor,
+}
+
+_ALLOWED_CONTAINERS = {
+    ("collections", "OrderedDict"): OrderedDict,
+    ("builtins", "list"): list,
+    ("builtins", "dict"): dict,
+    ("builtins", "tuple"): tuple,
+    ("builtins", "set"): set,
+}
+
+
+class _PtUnpickler(pickle.Unpickler):
+    def __init__(self, file, zf: zipfile.ZipFile, prefix: str):
+        super().__init__(file)
+        self._zf = zf
+        self._prefix = prefix
+
+    def find_class(self, module: str, name: str):
+        if (module, name) in _ALLOWED_REBUILDS:
+            return _ALLOWED_REBUILDS[(module, name)]
+        if (module, name) in _ALLOWED_CONTAINERS:
+            return _ALLOWED_CONTAINERS[(module, name)]
+        if module == "torch" and name in _STORAGE_DTYPES:
+            return _StorageType(name)
+        raise UnsupportedPtError(
+            f"blocked global {module}.{name} — only dense-tensor globals "
+            "unpickle (allow-list, stricter than weights_only)"
+        )
+
+    def persistent_load(self, pid):
+        if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
+            raise UnsupportedPtError(f"unknown persistent id {pid!r}")
+        _, storage_type, key, location, _numel = pid
+        if not str(location).startswith("cpu"):
+            raise UnsupportedPtError(f"non-CPU storage location {location!r}")
+        raw = self._zf.read(f"{self._prefix}data/{key}")
+        dtype = (
+            storage_type.dtype
+            if isinstance(storage_type, _StorageType)
+            else np.dtype("u1")
+        )
+        return np.frombuffer(raw, dtype=dtype)
+
+
+def load_pt(data: bytes):
+    """Decode a ``torch.save`` zip archive to numpy (tensor → ndarray;
+    containers of tensors keep their structure)."""
+    bio = io.BytesIO(data)
+    if not zipfile.is_zipfile(bio):
+        raise UnsupportedPtError(
+            "not a zip archive — pre-1.6 legacy torch streams are out of "
+            "scope; re-save with the (default) zipfile serialization"
+        )
+    with zipfile.ZipFile(bio) as zf:
+        pkl = [n for n in zf.namelist() if n.endswith("data.pkl")]
+        if len(pkl) != 1:
+            raise UnsupportedPtError(
+                f"expected exactly one data.pkl in archive, found {pkl}"
+            )
+        prefix = pkl[0][: -len("data.pkl")]
+        with zf.open(pkl[0]) as f:
+            return _PtUnpickler(f, zf, prefix).load()

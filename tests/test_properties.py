@@ -125,8 +125,60 @@ def test_pt_ingest_plumbing(spark, tmp_path):
     assert by_key[("LC08_A", 1)] == want
 
 
-def test_real_pt_decoder_is_gated():
-    from landsat_tair_data_pipeline_spark.sources.landsat import _torch_pt_decoder
+def test_real_pt_decoder_rejects_non_pt_bytes():
+    from landsat_tair_data_pipeline_spark.sources.landsat import _real_pt_decoder
+    from landsat_tair_data_pipeline_spark.sources.torch_pt import (
+        UnsupportedPtError,
+    )
 
-    with pytest.raises(ImportError, match="torch"):
-        _torch_pt_decoder(b"\x00")
+    with pytest.raises(UnsupportedPtError, match="zip"):
+        _real_pt_decoder(b"\x00")
+
+
+def test_real_pt_decoder_decodes_fixture_without_torch():
+    """The default decoder handles REAL torch.save-format archives in
+    this torch-free container (sources/torch_pt.py fallback)."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from landsat_tair_data_pipeline_spark.sources.landsat import (
+        FIXTURE_DIR,
+        _real_pt_decoder,
+    )
+
+    paths = sorted(glob.glob(os.path.join(FIXTURE_DIR, "pt_real", "*.pt")))
+    assert paths, "pt_real fixtures missing — run tools/make_real_pt.py"
+    with open(paths[0], "rb") as f:
+        nested = _real_pt_decoder(f.read())
+    arr = np.array(nested)
+    assert arr.ndim == 4 and arr.shape[2:] == (7, 7)
+    assert arr.shape[1] in (7, 11)  # post-permute (stations, bands, 7, 7)
+    assert arr.dtype.kind == "i"
+
+
+def test_torch_pt_blocks_arbitrary_globals():
+    """The allow-list unpickler must refuse non-tensor globals — the
+    classic pickle RCE shape (os.system) raises, not executes."""
+    import io
+    import pickle
+    import zipfile
+
+    from landsat_tair_data_pipeline_spark.sources.torch_pt import (
+        UnsupportedPtError,
+        load_pt,
+    )
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, ("true",))
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("x/data.pkl", pickle.dumps(Evil()))
+        zf.writestr("x/version", "3")
+    with pytest.raises(UnsupportedPtError, match="blocked global"):
+        load_pt(buf.getvalue())

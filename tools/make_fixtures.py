@@ -55,7 +55,17 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+# Output dir + generated-scene count are env-overridable so the same
+# generator produces BOTH the in-repo ~120-scene fixtures (default) and
+# a full reference-cardinality set (8 traps + 1290 generated = 1,298
+# scenes, matching BASELINE.md) for the gated full-scale validation run
+# (tools/fullcard_check.py).
+ROOT = os.environ.get(
+    "SPARK_GRAFT_FIXTURE_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+    ),
+)
 
 TRAP_SCENES = [
     # (scene_id, n_bands, has_metadata, has_thermal)
@@ -72,7 +82,7 @@ TRAP_SCENES = [
 TRAP_STATION_IDS = [2, 6, 8, 10, 13, 16, 21, 28, 29, 30, 41, 42]
 MISSING_FROM_DIM = 99  # appears in scene lists, absent from stations.csv
 
-N_GEN_SCENES = 112
+N_GEN_SCENES = int(os.environ.get("SPARK_GRAFT_FIXTURE_SCENES", "112"))
 STATIONS_PER_SCENE = (23, 93)  # reference: 23-93 (BASELINE.md)
 N_DIM_STATIONS = 170  # reference: 170 (config.py:34-205)
 
@@ -91,13 +101,23 @@ def generated_scenes(rng: random.Random) -> list[tuple[str, int, bool, bool]]:
     sensors = [("LT05", 7), ("LC08", 11), ("LC09", 11)]
     for i in range(N_GEN_SCENES):
         prefix, n_bands = sensors[i % 3]
-        path = 170 + (i % 12)
+        if i < 112:
+            path = 170 + (i % 12)
+            day = 3 if i % 14 == 0 else 1 + (i * 11) % 28
+        else:
+            # Beyond the default 112 the original (path, day) formula
+            # repeats with period lcm(...)=336 → duplicate scene_ids at
+            # full cardinality. Disjoint path range (1xx vs 17x) keyed
+            # by i//28 with day = 1+i%28 makes every id unique while
+            # leaving the first 112 (and thus the committed fixtures)
+            # byte-identical. day==3 probe scenes recur every 28.
+            path = 100 + (i // 28) % 70
+            day = 1 + i % 28
         row = 30 + (i * 7) % 16
         year = 2009 + (i * 5) % 15
         if prefix == "LT05":
             year = min(year, 2011)  # L5 decommissioned era, keep plausible
         month = 1 + (i * 3) % 12
-        day = 3 if i % 14 == 0 else 1 + (i * 11) % 28
         proc_year = min(year + 1, 2023)
         scene_id = (
             f"{prefix}_L1TP_{path:03d}{row:03d}_{year:04d}{month:02d}{day:02d}"

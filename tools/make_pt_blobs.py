@@ -18,8 +18,11 @@ import os
 import numpy as np
 import pyarrow.parquet as pq
 
-ROOT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+ROOT = os.environ.get(
+    "SPARK_GRAFT_FIXTURE_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+    ),
 )
 
 
