@@ -24,16 +24,22 @@ Scale notes:
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..registry import QuerySpec
 from ..sources import landsat
 from ..sources.landsat import FIXTURE_DIR
-from .domain import _META, _RADPX, _GT1, _SCENE_DATES, _scene_dates, _gt_first_match, _valid_scene_base
+from .domain import (
+    _GT1,
+    _META,
+    _RADPX,
+    _SCENE_DATES,
+    _gt_first_match,
+    _scene_dates,
+    _valid_scene_base,
+    features_with_gt,
+)
 
 GRID = 7
 IMG_LEN = GRID * GRID * GRID  # 343
@@ -193,45 +199,12 @@ def jitter_geo(
 # ---------------------------------------------------------------------------
 
 
-# Session-scoped memo for the assembled feature frame. The frame is
-# fixture-derived (no sf parameter) and deterministic within a session,
-# and its plan is expensive on BOTH sides: driver-side analysis of the
-# 365-element array assembly (~4 s) plus the radiometry/join execution
-# (~5 s) — rebuilt identically by every consumer otherwise. Weak keys:
-# the cache dies with its session, so a restarted session can't see
-# stale persisted blocks. The persisted frame is dimension-sized
-# (one row per qualified scene — thousands, not billions — even at
-# full reference cardinality), so MEMORY_AND_DISK is safe at scale.
-_FEATURES_MEMO: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = (
-    weakref.WeakKeyDictionary()
-)
-
-
-def _features_with_gt(spark: SparkSession) -> DataFrame:
-    """The qualified feature rows (same joins as map_concat_features),
-    memoized + persisted per SparkSession."""
-    cached = _FEATURES_MEMO.get(spark)
-    if cached is not None:
-        return cached
-
-    from ..functions.features import assemble_features
-    from ..functions.radiometry import to_brightness_temperature
-
-    base = _scene_dates(to_brightness_temperature(_valid_scene_base(spark)))
-    gt1 = _gt_first_match(spark)
-    dim = landsat.stations_dim(spark)
-    full = base.join(gt1, ["yr", "mo", "dy", "station_id"]).join(
-        F.broadcast(dim), F.col("station_id") == dim.id
-    )
-    # AQE coalesces the few-MB join output to ONE partition; everything
-    # downstream (365-array assembly, per-row reductions) would then
-    # run single-task (measured 12-17s serial vs sub-second spread).
-    # An explicit numPartitions is exempt from AQE coalescing; at real
-    # scale the join output is too large to coalesce anyway.
-    full = full.repartition(spark.sparkContext.defaultParallelism)
-    out = assemble_features(full).persist(StorageLevel.MEMORY_AND_DISK)
-    _FEATURES_MEMO[spark] = out
-    return out
+# The assembled feature frame is shared with the domain suite —
+# domain.features_with_gt is session-memoized + persisted, so
+# aug_explode_4x / map_concat_features / domain_pipeline_summary all
+# reuse ONE materialization instead of each rebuilding the 365-array
+# assembly (~4 s analysis + ~5 s execution per rebuild).
+_features_with_gt = features_with_gt
 
 
 # ---------------------------------------------------------------------------

@@ -21,8 +21,11 @@ station scan (feature_extractor.py:98-103) becomes a broadcast join.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.features import assemble_features
 from ..functions.radiometry import (
@@ -361,11 +364,26 @@ FROM btpx WHERE {probe}
 """.format(meta=_META.strip(), radpx=_RADPX.strip(), probe=landsat.PROBE_SQL)
 
 
-def map_concat_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Full pipeline to 365-wide feature vectors; the checkable surface
-    is the vector length plus probes at every layout boundary
-    (SURVEY §1.6): first image value, first coefficient, K2, K1,
-    is_landsat_5, longitude, year — any remap/ordering bug moves one."""
+# Session-scoped memo for the assembled 365-feature frame — the most
+# expensive shared subplan in the domain suite (driver-side analysis of
+# the 365-element array assembly ~4 s + radiometry/join execution ~5 s),
+# consumed by map_concat_features / domain_pipeline_summary here and the
+# augmentation suite (augment._features_with_gt). Weak keys: the cache
+# dies with its session. The persisted frame is one row per qualified
+# (scene, station) — dimension-sized even at full reference cardinality
+# — so MEMORY_AND_DISK is safe at scale.
+_FEATURES_MEMO: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def features_with_gt(spark: SparkSession) -> DataFrame:
+    """Qualified (scene, station) rows with the assembled 365-feature
+    vector and ground-truth air_temp, memoized + persisted per
+    SparkSession."""
+    cached = _FEATURES_MEMO.get(spark)
+    if cached is not None:
+        return cached
     base = to_brightness_temperature(_valid_scene_base(spark))
     base = _scene_dates(base)
     gt1 = _gt_first_match(spark)
@@ -376,9 +394,21 @@ def map_concat_features(spark: SparkSession, sf: str) -> DataFrame:
     )
     # spread before the wide per-row projection — AQE would coalesce
     # this few-MB join output to one partition and serialize the
-    # 365-array assembly (see _features_with_gt in augment.py)
+    # 365-array assembly (measured 12-17s serial vs sub-second spread).
+    # An explicit numPartitions is exempt from AQE coalescing; at real
+    # scale the join output is too large to coalesce anyway.
     full = full.repartition(spark.sparkContext.defaultParallelism)
-    feat = assemble_features(full)
+    out = assemble_features(full).persist(StorageLevel.MEMORY_AND_DISK)
+    _FEATURES_MEMO[spark] = out
+    return out
+
+
+def map_concat_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Full pipeline to 365-wide feature vectors; the checkable surface
+    is the vector length plus probes at every layout boundary
+    (SURVEY §1.6): first image value, first coefficient, K2, K1,
+    is_landsat_5, longitude, year — any remap/ordering bug moves one."""
+    feat = features_with_gt(spark)
     f = F.col("features")
     return feat.select(
         "scene_id",
