@@ -409,6 +409,44 @@ SELECT 'test' AS split, c - CAST(FLOOR(c * 0.8) AS BIGINT) AS n_rows FROM n
 """
 
 
+def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact k-per-stratum sampling (the corpus-mixing primitive: take
+    exactly k docs per source). Selection key is a declared
+    multiplicative-hash permutation of doc_id (Knuth 2654435761 mod
+    2^32) rather than rand(): pseudo-random spread, but exactly
+    reproducible in any engine — so the oracle checks the SELECTED
+    ROWS, not just the counts.
+
+    Scale shape: one shuffle on the stratum key for the window rank;
+    k is small so the per-stratum sort is a bounded top-k
+    (WindowGroupLimit pushes rank <= k below the sort at the map
+    side). A skewed stratum degrades to one fat top-k task, not a
+    cross-product."""
+    k = 10
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", key.alias("sample_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("source", "doc_id", "sample_key", "rk")
+    )
+
+
+_STRATIFIED_SQL = """
+WITH keyed AS (
+  SELECT source, doc_id, (doc_id * 2654435761) % 4294967296 AS sample_key
+  FROM documents),
+ranked AS (
+  SELECT source, doc_id, sample_key,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY sample_key ASC, doc_id ASC) AS rk
+  FROM keyed)
+SELECT source, doc_id, sample_key, rk FROM ranked WHERE rk <= 10
+"""
+
+
 def aug_train_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """split → 4× augment the train slice ONLY → union test back
     (main.py:74-98; augmentation after split — the code wins over the
@@ -445,6 +483,9 @@ QUERIES: dict[str, QuerySpec] = {
     "aug_jitter_date": QuerySpec("aug_jitter_date", aug_jitter_date, None),
     "aug_geo_shift": QuerySpec("aug_geo_shift", aug_geo_shift, None),
     "split_train_test": QuerySpec("split_train_test", split_train_test, _SPLIT_SQL),
+    "sample_stratified": QuerySpec(
+        "sample_stratified", sample_stratified, _STRATIFIED_SQL
+    ),
     "aug_train_pipeline": QuerySpec(
         "aug_train_pipeline", aug_train_pipeline, _TRAIN_PIPELINE_SQL
     ),

@@ -336,6 +336,150 @@ FROM h GROUP BY rolling_hash
 """
 
 
+def _word_ngrams(n: int):
+    """Array of word n-grams (space-joined, lowercased) — pure
+    higher-order expressions, no shuffle, no Python."""
+    toks = TOKENS()
+    return F.when(F.size(toks) < n, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(n)]
+            ),
+        )
+    )
+
+
+def _ngrams_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"toks[i + {k}]" for k in range(n))
+    return (
+        f"CASE WHEN len(toks) < {n} THEN [] "
+        f"ELSE list_transform(generate_series(1, len(toks) - {n - 1}), "
+        f"i -> {parts}) END"
+    )
+
+
+CONTAM_N = 5  # n-gram order for the train/eval overlap check
+# deterministic eval slice: SQL-expressible in both engines, ~10% of docs
+_EVAL_PRED = "doc_id % 10 = 0"
+
+
+def text_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval contamination check (the pre-training hygiene op —
+    e.g. GPT-3 appendix C / PaLM-style n-gram overlap): for every doc
+    in the deterministic eval slice (doc_id % 10 = 0), the fraction of
+    its distinct word 5-grams that occur anywhere in the train slice.
+
+    Scale shape: explode → distinct on (doc, gram) for eval and on
+    gram for train (both linear shuffles with map-side combine), then
+    ONE hash join on the gram key + per-doc count aggregate. No corpus
+    broadcast, no driver collect; the gram key would be xxhash64'd at
+    100 TB (string keys kept here so the DuckDB oracle joins the
+    identical values)."""
+    docs = table(spark, sf, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams(CONTAM_N)).alias("gram")
+    )
+    eval_g = grams.where(F.expr(_EVAL_PRED)).distinct()
+    train_g = (
+        grams.where(~F.expr(_EVAL_PRED)).select("gram").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = eval_g.join(train_g, "gram", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("_hit").alias("n_contaminated"),
+        F.round(
+            F.count("_hit").cast("double") / F.count(F.lit(1)).cast("double")
+            + 1e-9,
+            4,
+        ).alias("contamination_rate"),
+    )
+
+
+_CONTAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, {toks} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, unnest({ngrams}) AS gram FROM tok),
+eval_g AS (
+  SELECT DISTINCT doc_id, gram FROM grams WHERE {eval_pred}),
+train_g AS (
+  SELECT DISTINCT gram FROM grams WHERE NOT ({eval_pred}))
+SELECT e.doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(t.gram) AS n_contaminated,
+       ROUND(CAST(COUNT(t.gram) AS DOUBLE) / COUNT(*) + 1e-9, 4)
+         AS contamination_rate
+FROM eval_g e LEFT JOIN train_g t ON e.gram = t.gram
+GROUP BY e.doc_id
+""".format(toks=_TOKS_SQL, ngrams=_ngrams_sql(CONTAM_N), eval_pred=_EVAL_PRED)
+
+
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition metrics (the Gopher/MassiveText
+    repetition filters, Rae et al. 2021 §A1.1): duplicate word-bigram
+    and word-trigram fractions plus the top single-token frequency
+    share. Shuffle-free — every metric is array arithmetic per row;
+    the filter verdict (is_repetitive) uses the Gopher-style 0.2 / 0.18
+    thresholds."""
+    docs = table(spark, sf, "documents")
+    toks = TOKENS()
+
+    def dup_frac(n):
+        g = _word_ngrams(n)
+        return F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
+            F.round(
+                (F.size(g) - F.size(F.array_distinct(g))).cast("double")
+                / F.size(g).cast("double")
+                + 1e-9,
+                4,
+            )
+        )
+
+    top_share = F.round(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ).cast("double")
+        / F.size(toks).cast("double")
+        + 1e-9,
+        4,
+    )
+    d2, d3 = dup_frac(2), dup_frac(3)
+    return docs.select(
+        "doc_id",
+        d2.alias("dup_bigram_frac"),
+        d3.alias("dup_trigram_frac"),
+        top_share.alias("top_token_share"),
+        ((d2 > 0.2) | (d3 > 0.18)).alias("is_repetitive"),
+    )
+
+
+_REPETITION_SQL = """
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks, {g2} AS g2, {g3} AS g3 FROM tok),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(g2) <= 0 THEN 0.0
+              ELSE ROUND(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                         / len(g2) + 1e-9, 4) END AS dup_bigram_frac,
+         CASE WHEN len(g3) <= 0 THEN 0.0
+              ELSE ROUND(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                         / len(g3) + 1e-9, 4) END AS dup_trigram_frac,
+         ROUND(CAST(list_max(list_transform(list_distinct(toks),
+                    t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+               / len(toks) + 1e-9, 4) AS top_token_share
+  FROM g)
+SELECT doc_id, dup_bigram_frac, dup_trigram_frac, top_token_share,
+       (dup_bigram_frac > 0.2 OR dup_trigram_frac > 0.18) AS is_repetitive
+FROM m
+""".format(toks=_TOKS_SQL, g2=_ngrams_sql(2), g3=_ngrams_sql(3))
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(
         "text_token_count", text_token_count, _TOKEN_COUNT_SQL
@@ -349,4 +493,10 @@ QUERIES: dict[str, QuerySpec] = {
     "text_fingerprint": QuerySpec("text_fingerprint", text_fingerprint, _FINGERPRINT_SQL),
     "text_bigrams_top": QuerySpec("text_bigrams_top", text_bigrams_top, _BIGRAMS_SQL),
     "text_tfidf_top": QuerySpec("text_tfidf_top", text_tfidf_top, _TFIDF_SQL),
+    "text_contamination": QuerySpec(
+        "text_contamination", text_contamination, _CONTAM_SQL
+    ),
+    "text_repetition": QuerySpec(
+        "text_repetition", text_repetition, _REPETITION_SQL
+    ),
 }

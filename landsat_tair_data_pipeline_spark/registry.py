@@ -113,8 +113,12 @@ _ROUND5_FRONT = [
     "ext_stream_window",
     "join_asof",
     "mm_feature_extract",
-    # new in r5: real torch.save ingest via the torch-free reader
+    # new in r5: real torch.save ingest via the torch-free reader,
+    # contamination/repetition hygiene ops, exact stratified sampling
     "src_pt_real",
+    "text_contamination",
+    "text_repetition",
+    "sample_stratified",
     # r3-vintage, documents-table-backed (data-sensitive) (8)
     "text_token_count",
     "text_rolling_hash",
@@ -154,9 +158,6 @@ _ROUND5_FRONT = [
     "map_dn_to_radiance",
     "map_bt_l5",
     "map_bt_l89",
-    "map_band_remap_l8",
-    "map_coeff_vector",
-    "map_k_coeffs",
 ]
 
 # Historical r4 order kept for reference (drove CORRECTNESS_r04).
