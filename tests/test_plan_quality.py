@@ -134,3 +134,32 @@ def test_topk_is_single_shuffle_window(spark):
 )
 def test_aggs_are_single_shuffle(spark, name):
     assert _shuffles(_plan(spark, name)) <= 1
+
+
+def test_stratified_sample_rank_pushes_to_map_side(spark):
+    """Exact k-per-stratum sampling must run as a bounded top-k: a
+    PARTIAL WindowGroupLimit before the stratum exchange (map-side
+    prune to k rows per stratum per task), one shuffle total, and a
+    scan pruned to the two consumed columns."""
+    plan = _plan(spark, "sample_stratified")
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert _shuffles(plan) == 1
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "text" not in m.group(1), m and m.group(1)
+
+
+def test_repetition_filter_is_shuffle_free_and_jvm_side(spark):
+    """Per-doc repetition metrics are narrow array arithmetic: zero
+    shuffles, no Python evaluation."""
+    plan = _plan(spark, "text_repetition")
+    assert _shuffles(plan) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_has_no_corpus_broadcast_hint(spark):
+    """The train-gram side is corpus-sized — it must never carry a
+    broadcast hint (AQE-chosen small-side broadcasts at test sf are
+    fine; a hint would pin the behavior at 100 TB)."""
+    df = SPECS["text_contamination"].fn(spark, SF)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "BROADCAST" not in logical
