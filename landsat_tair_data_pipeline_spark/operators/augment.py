@@ -177,12 +177,38 @@ def _meters_per_degree(lat: Column) -> tuple[Column, Column]:
     return lon_m, lat_m
 
 
+def _wgs84_deg_meters_cols(lat: Column) -> tuple[Column, Column]:
+    """Exact WGS-84 meters-per-degree (Vincenty inverse, matching the
+    reference's geopy calls — data_augmentation.py:69-99) as ONE
+    Arrow-batched pandas UDF over the latitude column. Python is
+    acceptable here because the only consumer evaluates it on the
+    stations DIMENSION (hundreds of rows at any fact scale); the
+    spherical JVM expression (_meters_per_degree) remains the
+    fact-scale fallback. Both getFields reference the same UDF
+    expression, which ExtractPythonUDFs deduplicates to one eval."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _kernel(lat_s):
+        import pandas as pd
+
+        from ..functions.geodesy import wgs84_deg_meters
+
+        lon_m, lat_m = wgs84_deg_meters(lat_s.to_numpy())
+        return pd.DataFrame({"lon_m": lon_m, "lat_m": lat_m})
+
+    _udf = pandas_udf(_kernel, "lon_m double, lat_m double")
+    g = _udf(lat)
+    return g.getField("lon_m"), g.getField("lat_m")
+
+
 def jitter_geo(
     lon: Column, lat: Column, max_shift_km: float, seed: int
 ) -> tuple[Column, Column]:
     """Random diagonal move, 5..max_shift_km per axis, one of four
-    directions (data_augmentation.py:110-134)."""
-    lon_m, lat_m = _meters_per_degree(lat)
+    directions (data_augmentation.py:110-134). Meters-per-degree
+    factors are exact WGS-84 geodesics (like the reference's geopy),
+    not the spherical approximation — see _wgs84_deg_meters_cols."""
+    lon_m, lat_m = _wgs84_deg_meters_cols(lat)
     direction = F.floor(F.rand(seed) * 4)  # 0=rb 1=lt 2=rt 3=lb
     dx = (F.lit(5.0) + F.rand(seed + 1) * F.lit(max_shift_km - 5.0)) * 1000.0
     dy = (F.lit(5.0) + F.rand(seed + 2) * F.lit(max_shift_km - 5.0)) * 1000.0

@@ -107,10 +107,10 @@ def test_geo_shift_spherical_vs_geodesic_divergence(spark):
       lon_m(φ) = 111412.84·cosφ − 93.5·cos3φ + 0.118·cos5φ
 
     Asserted bound: relative error < 0.35% per axis across the fixture
-    latitude band (29.5°-33°N) — i.e. a worst-case ≤ 70 m position
-    error on the largest 20 km jitter. Declared divergence, not a bug:
-    the jitter is a random augmentation whose magnitude band is the
-    contract, and SURVEY §2.8 records the spherical substitution."""
+    latitude band (29.5°-33°N). Since r5 the spherical form is only the
+    fact-scale FALLBACK — jitter_geo itself uses the exact WGS-84
+    Vincenty factors (test_jitter_geo_factors_are_wgs84_exact); this
+    test keeps the fallback's declared divergence pinned."""
     from landsat_tair_data_pipeline_spark.operators.augment import (
         _meters_per_degree,
     )
@@ -156,3 +156,52 @@ def test_exact_split_deterministic(spark):
     a = sorted(map(tuple, exact_split(df, seed=9).collect()))
     b = sorted(map(tuple, exact_split(df, seed=9).collect()))
     assert a == b
+
+
+def test_jitter_geo_factors_are_wgs84_exact(spark):
+    """r5: jitter_geo's meters-per-degree are now true WGS-84 geodesics
+    (Vincenty inverse — functions/geodesy.py), matching the reference's
+    geopy calls (data_augmentation.py:69-99) instead of the spherical
+    approximation. Oracle: the public WGS-84 arc-length series — the
+    1°-span distance φ→φ+1 equals the instantaneous series at the
+    midpoint to sub-meter, and the parallel-vs-geodesic lon difference
+    is also sub-meter at these latitudes, so 1e-4 relative bounds both
+    (vs 0.35% for the old spherical stand-in — a 35× tightening)."""
+    import math
+
+    from landsat_tair_data_pipeline_spark.operators.augment import (
+        _wgs84_deg_meters_cols,
+    )
+
+    def series_lat_m(phi):
+        r = math.radians(phi)
+        return (
+            111132.954
+            - 559.822 * math.cos(2 * r)
+            + 1.175 * math.cos(4 * r)
+            - 0.0023 * math.cos(6 * r)
+        )
+
+    def series_lon_m(phi):
+        r = math.radians(phi)
+        return (
+            111412.84 * math.cos(r)
+            - 93.5 * math.cos(3 * r)
+            + 0.118 * math.cos(5 * r)
+        )
+
+    lats = [29.5, 31.0, 33.0]
+    df = spark.createDataFrame([(lat,) for lat in lats], "lat double")
+    lon_m, lat_m = _wgs84_deg_meters_cols(F.col("lat"))
+    got = {
+        r["lat"]: (r["lon_m"], r["lat_m"])
+        for r in df.select(
+            "lat", lon_m.alias("lon_m"), lat_m.alias("lat_m")
+        ).collect()
+    }
+    for lat in lats:
+        g_lon, g_lat = got[lat]
+        exp_lon = series_lon_m(lat)
+        exp_lat = series_lat_m(lat + 0.5)  # midpoint == 1°-span distance
+        assert abs(g_lon - exp_lon) / exp_lon < 1e-4, (lat, g_lon, exp_lon)
+        assert abs(g_lat - exp_lat) / exp_lat < 1e-4, (lat, g_lat, exp_lat)
