@@ -562,6 +562,83 @@ JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl GROUP BY cluster_id) 
 """.format(pair_ctes=_PAIR_CTES.strip())
 
 
+def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup retention policy: cluster the 0.4-jaccard duplicate
+    graph (dedup_clusters) and keep ONE representative per cluster —
+    the highest alpha_ratio (the quality heuristic from text_quality),
+    ties to the lowest doc_id. Docs outside any cluster keep
+    themselves. This is the real pipeline composition (dedup doesn't
+    end at pair lists — something must pick the survivors), emitted
+    per-doc so the drop set is auditable.
+
+    Scale shape: the cluster frame is the CC output (linear), quality
+    is a narrow map, and the keeper choice is one bounded window per
+    cluster_id — no new quadratic stage on top of the pair join."""
+    clusters = dedup_clusters(spark, sf).select("doc_id", "cluster_id")
+    quality = (
+        table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.round(
+                F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast(
+                    "double"
+                )
+                / F.length("text").cast("double")
+                + 1e-9,
+                4,
+            ).alias("alpha_ratio"),
+        )
+    )
+    labeled = quality.join(clusters, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("alpha_ratio"), F.asc("doc_id")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        "alpha_ratio",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+        F.first("doc_id").over(wf).alias("keeper_doc_id"),
+    )
+
+
+_KEEP_BEST_SQL = """
+WITH RECURSIVE {pair_ctes},
+sym AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.4
+        UNION ALL
+        SELECT doc_b, doc_a FROM p WHERE jaccard >= 0.4),
+reach(src, dst) AS (
+  SELECT doc_a, doc_b FROM sym
+  UNION
+  SELECT r.src, s.doc_b FROM reach r JOIN sym s ON r.dst = s.doc_a),
+lbl AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+  FROM reach GROUP BY src),
+q AS (
+  SELECT doc_id,
+         ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    AS DOUBLE) / length(text) + 1e-9, 4) AS alpha_ratio
+  FROM documents),
+labeled AS (
+  SELECT q.doc_id, COALESCE(l.cluster_id, q.doc_id) AS cluster_id,
+         q.alpha_ratio
+  FROM q LEFT JOIN lbl l ON q.doc_id = l.doc_id)
+SELECT doc_id, cluster_id, alpha_ratio,
+       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                          ORDER BY alpha_ratio DESC, doc_id ASC) = 1
+         AS is_kept,
+       FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+                                 ORDER BY alpha_ratio DESC, doc_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING)
+         AS keeper_doc_id
+FROM labeled
+""".format(pair_ctes=_PAIR_CTES.strip())
+
+
 def pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Sequence packing for LLM training batches: the corpus token
     stream is concatenated in doc_id order and split into
@@ -760,6 +837,9 @@ QUERIES: dict[str, QuerySpec] = {
         "dedup_ngram_jaccard", dedup_ngram_jaccard, _NGRAM_SQL
     ),
     "dedup_clusters": QuerySpec("dedup_clusters", dedup_clusters, _CLUSTERS_SQL),
+    "dedup_keep_best": QuerySpec(
+        "dedup_keep_best", dedup_keep_best, _KEEP_BEST_SQL
+    ),
     "dedup_embedding_cosine": QuerySpec(
         "dedup_embedding_cosine", dedup_embedding_cosine, _EMB_COSINE_SQL
     ),
