@@ -354,6 +354,60 @@ FROM p
 """
 
 
+def sink_parquet_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    """Partitioned parquet sink + pruned read-back — the 100 TB fact
+    layout in miniature: events written `partitionBy(event_date)`,
+    sorted within partitions by ts (row-group locality for time-range
+    scans), then read back with a partition-column predicate that must
+    prune at the MANIFEST level (PartitionFilters, pinned in
+    tests/test_plan_quality.py). The checkable surface is the per-day
+    counts of the pruned read. The scratch dir is content-addressed by
+    the source data vintage so regenerated testdata can't silently
+    read back a stale write (mode('ignore') + same path)."""
+    import hashlib
+    import os as _os
+
+    src = f"{sf}/events.parquet"
+    stat = _os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{stat.st_size}:{stat.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    out_dir = _os.path.join("/root/repo/.scratch", f"events_part_{tag}")
+
+    ev = table(spark, sf, "events").withColumn("event_date", F.to_date("ts"))
+    (
+        ev.repartition("event_date")
+        .sortWithinPartitions("ts")
+        .write.mode("ignore")
+        .partitionBy("event_date")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    return (
+        back.where(F.dayofmonth("event_date") <= 3)
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("event_date").cast("string").alias("event_date"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+_SINK_PART_SQL = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+WHERE EXTRACT(day FROM ts) <= 3
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec("events_tumbling", events_tumbling, _TUMBLING_SQL),
     "events_sliding": QuerySpec("events_sliding", events_sliding, _SLIDING_SQL),
@@ -371,4 +425,7 @@ QUERIES: dict[str, QuerySpec] = {
     # driver's correctness window keeps covering the planned surface
     "join_asof": QuerySpec("join_asof", join_asof, _ASOF_SQL),
     "events_funnel": QuerySpec("events_funnel", events_funnel, _FUNNEL_SQL),
+    "sink_parquet_partitioned": QuerySpec(
+        "sink_parquet_partitioned", sink_parquet_partitioned, _SINK_PART_SQL
+    ),
 }

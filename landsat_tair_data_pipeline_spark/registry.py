@@ -120,6 +120,7 @@ _ROUND5_FRONT = [
     "text_repetition",
     "sample_stratified",
     "dedup_keep_best",
+    "sink_parquet_partitioned",
     # r3-vintage, documents-table-backed (data-sensitive) (8)
     "text_token_count",
     "text_rolling_hash",
@@ -157,7 +158,6 @@ _ROUND5_FRONT = [
     "map_cast_double",
     "map_str_to_float",
     "map_dn_to_radiance",
-    "map_bt_l5",
 ]
 
 # Historical r4 order kept for reference (drove CORRECTNESS_r04).

@@ -163,3 +163,14 @@ def test_contamination_has_no_corpus_broadcast_hint(spark):
     df = SPECS["text_contamination"].fn(spark, SF)
     logical = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in logical and "BROADCAST" not in logical
+
+
+def test_partitioned_sink_readback_prunes_partitions(spark):
+    """The read-back of the partitioned events sink must prune at the
+    manifest level: the day-of-month predicate appears as a
+    PartitionFilter on the scan, so only matching event_date dirs are
+    read — the 100 TB time-range-scan pattern."""
+    df = SPECS["sink_parquet_partitioned"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "dayofmonth" in m.group(1), plan[:600]
