@@ -48,6 +48,14 @@ HEADLINE = [
     # stay comparable
     "join_asof",
     "pack_chunks",
+    # r5 additions (append-only). dedup_keep_best/dedup_clusters stay
+    # out: iterative CC whose dominant cost (the jaccard pair join) is
+    # already measured by dedup_jaccard_pairs.
+    "src_pt_real",
+    "text_contamination",
+    "text_repetition",
+    "sample_stratified",
+    "sink_parquet_partitioned",
 ]
 
 

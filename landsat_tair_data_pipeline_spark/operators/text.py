@@ -376,7 +376,13 @@ def text_contamination(spark: SparkSession, sf: str) -> DataFrame:
     broadcast, no driver collect; the gram key would be xxhash64'd at
     100 TB (string keys kept here so the DuckDB oracle joins the
     identical values)."""
-    docs = table(spark, sf, "documents")
+    # spread the n-gram construction: the documents scan is one split at
+    # test scale and gram-building (5 concats per position) is the CPU
+    # cost; at 100 TB the source is already many splits and this
+    # repartition is a no-op cost-wise relative to the explode volume
+    docs = table(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     grams = docs.select(
         "doc_id", F.explode(_word_ngrams(CONTAM_N)).alias("gram")
     )
@@ -420,48 +426,76 @@ def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Within-document repetition metrics (the Gopher/MassiveText
     repetition filters, Rae et al. 2021 §A1.1): duplicate word-bigram
     and word-trigram fractions plus the top single-token frequency
-    share. Shuffle-free — every metric is array arithmetic per row;
-    the filter verdict (is_repetitive) uses the Gopher-style 0.2 / 0.18
-    thresholds."""
-    docs = table(spark, sf, "documents")
-    toks = TOKENS()
+    share; the filter verdict (is_repetitive) uses the Gopher-style
+    0.2 / 0.18 thresholds.
 
-    def dup_frac(n):
-        g = _word_ngrams(n)
-        return F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
-            F.round(
-                (F.size(g) - F.size(F.array_distinct(g))).cast("double")
-                / F.size(g).cast("double")
-                + 1e-9,
-                4,
+    Shape: every metric is explode → hash-aggregate — all codegen, all
+    linear, map-side partial combines, ~3 shuffles on doc_id. The
+    tempting shuffle-free array forms are traps, both measured at
+    sf0.1 over 5k docs: per-row `filter` inside `transform` is
+    O(|toks|²) interpreted (81 s), and even `array_distinct` over
+    STRING n-gram arrays degrades to a quadratic equality scan (the
+    long-array hash-set path is linear — strings aren't primitive).
+    The n-grams are xxhash64'd at construction so the distinct-count
+    runs on longs; the oracle counts distinct strings (identical modulo
+    ~1e-9/corpus 64-bit collisions, same argument as
+    dedup_jaccard_pairs). The repartition spreads the projection off
+    the single source split at test scale (no-op at real scale)."""
+    docs = table(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        g = F.transform(_word_ngrams(n), lambda s: F.xxhash64(s))
+        return (
+            docs.select("doc_id", F.explode(g).alias("g"))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.count_distinct("g").alias("dst"),
+            )
+            .select(
+                "doc_id",
+                F.round(
+                    (F.col("cnt") - F.col("dst")).cast("double")
+                    / F.col("cnt").cast("double")
+                    + 1e-9,
+                    4,
+                ).alias(f"dup_{n}"),
             )
         )
 
-    top_share = F.round(
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda t: F.size(F.filter(toks, lambda x: x == t)),
-            )
-        ).cast("double")
-        / F.size(toks).cast("double")
-        + 1e-9,
-        4,
+    tok_counts = (
+        docs.select("doc_id", F.explode(TOKENS()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    d2, d3 = dup_frac(2), dup_frac(3)
-    return docs.select(
-        "doc_id",
-        d2.alias("dup_bigram_frac"),
-        d3.alias("dup_trigram_frac"),
-        top_share.alias("top_token_share"),
-        ((d2 > 0.2) | (d3 > 0.18)).alias("is_repetitive"),
+    top = tok_counts.groupBy("doc_id").agg(
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double") + 1e-9, 4
+        ).alias("top_token_share")
+    )
+    base = docs.select("doc_id")
+    d2 = F.coalesce(F.col("dup_2"), F.lit(0.0))
+    d3 = F.coalesce(F.col("dup_3"), F.lit(0.0))
+    return (
+        base.join(gram_counts(2), "doc_id", "left")
+        .join(gram_counts(3), "doc_id", "left")
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            d2.alias("dup_bigram_frac"),
+            d3.alias("dup_trigram_frac"),
+            "top_token_share",
+            ((d2 > 0.2) | (d3 > 0.18)).alias("is_repetitive"),
+        )
     )
 
 
 _REPETITION_SQL = """
 WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
 g AS (
-  SELECT doc_id, toks, {g2} AS g2, {g3} AS g3 FROM tok),
+  SELECT doc_id, {g2} AS g2, {g3} AS g3 FROM tok),
 m AS (
   SELECT doc_id,
          CASE WHEN len(g2) <= 0 THEN 0.0
@@ -469,14 +503,20 @@ m AS (
                          / len(g2) + 1e-9, 4) END AS dup_bigram_frac,
          CASE WHEN len(g3) <= 0 THEN 0.0
               ELSE ROUND(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
-                         / len(g3) + 1e-9, 4) END AS dup_trigram_frac,
-         ROUND(CAST(list_max(list_transform(list_distinct(toks),
-                    t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
-               / len(toks) + 1e-9, 4) AS top_token_share
-  FROM g)
-SELECT doc_id, dup_bigram_frac, dup_trigram_frac, top_token_share,
+                         / len(g3) + 1e-9, 4) END AS dup_trigram_frac
+  FROM g),
+cnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok)
+  GROUP BY doc_id, tok),
+top AS (
+  SELECT doc_id,
+         ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c) + 1e-9, 4)
+           AS top_token_share
+  FROM cnt GROUP BY doc_id)
+SELECT m.doc_id, dup_bigram_frac, dup_trigram_frac, top_token_share,
        (dup_bigram_frac > 0.2 OR dup_trigram_frac > 0.18) AS is_repetitive
-FROM m
+FROM m JOIN top ON m.doc_id = top.doc_id
 """.format(toks=_TOKS_SQL, g2=_ngrams_sql(2), g3=_ngrams_sql(3))
 
 

@@ -148,12 +148,17 @@ def test_stratified_sample_rank_pushes_to_map_side(spark):
     assert m and "text" not in m.group(1), m and m.group(1)
 
 
-def test_repetition_filter_is_shuffle_free_and_jvm_side(spark):
-    """Per-doc repetition metrics are narrow array arithmetic: zero
-    shuffles, no Python evaluation."""
+def test_repetition_filter_is_linear_and_jvm_side(spark):
+    """Per-doc repetition metrics: dup fractions are narrow array
+    arithmetic; top_token_share is ONE linear token shuffle with a
+    partial (map-side) aggregate — never the O(|toks|²) per-row
+    filter-per-distinct-token form (measured 81 s vs ~1 s at sf0.1).
+    No Python evaluation, no quadratic HOF (`filter(` inside
+    `transform(`)."""
     plan = _plan(spark, "text_repetition")
-    assert _shuffles(plan) == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "filter(lambdafunction" not in plan.replace(" ", "").lower()
 
 
 def test_contamination_has_no_corpus_broadcast_hint(spark):
