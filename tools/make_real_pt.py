@@ -48,8 +48,12 @@ ROOT = os.environ.get(
 PROBE_DAY = "03"
 
 
-def _install_torch_stubs():
-    """Minimal module stubs so pickle writes torch global refs."""
+def _build_torch_stubs():
+    """Stub modules carrying the globals pickle must reference. Built
+    eagerly; installed into sys.modules ONLY while dumping (see
+    _stubs_in_sys_modules) — a process-wide stub `torch` would break
+    every `import torch` feature probe elsewhere (e.g. the ingest
+    decoder's torch.load fast-path)."""
     torch = types.ModuleType("torch")
     utils = types.ModuleType("torch._utils")
 
@@ -60,23 +64,72 @@ def _install_torch_stubs():
     _rebuild_tensor_v2.__qualname__ = "_rebuild_tensor_v2"
     utils._rebuild_tensor_v2 = _rebuild_tensor_v2
 
-    storage_cls = type("FloatStorage", (), {"__module__": "torch"})
-    torch.FloatStorage = storage_cls
+    storage_classes = {
+        name: type(name, (), {"__module__": "torch"})
+        for name in (
+            "DoubleStorage",
+            "FloatStorage",
+            "HalfStorage",
+            "LongStorage",
+            "IntStorage",
+            "ShortStorage",
+            "CharStorage",
+            "ByteStorage",
+            "BoolStorage",
+        )
+    }
+    for name, cls in storage_classes.items():
+        setattr(torch, name, cls)
     torch._utils = utils
-    sys.modules.setdefault("torch", torch)
-    sys.modules.setdefault("torch._utils", utils)
-    return _rebuild_tensor_v2, storage_cls
+    return torch, utils, _rebuild_tensor_v2, storage_classes
 
 
-_REBUILD, _FLOAT_STORAGE = _install_torch_stubs()
+_TORCH_MOD, _UTILS_MOD, _REBUILD, _STORAGE_CLASSES = _build_torch_stubs()
+
+
+class _stubs_in_sys_modules:
+    """Install the stub torch modules for the duration of a pickle
+    dump, restoring sys.modules exactly afterwards. A present real
+    torch is shadowed too: the pickler verifies GLOBAL refs resolve to
+    the SAME objects it was handed, and it was handed the stubs."""
+
+    _NAMES = ("torch", "torch._utils")
+
+    def __enter__(self):
+        self._saved = {n: sys.modules.get(n) for n in self._NAMES}
+        sys.modules["torch"] = _TORCH_MOD
+        sys.modules["torch._utils"] = _UTILS_MOD
+
+    def __exit__(self, *exc):
+        for name, mod in self._saved.items():
+            if mod is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = mod
+        return False
+
+# numpy dtype → torch storage class name (little-endian on disk, like
+# torch.save on every commodity platform)
+_DTYPE_TO_STORAGE = {
+    "float64": "DoubleStorage",
+    "float32": "FloatStorage",
+    "float16": "HalfStorage",
+    "int64": "LongStorage",
+    "int32": "IntStorage",
+    "int16": "ShortStorage",
+    "int8": "CharStorage",
+    "uint8": "ByteStorage",
+    "bool": "BoolStorage",
+}
 
 
 class _Storage:
     """Placeholder serialized via the persistent-id protocol."""
 
-    def __init__(self, key: str, numel: int):
+    def __init__(self, key: str, numel: int, storage_name: str):
         self.key = key
         self.numel = numel
+        self.storage_name = storage_name
 
 
 class _Tensor:
@@ -99,23 +152,45 @@ class _Tensor:
 class _PtPickler(pickle.Pickler):
     def persistent_id(self, obj):
         if isinstance(obj, _Storage):
-            return ("storage", _FLOAT_STORAGE, obj.key, "cpu", obj.numel)
+            return (
+                "storage",
+                _STORAGE_CLASSES[obj.storage_name],
+                obj.key,
+                "cpu",
+                obj.numel,
+            )
         return None
 
 
 def write_pt(path: str, arr: np.ndarray, root: str) -> None:
-    arr = np.ascontiguousarray(arr, dtype="<f4")
-    storage = _Storage("0", arr.size)
+    """Write one dense tensor as a genuine torch.save zip archive.
+    dtype-preserving across the standard numeric dtypes; data is
+    little-endian on disk like torch's own output."""
+    arr = np.asarray(arr)
+    if not arr.flags["C_CONTIGUOUS"]:
+        # copy(order="C"), not ascontiguousarray: the latter promotes
+        # 0-dim scalars to 1-dim
+        arr = arr.copy(order="C")
+    storage_name = _DTYPE_TO_STORAGE[arr.dtype.name]
+    if arr.dtype.byteorder == ">":
+        arr = arr.astype(arr.dtype.newbyteorder("<"))
+    storage = _Storage("0", arr.size, storage_name)
     import io
 
     buf = io.BytesIO()
     p = _PtPickler(buf, protocol=2)
-    p.dump(_Tensor(arr, storage))
+    with _stubs_in_sys_modules():
+        p.dump(_Tensor(arr, storage))
+
+    def entry(name: str) -> zipfile.ZipInfo:
+        # pinned timestamp → byte-reproducible archives across runs
+        return zipfile.ZipInfo(name, date_time=(2020, 1, 1, 0, 0, 0))
+
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
-        zf.writestr(f"{root}/data.pkl", buf.getvalue())
-        zf.writestr(f"{root}/data/0", arr.tobytes())
-        zf.writestr(f"{root}/version", "3")
-        zf.writestr(f"{root}/byteorder", "little")
+        zf.writestr(entry(f"{root}/data.pkl"), buf.getvalue())
+        zf.writestr(entry(f"{root}/data/0"), arr.tobytes())
+        zf.writestr(entry(f"{root}/version"), "3")
+        zf.writestr(entry(f"{root}/byteorder"), "little")
 
 
 def main() -> None:
