@@ -137,13 +137,40 @@ def _prefix_filter_pairs(
         tok.join(freq, "tok")
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= prefix_len)
-        .select("source", "tok", "doc_id", "sz")
+        .select("source", "tok", "doc_id", "sz", "rnk")
     )
     a = pref.select(
-        "source", "tok", F.col("doc_id").alias("doc_a"), F.col("sz").alias("pza")
+        "source",
+        "tok",
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("pza"),
+        F.col("rnk").alias("rka"),
     )
     b = pref.select(
-        "source", "tok", F.col("doc_id").alias("doc_b"), F.col("sz").alias("pzb")
+        "source",
+        "tok",
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("pzb"),
+        F.col("rnk").alias("rkb"),
+    )
+    # PPJoin positional filter (Xiao et al. WWW'08): at the FIRST shared
+    # prefix token there are no earlier shared tokens, so the pair's
+    # overlap is bounded by 1 + min(tokens remaining after it on each
+    # side); a qualifying pair needs overlap >= ceil(t·(sa+sb)/(1+t))
+    # (jaccard ≥ t ⟺ inter ≥ t/(1+t)·(sa+sb)), in exact integer math
+    # with t = num/den. Exactness preserved: every qualifying pair
+    # passes at its first shared token, and distinct() keeps a pair if
+    # ANY occurrence passes — only hopeless occurrences are dropped
+    # before the (expensive) verify join-back.
+    alpha_pair = F.floor(
+        (
+            F.lit(t_num) * (F.col("pza") + F.col("pzb"))
+            + F.lit(t_den + t_num - 1)
+        )
+        / F.lit(t_den + t_num)
+    )
+    ubound = 1 + F.least(
+        F.col("pza") - F.col("rka"), F.col("pzb") - F.col("rkb")
     )
     cand = (
         a.join(b, ["source", "tok"])
@@ -155,6 +182,7 @@ def _prefix_filter_pairs(
                 F.least("pza", "pzb") * t_den
                 >= F.greatest("pza", "pzb") * t_num
             )
+            & (ubound >= alpha_pair)
         )
         .select("doc_a", "doc_b")
         .distinct()
