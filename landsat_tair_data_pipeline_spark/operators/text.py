@@ -520,6 +520,51 @@ FROM m JOIN top ON m.doc_id = top.doc_id
 """.format(toks=_TOKS_SQL, g2=_ngrams_sql(2), g3=_ngrams_sql(3))
 
 
+def src_jsonl_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """JSONL (newline-delimited JSON) ingest — the interchange format
+    every LLM-corpus pipeline meets. documents round-trips through
+    .jsonl once (content-addressed scratch, write-iff-absent) and is
+    read back with an EXPLICIT schema: line-delimited JSON is
+    splittable so the read parallelizes at 100 TB, and the explicit
+    schema skips the eager inference pass (the multiLine-JSON trap
+    from the metadata reader, NOTES.md). Checkable surface: per-source
+    counts and length sums of the round-tripped frame — any
+    encoding/escaping loss in the JSON codec breaks the sums."""
+    import hashlib
+    import os as _os
+
+    src = f"{sf}/documents.parquet"
+    stat = _os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{stat.st_size}:{stat.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    out_dir = _os.path.join("/root/repo/.scratch", f"documents_jsonl_{tag}")
+
+    docs = table(spark, sf, "documents")
+    docs.write.mode("ignore").json(out_dir)
+    back = spark.read.schema(docs.schema).json(out_dir)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.sum("n_chars").alias("sum_n_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+_JSONL_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(length(text)) AS sum_text_len,
+       SUM(n_chars) AS sum_n_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(
         "text_token_count", text_token_count, _TOKEN_COUNT_SQL
@@ -538,5 +583,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "text_repetition": QuerySpec(
         "text_repetition", text_repetition, _REPETITION_SQL
+    ),
+    "src_jsonl_documents": QuerySpec(
+        "src_jsonl_documents", src_jsonl_documents, _JSONL_SQL
     ),
 }
