@@ -122,6 +122,7 @@ _ROUND5_FRONT = [
     "dedup_keep_best",
     "sink_parquet_partitioned",
     "src_jsonl_documents",
+    "stream_sink_parquet",
     # r3-vintage, documents-table-backed (data-sensitive) (8)
     "text_token_count",
     "text_rolling_hash",
@@ -157,7 +158,6 @@ _ROUND5_FRONT = [
     "agg_count",
     "agg_ratio",
     "map_cast_double",
-    "map_str_to_float",
 ]
 
 # Historical r4 order kept for reference (drove CORRECTNESS_r04).

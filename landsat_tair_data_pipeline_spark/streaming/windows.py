@@ -308,9 +308,66 @@ FROM events a JOIN events b
 """
 
 
+def stream_sink_parquet(spark: SparkSession, sf: str) -> DataFrame:
+    """Checkpointed parquet FILE sink — the production streaming
+    output path (memory sinks are test fixtures): events stream →
+    projection → exactly-once parquet via checkpointLocation +
+    availableNow, then a batch read-back aggregated per event_type.
+
+    Exactly-once is the checkable part: the checkpoint records the
+    processed source files, so a SECOND run over the same data adds
+    nothing and the per-type counts stay equal to the batch oracle —
+    rerun-duplication would double them. Dirs are content-addressed by
+    data vintage (same reasoning as the batch sinks). At scale the file
+    sink commits atomically per micro-batch via the manifest log; the
+    read-back would be partition-pruned on the date column."""
+    import hashlib
+    import os as _os
+
+    src = f"{sf}/events.parquet"
+    stat = _os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{stat.st_size}:{stat.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    base = _os.path.join("/root/repo/.scratch", f"stream_sink_{tag}")
+    out_dir, ckpt_dir = f"{base}/data", f"{base}/ckpt"
+
+    ev = stream_events(spark, sf).select("event_id", "event_type", "ts", "value")
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").alias("n_distinct_ids"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_SINK_PARQUET_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_id) AS n_distinct_ids,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_stream_join": QuerySpec(
         "stream_stream_join", stream_stream_join, _STREAM_JOIN_SQL
+    ),
+    "stream_sink_parquet": QuerySpec(
+        "stream_sink_parquet", stream_sink_parquet, _SINK_PARQUET_SQL
     ),
     # SURVEY §2.12 id for the streaming-window surface — same streaming
     # execution as stream_tumbling, registered under the inventory key
