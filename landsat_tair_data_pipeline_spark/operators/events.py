@@ -354,6 +354,75 @@ FROM p
 """
 
 
+def ts_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap-fill + forward-fill (the hypertable/timescale
+    operator family): hourly per-user aggregates densified to a
+    complete hour spine per user (sequence + explode between each
+    user's own min/max hour), missing hours marked and value
+    forward-filled (LOCF) from the last observed hour.
+
+    Scale shape: one shuffle for the hourly pre-aggregate (map-side
+    combined), a tiny per-user span frame, spine generation is
+    explode-parallel, and LOCF is one bounded window per user — no
+    cross-user global sort. The spine is bounded per user by its own
+    span, so an idle user costs nothing (vs a global calendar cross
+    join, which at 100 TB would dominate the real data)."""
+    ev = table(spark, sf, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value") + 1e-9, 4).alias("avg_value"),
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    filled = spine.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "user_id",
+        "hour",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_locf"),
+        F.col("avg_value").isNull().alias("is_gap"),
+    )
+
+
+_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour,
+         COUNT(*) AS n, ROUND(AVG(value) + 1e-9, 4) AS avg_value
+  FROM events GROUP BY 1, 2),
+spans AS (
+  SELECT user_id, MIN(hour) AS lo, MAX(hour) AS hi FROM hourly GROUP BY 1),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour
+  FROM spans),
+f AS (
+  SELECT s.user_id, s.hour, h.n, h.avg_value
+  FROM spine s LEFT JOIN hourly h
+    ON s.user_id = h.user_id AND s.hour = h.hour)
+SELECT user_id, hour,
+       COALESCE(n, 0) AS n_events,
+       last_value(avg_value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS avg_value_locf,
+       avg_value IS NULL AS is_gap
+FROM f
+"""
+
+
 def sink_parquet_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     """Partitioned parquet sink + pruned read-back — the 100 TB fact
     layout in miniature: events written `partitionBy(event_date)`,
@@ -428,4 +497,5 @@ QUERIES: dict[str, QuerySpec] = {
     "sink_parquet_partitioned": QuerySpec(
         "sink_parquet_partitioned", sink_parquet_partitioned, _SINK_PART_SQL
     ),
+    "ts_gapfill": QuerySpec("ts_gapfill", ts_gapfill, _GAPFILL_SQL),
 }

@@ -123,6 +123,7 @@ _ROUND5_FRONT = [
     "sink_parquet_partitioned",
     "src_jsonl_documents",
     "stream_sink_parquet",
+    "ts_gapfill",
     # r3-vintage, documents-table-backed (data-sensitive) (8)
     "text_token_count",
     "text_rolling_hash",
@@ -157,7 +158,6 @@ _ROUND5_FRONT = [
     "join_zip_positional",
     "agg_count",
     "agg_ratio",
-    "map_cast_double",
 ]
 
 # Historical r4 order kept for reference (drove CORRECTNESS_r04).
