@@ -423,6 +423,55 @@ FROM f
 """
 
 
+def upsert_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC MERGE semantics on plain parquet — the pre-Delta/Iceberg
+    snapshot-rewrite pattern: a deterministic change feed (updates:
+    event_id % 97 == 0 get value+1; deletes: event_id % 89 == 1) is
+    applied to the events base as anti-join (deletes) + left join with
+    coalesce (updates), producing the next snapshot. Surface: per-type
+    row/update/delete counts + value sum of the merged snapshot.
+
+    Scale shape: one hash join each for deletes and updates on the
+    key — exactly what a MERGE compiles to; at 100 TB the win over
+    row-by-row mutation is that the rewrite is a linear scan-join, and
+    partition-level pruning (see sink_parquet_partitioned) limits the
+    rewrite to touched partitions."""
+    base = table(spark, sf, "events")
+    updates = (
+        base.where(F.col("event_id") % 97 == 0)
+        .select("event_id", (F.col("value") + 1.0).alias("new_value"))
+    )
+    deletes = base.where(F.col("event_id") % 89 == 1).select("event_id")
+    merged = (
+        base.join(deletes, "event_id", "left_anti")
+        .join(updates, "event_id", "left")
+        .withColumn("merged_value", F.coalesce("new_value", "value"))
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("new_value").alias("n_updated"),
+        F.round(F.sum("merged_value"), 2).alias("sum_value"),
+    )
+
+
+_UPSERT_SQL = """
+WITH upd AS (
+  SELECT event_id, value + 1.0 AS new_value FROM events
+  WHERE event_id % 97 = 0),
+merged AS (
+  SELECT e.event_type, COALESCE(u.new_value, e.value) AS merged_value,
+         u.new_value
+  FROM events e LEFT JOIN upd u ON e.event_id = u.event_id
+  WHERE e.event_id % 89 <> 1)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(new_value) AS n_updated,
+       ROUND(SUM(merged_value), 2) AS sum_value
+FROM merged
+GROUP BY event_type
+"""
+
+
 def sink_parquet_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     """Partitioned parquet sink + pruned read-back — the 100 TB fact
     layout in miniature: events written `partitionBy(event_date)`,
@@ -498,4 +547,7 @@ QUERIES: dict[str, QuerySpec] = {
         "sink_parquet_partitioned", sink_parquet_partitioned, _SINK_PART_SQL
     ),
     "ts_gapfill": QuerySpec("ts_gapfill", ts_gapfill, _GAPFILL_SQL),
+    "upsert_snapshot": QuerySpec(
+        "upsert_snapshot", upsert_snapshot, _UPSERT_SQL
+    ),
 }

@@ -124,6 +124,7 @@ _ROUND5_FRONT = [
     "src_jsonl_documents",
     "stream_sink_parquet",
     "ts_gapfill",
+    "upsert_snapshot",
     # r3-vintage, documents-table-backed (data-sensitive) (8)
     "text_token_count",
     "text_rolling_hash",
@@ -157,7 +158,6 @@ _ROUND5_FRONT = [
     "proj_date_parts_csv",
     "join_zip_positional",
     "agg_count",
-    "agg_ratio",
 ]
 
 # Historical r4 order kept for reference (drove CORRECTNESS_r04).
