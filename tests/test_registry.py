@@ -1,0 +1,40 @@
+"""Registry invariants. The driver's correctness gate records only the
+FIRST 50 registry keys in insertion order (NOTES.md), so the front
+composition is load-bearing: a module edit that reorders the merge or
+grows a QUERIES dict above the cut silently swaps which keys get
+driver evidence. Pin it.
+"""
+
+from __future__ import annotations
+
+from landsat_tair_data_pipeline_spark.registry import _ROUND5_FRONT, all_queries
+
+
+def test_front_window_is_exactly_the_declared_50():
+    qs = all_queries()
+    assert list(qs)[:50] == list(_ROUND5_FRONT)
+    assert len(_ROUND5_FRONT) == len(set(_ROUND5_FRONT)) == 50
+
+
+def test_spec_names_match_keys():
+    for key, spec in all_queries().items():
+        assert spec.name == key, (key, spec.name)
+
+
+def test_oracle_coverage_floor():
+    """Most of the registry must stay hash-checkable; rows-only is the
+    documented exception list, not a drift direction."""
+    qs = all_queries()
+    oracled = sum(1 for s in qs.values() if s.oracle)
+    assert len(qs) >= 135
+    assert oracled / len(qs) > 0.9, (oracled, len(qs))
+
+
+def test_every_front_key_runs_under_driver_entrypoint():
+    """__spark_entry__ exposes exactly the registry (same dict), and
+    every oracle key is a subset of queries."""
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
+    assert set(q) == set(all_queries())
