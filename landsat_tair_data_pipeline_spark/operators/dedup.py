@@ -802,6 +802,51 @@ t AS (
 )
 
 
+def llm_data_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-5 corpus build: v1's quality→dedup→pack extended with
+    the new hygiene gates, still ONE composed Catalyst job:
+
+        documents
+          → quality filter       (text_quality.passes_quality)
+          → repetition filter    (text_repetition.is_repetitive = false)
+          → eval holdout         (drop the doc_id % 10 = 0 eval slice —
+                                  the contamination boundary: eval never
+                                  enters training chunks)
+          → exact dedup          (keep lowest doc_id per content md5)
+          → sequence packing     (concatenate-then-split at 512 tokens)
+          → per-chunk summary
+
+    Each gate is an already-oracled operator; the composed oracle
+    chains the same CTEs, so stage-disagreement (e.g. tokenizer drift
+    between the repetition filter and the packer) breaks the hash."""
+    from .text import text_quality, text_repetition
+
+    quality_ids = (
+        text_quality(spark, sf)
+        .where(F.col("passes_quality") == 1)
+        .select("doc_id")
+    )
+    non_repetitive = (
+        text_repetition(spark, sf)
+        .where(~F.col("is_repetitive"))
+        .select("doc_id")
+    )
+    keepers = ext_dedup_exact(spark, sf).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    docs = (
+        table(spark, sf, "documents")
+        .where(F.expr("doc_id % 10 != 0"))
+        .select("doc_id", F.size(TOKENS()).alias("n_tok"))
+    )
+    survivors = (
+        docs.join(quality_ids, "doc_id")
+        .join(non_repetitive, "doc_id")
+        .join(keepers, "doc_id")
+    )
+    return _chunk_summary(survivors)
+
+
 def text_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-bigram language-model quality score — the KenLM-style
     perplexity filter of pretraining pipelines, with the corpus itself
@@ -856,8 +901,29 @@ GROUP BY bg.doc_id
 
 
 from .text import _QUALITY_SQL as _TEXT_QUALITY_SQL  # noqa: E402
+from .text import _REPETITION_SQL as _TEXT_REPETITION_SQL  # noqa: E402
 
 _PIPELINE_SQL = _PIPELINE_SQL.format(quality=_TEXT_QUALITY_SQL.strip())
+
+_PIPELINE_V2_SQL = """
+WITH q AS ({quality}),
+rep AS (SELECT doc_id FROM ({repetition}) WHERE NOT is_repetitive),
+k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+t AS (
+  SELECT d.doc_id, len({toks}) AS n_tok
+  FROM documents d
+  JOIN (SELECT doc_id FROM q WHERE passes_quality = 1) USING (doc_id)
+  JOIN rep USING (doc_id)
+  JOIN k USING (doc_id)
+  WHERE d.doc_id % 10 != 0
+),
+{tail}
+""".format(
+    quality=_TEXT_QUALITY_SQL.strip(),
+    repetition=_TEXT_REPETITION_SQL.strip(),
+    toks=_TOKENS_SQL,
+    tail=_CHUNK_TAIL_SQL.strip(),
+)
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -883,6 +949,9 @@ QUERIES: dict[str, QuerySpec] = {
     "pack_chunks": QuerySpec("pack_chunks", pack_chunks, _PACK_SQL),
     "llm_data_pipeline": QuerySpec(
         "llm_data_pipeline", llm_data_pipeline, _PIPELINE_SQL
+    ),
+    "llm_data_pipeline_v2": QuerySpec(
+        "llm_data_pipeline_v2", llm_data_pipeline_v2, _PIPELINE_V2_SQL
     ),
     "text_bigram_lm_score": QuerySpec(
         "text_bigram_lm_score", text_bigram_lm_score, _BIGRAM_LM_SQL

@@ -125,6 +125,7 @@ _ROUND5_FRONT = [
     "stream_sink_parquet",
     "ts_gapfill",
     "upsert_snapshot",
+    "llm_data_pipeline_v2",
     # r3-vintage, documents-table-backed (data-sensitive) (8)
     "text_token_count",
     "text_rolling_hash",
@@ -156,7 +157,6 @@ _ROUND5_FRONT = [
     "src_pt_tensor",
     "proj_scene_id_from_filename",
     "proj_date_parts_csv",
-    "join_zip_positional",
     "agg_count",
 ]
 
