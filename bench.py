@@ -93,7 +93,11 @@ def main() -> None:
 
     import gc
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # min-of-3 by default since r5: byte-identical back-to-back bench
+    # runs still swung individual keys up to 1.6x under min-of-2 (JIT /
+    # GC / page-cache contention); the third rep costs ~1 min and
+    # removes most of it
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in HEADLINE:
