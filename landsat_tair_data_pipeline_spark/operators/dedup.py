@@ -126,15 +126,32 @@ def _prefix_filter_pairs(
     # executor storage, which is the 100 TB-safe behavior.
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     tok = docs.select("doc_id", "source", "sz", F.explode("toks").alias("tok"))
-    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    # Global token order = (corpus frequency of the TOP-K tokens, token
+    # value); tokens outside the top-K order as frequency 1 (they are
+    # genuinely below the cutoff). The prefix theorem needs only a
+    # CONSISTENT total order — frequency ordering merely minimizes
+    # candidates — so truncating the frequency map keeps exactness
+    # while turning the full-token-stream×freq shuffle join into a
+    # broadcast lookup: the exploded corpus is now shuffled ONCE (by
+    # doc_id for the ranking window) instead of twice. The wordcount
+    # itself shuffles only per-partition-distinct partial counts
+    # (map-side combine), and the deterministic tie-break
+    # (freq desc, tok asc) makes the cutoff stable across retries.
+    topk = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(65536)
+    )
     # ceil(t·sz) in exact integer math: (t_num·sz + t_den - 1) div t_den
     alpha = F.floor(
         (F.lit(t_num) * F.col("sz") + F.lit(t_den - 1)) / F.lit(t_den)
     ).cast("int")
     prefix_len = F.col("sz") - alpha + 1
-    w = Window.partitionBy("doc_id").orderBy(F.asc("freq"), F.asc("tok"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("ofreq"), F.asc("tok"))
     pref = (
-        tok.join(freq, "tok")
+        tok.join(F.broadcast(topk), "tok", "left")
+        .withColumn("ofreq", F.coalesce("freq", F.lit(1)))
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= prefix_len)
         .select("source", "tok", "doc_id", "sz", "rnk")

@@ -75,14 +75,22 @@ def test_jaccard_intersect_evaluated_once(spark):
     assert plan.count("array_intersect") == 1
 
 
-def test_jaccard_has_no_corpus_broadcast_hint(spark):
+def test_jaccard_broadcasts_only_bounded_frames(spark):
     """The r1 plan force-broadcast the whole documents corpus
-    (verdict: scale-weak). The prefix-filter rewrite must not carry a
-    broadcast HINT anywhere — small-side broadcasts AQE picks at this
-    sf are fine (adaptive, disappears at scale), a hint is not."""
+    (verdict: scale-weak). Since r5 exactly ONE broadcast hint is
+    allowed: the top-K token-frequency map, bounded by construction to
+    65,536 rows (GlobalLimit directly under the hint) — safe at any
+    corpus size. Any other hint, or a hint whose subtree lacks the
+    limit, is a corpus-sized broadcast sneaking back in."""
     df = SPECS["dedup_jaccard_pairs"].fn(spark, SF)
     logical = df._jdf.queryExecution().analyzed().toString()
-    assert "ResolvedHint" not in logical and "BROADCAST" not in logical
+    lines = logical.splitlines()
+    hint_idx = [i for i, ln in enumerate(lines) if "ResolvedHint" in ln]
+    # the analyzed tree duplicates the prefix subtree for the
+    # self-join's two sides, so the same bounded hint may appear twice
+    assert hint_idx, "expected the bounded top-K broadcast hint"
+    for i in hint_idx:
+        assert "GlobalLimit 65536" in lines[i + 1], lines[i : i + 2]
 
 
 def test_embedding_cosine_is_distributed(spark):
