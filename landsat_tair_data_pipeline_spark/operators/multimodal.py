@@ -272,8 +272,28 @@ LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin_idx = b.bin_idx
 """
 
 
+# The fake decoder's byte stats ARE SQL-expressible for this media
+# table: payload = UTF-8 of the (verified ASCII-only) text, so
+# n_bytes = length, first_byte = ord of the first char, byte_sum =
+# sum of ords mod 2^31 — upgraded from rows-only to hash-checked in r5.
+_DECODE_STATS_SQL = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       length(text) AS n_bytes,
+       CAST(CASE WHEN length(text) = 0 THEN -1 ELSE ord(text[1]) END
+            AS INT) AS first_byte,
+       CAST(COALESCE(list_sum(list_transform(string_split(text, ''),
+                                             c -> ord(c))), 0)
+            % 2147483648 AS BIGINT) AS byte_sum
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
-    "mm_decode_stats": QuerySpec("mm_decode_stats", mm_decode_stats, None),
+    "mm_decode_stats": QuerySpec(
+        "mm_decode_stats", mm_decode_stats, _DECODE_STATS_SQL
+    ),
     "mm_type_summary": QuerySpec("mm_type_summary", mm_type_summary, _TYPE_SUMMARY_SQL),
     "mm_resize_plan": QuerySpec("mm_resize_plan", mm_resize_plan, _RESIZE_SQL),
     "mm_frame_sample": QuerySpec("mm_frame_sample", mm_frame_sample, _FRAME_SAMPLE_SQL),
