@@ -98,11 +98,30 @@ def main() -> None:
     # GC / page-cache contention); the third rep costs ~1 min and
     # removes most of it
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+    # write-iff-absent sink keys reuse their content-addressed scratch
+    # dir: without clearing it per rep, reps 2..N (and any bench rerun)
+    # time only the read-back and min-of-N understates the write cost
+    import glob
+    import shutil
+
+    from landsat_tair_data_pipeline_spark.util import SCRATCH_DIR
+
+    SINK_SCRATCH_GLOBS = {
+        "sink_parquet_partitioned": f"{SCRATCH_DIR}/events_part_*",
+        "src_jsonl_documents": f"{SCRATCH_DIR}/documents_jsonl_*",
+    }
+
+    def clear_sink_scratch(name: str) -> None:
+        for d in glob.glob(SINK_SCRATCH_GLOBS.get(name, "")):
+            shutil.rmtree(d, ignore_errors=True)
+
     times: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in HEADLINE:
         best = None
         for _ in range(reps):
+            clear_sink_scratch(name)
             # Drop py4j references from the previous run BEFORE timing
             # the next: localCheckpoint/broadcast blocks are freed by
             # Spark's ContextCleaner only after the Python-side

@@ -450,7 +450,20 @@ def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     cross-product."""
     k = 10
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    # (doc_id * 2654435761) mod 2^32, computed via a 16-bit split so no
+    # intermediate exceeds int64 — the naive product overflows at
+    # doc_id ≥ ~3.47e9, where Spark (non-ANSI) would wrap silently and
+    # DuckDB would raise: the reproducibility contract would break
+    # exactly when the data grows. 2041643008 = (2654435761·2^16) mod
+    # 2^32. Identical values to the naive form below the overflow.
+    a = F.pmod(F.col("doc_id"), F.lit(4294967296))
+    lo = F.pmod(a, F.lit(65536))
+    hi = F.pmod(F.floor(a / F.lit(65536)), F.lit(65536))
+    key = F.pmod(
+        F.pmod(lo * F.lit(2654435761), F.lit(4294967296))
+        + hi * F.lit(2041643008),
+        F.lit(4294967296),
+    )
     w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
     return (
         docs.select("doc_id", "source", key.alias("sample_key"))
@@ -462,7 +475,10 @@ def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
 
 _STRATIFIED_SQL = """
 WITH keyed AS (
-  SELECT source, doc_id, (doc_id * 2654435761) % 4294967296 AS sample_key
+  SELECT source, doc_id,
+         (((doc_id % 4294967296) % 65536) * 2654435761 % 4294967296
+          + ((doc_id % 4294967296) // 65536 % 65536) * 2041643008)
+         % 4294967296 AS sample_key
   FROM documents),
 ranked AS (
   SELECT source, doc_id, sample_key,

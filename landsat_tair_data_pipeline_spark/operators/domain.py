@@ -368,22 +368,25 @@ FROM btpx WHERE {probe}
 # expensive shared subplan in the domain suite (driver-side analysis of
 # the 365-element array assembly ~4 s + radiometry/join execution ~5 s),
 # consumed by map_concat_features / domain_pipeline_summary here and the
-# augmentation suite (augment._features_with_gt). Weak keys: the cache
-# dies with its session. The persisted frame is one row per qualified
-# (scene, station) — dimension-sized even at full reference cardinality
-# — so MEMORY_AND_DISK is safe at scale.
-_FEATURES_MEMO: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = (
-    weakref.WeakKeyDictionary()
-)
+# augmentation suite (augment._features_with_gt). SINGLE-slot cache
+# keyed by a session WEAKREF: a WeakKeyDictionary cannot evict here
+# because the cached DataFrame strongly references its own session
+# (dict → value → key keeps every key alive forever). One slot bounds
+# retention to at most the latest session's frame; switching sessions
+# replaces (and thereby releases) the previous entry. The persisted
+# frame is one row per qualified (scene, station) — dimension-sized
+# even at full reference cardinality — so MEMORY_AND_DISK is safe at
+# scale.
+_FEATURES_MEMO: list = [None]  # [(weakref to session, DataFrame)] | [None]
 
 
 def features_with_gt(spark: SparkSession) -> DataFrame:
     """Qualified (scene, station) rows with the assembled 365-feature
     vector and ground-truth air_temp, memoized + persisted per
-    SparkSession."""
-    cached = _FEATURES_MEMO.get(spark)
-    if cached is not None:
-        return cached
+    SparkSession (single-slot: the latest session)."""
+    slot = _FEATURES_MEMO[0]
+    if slot is not None and slot[0]() is spark:
+        return slot[1]
     base = to_brightness_temperature(_valid_scene_base(spark))
     base = _scene_dates(base)
     gt1 = _gt_first_match(spark)
@@ -399,7 +402,7 @@ def features_with_gt(spark: SparkSession) -> DataFrame:
     # scale the join output is too large to coalesce anyway.
     full = full.repartition(spark.sparkContext.defaultParallelism)
     out = assemble_features(full).persist(StorageLevel.MEMORY_AND_DISK)
-    _FEATURES_MEMO[spark] = out
+    _FEATURES_MEMO[0] = (weakref.ref(spark), out)
     return out
 
 

@@ -481,16 +481,12 @@ def sink_parquet_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_plan_quality.py). The checkable surface is the per-day
     counts of the pruned read. The scratch dir is content-addressed by
     the source data vintage so regenerated testdata can't silently
-    read back a stale write (mode('ignore') + same path)."""
-    import hashlib
-    import os as _os
+    read back a stale write, and incomplete leftovers from an
+    interrupted write are scrubbed first (util.prepare_scratch_dir) —
+    mode('ignore') checks only path existence, not completion."""
+    from ..util import prepare_scratch_dir
 
-    src = f"{sf}/events.parquet"
-    stat = _os.stat(src)
-    tag = hashlib.md5(
-        f"{src}:{stat.st_size}:{stat.st_mtime_ns}".encode()
-    ).hexdigest()[:12]
-    out_dir = _os.path.join("/root/repo/.scratch", f"events_part_{tag}")
+    out_dir = prepare_scratch_dir("events_part", f"{sf}/events.parquet")
 
     ev = table(spark, sf, "events").withColumn("event_date", F.to_date("ts"))
     (

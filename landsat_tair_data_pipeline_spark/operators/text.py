@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..registry import QuerySpec
 from ..sources.tables import table
@@ -383,9 +384,13 @@ def text_contamination(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    # materialize the gram build once: eval_g and train_g are two plan
+    # branches that would otherwise each re-run the 5-gram construction
+    # over the whole corpus (same persist-for-multi-branch pattern as
+    # dedup._prefix_filter_pairs; spill-safe, lineage kept)
     grams = docs.select(
         "doc_id", F.explode(_word_ngrams(CONTAM_N)).alias("gram")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     eval_g = grams.where(F.expr(_EVAL_PRED)).distinct()
     train_g = (
         grams.where(~F.expr(_EVAL_PRED)).select("gram").distinct()
@@ -529,16 +534,14 @@ def src_jsonl_documents(spark: SparkSession, sf: str) -> DataFrame:
     schema skips the eager inference pass (the multiLine-JSON trap
     from the metadata reader, NOTES.md). Checkable surface: per-source
     counts and length sums of the round-tripped frame — any
-    encoding/escaping loss in the JSON codec breaks the sums."""
-    import hashlib
-    import os as _os
+    encoding/escaping loss in the JSON codec breaks the sums.
+    Interrupted-write leftovers are scrubbed before the
+    write-iff-absent (util.prepare_scratch_dir)."""
+    from ..util import prepare_scratch_dir
 
-    src = f"{sf}/documents.parquet"
-    stat = _os.stat(src)
-    tag = hashlib.md5(
-        f"{src}:{stat.st_size}:{stat.st_mtime_ns}".encode()
-    ).hexdigest()[:12]
-    out_dir = _os.path.join("/root/repo/.scratch", f"documents_jsonl_{tag}")
+    out_dir = prepare_scratch_dir(
+        "documents_jsonl", f"{sf}/documents.parquet"
+    )
 
     docs = table(spark, sf, "documents")
     docs.write.mode("ignore").json(out_dir)

@@ -135,7 +135,9 @@ _ROUND5_FRONT = [
     "text_fingerprint",
     "text_bigrams_top",
     "text_tfidf_top",
-    # r3-vintage fixture/domain/mapping block (33)
+    # r3-vintage fixture/domain/mapping block (22 — the rest of the
+    # original 33 were displaced as r5 grew new keys; they keep their
+    # r3 evidence and lead the r6 window, NOTES.md)
     "proj_sensor_flag",
     "filt_band_cardinality",
     "filt_metadata_keys",

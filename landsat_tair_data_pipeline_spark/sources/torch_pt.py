@@ -52,8 +52,10 @@ _STORAGE_DTYPES: dict[str, np.dtype] = {
     "CharStorage": np.dtype("i1"),
     "ByteStorage": np.dtype("u1"),
     "BoolStorage": np.dtype("?"),
-    # untyped storages carry bytes; the dtype is applied at rebuild
-    "UntypedStorage": np.dtype("u1"),
+    # NOTE: torch.UntypedStorage is deliberately ABSENT — untyped
+    # storages carry raw bytes with the dtype applied elsewhere, and
+    # decoding them as u1 would produce wrong-valued tensors with a
+    # plausible shape (silent corruption). Out of scope → loud error.
 }
 
 
@@ -131,13 +133,13 @@ class _PtUnpickler(pickle.Unpickler):
         _, storage_type, key, location, _numel = pid
         if not str(location).startswith("cpu"):
             raise UnsupportedPtError(f"non-CPU storage location {location!r}")
+        if not isinstance(storage_type, _StorageType):
+            raise UnsupportedPtError(
+                f"storage type {storage_type!r} is not a typed CPU "
+                "storage — untyped-storage archives are out of scope"
+            )
         raw = self._zf.read(f"{self._prefix}data/{key}")
-        dtype = (
-            storage_type.dtype
-            if isinstance(storage_type, _StorageType)
-            else np.dtype("u1")
-        )
-        return np.frombuffer(raw, dtype=dtype)
+        return np.frombuffer(raw, dtype=storage_type.dtype)
 
 
 def load_pt(data: bytes):

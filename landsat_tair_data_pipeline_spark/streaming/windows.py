@@ -321,15 +321,15 @@ def stream_sink_parquet(spark: SparkSession, sf: str) -> DataFrame:
     data vintage (same reasoning as the batch sinks). At scale the file
     sink commits atomically per micro-batch via the manifest log; the
     read-back would be partition-pruned on the date column."""
-    import hashlib
     import os as _os
 
-    src = f"{sf}/events.parquet"
-    stat = _os.stat(src)
-    tag = hashlib.md5(
-        f"{src}:{stat.st_size}:{stat.st_mtime_ns}".encode()
-    ).hexdigest()[:12]
-    base = _os.path.join("/root/repo/.scratch", f"stream_sink_{tag}")
+    from ..util import SCRATCH_DIR, content_tag
+
+    # no incomplete-dir scrub here on purpose: the file sink's
+    # _spark_metadata manifest lists only committed files and the
+    # checkpoint resumes an interrupted run — crash-safe by design
+    tag = content_tag(f"{sf}/events.parquet")
+    base = _os.path.join(SCRATCH_DIR, f"stream_sink_{tag}")
     out_dir, ckpt_dir = f"{base}/data", f"{base}/ckpt"
 
     ev = stream_events(spark, sf).select("event_id", "event_type", "ts", "value")
@@ -341,9 +341,17 @@ def stream_sink_parquet(spark: SparkSession, sf: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        # timing out must be LOUD: reading the sink mid-write would
+        # return silently short counts against the oracle
+        q.stop()
+        raise TimeoutError(
+            "stream_sink_parquet: availableNow batch did not finish "
+            "within 300s; sink left resumable via its checkpoint"
+        )
     back = spark.read.parquet(out_dir)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -1,0 +1,43 @@
+"""Shared helpers for sink-style operators that round-trip through a
+content-addressed scratch directory.
+
+Write-iff-absent (``mode('ignore')``) checks only path EXISTENCE, not
+write completion: an interrupted first write would poison every later
+run with a stable wrong answer. ``prepare_scratch_dir`` therefore
+removes a leftover dir that lacks Spark's ``_SUCCESS`` marker before
+the operator writes. (Streaming file sinks are different: their
+``_spark_metadata`` manifest lists only committed files and the
+checkpoint resumes an interrupted run, so they are crash-safe without
+this.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRATCH_DIR = os.path.join(REPO_ROOT, ".scratch")
+
+
+def content_tag(src_path: str) -> str:
+    """Cheap data-vintage fingerprint of a source file (path + size +
+    mtime): regenerated testdata gets a fresh scratch dir instead of
+    silently reading back a stale write."""
+    stat = os.stat(src_path)
+    return hashlib.md5(
+        f"{src_path}:{stat.st_size}:{stat.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+
+
+def prepare_scratch_dir(prefix: str, src_path: str) -> str:
+    """Content-addressed scratch dir for a batch sink; removes an
+    incomplete (no ``_SUCCESS``) leftover from an interrupted write so
+    ``mode('ignore')`` semantics stay correct."""
+    out_dir = os.path.join(SCRATCH_DIR, f"{prefix}_{content_tag(src_path)}")
+    if os.path.isdir(out_dir) and not os.path.exists(
+        os.path.join(out_dir, "_SUCCESS")
+    ):
+        shutil.rmtree(out_dir)
+    return out_dir
