@@ -354,6 +354,84 @@ FROM p
 """
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: per user-bucket event-type counts as columns. The pivot
+    values are EXPLICIT (EVENT_TYPES) — without them Spark runs an
+    extra collect-distinct job to discover the columns, and the output
+    schema becomes data-dependent (a new event type would silently add
+    a column and break every downstream consumer; with the list it
+    just lands in no column, loudly countable elsewhere)."""
+    ev = table(spark, sf, "events")
+    return (
+        ev.withColumn("user_bucket", (F.col("user_id") % 10).cast("int"))
+        .groupBy("user_bucket")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+_PIVOT_SQL = """
+SELECT CAST(user_id % 10 AS INT) AS user_bucket,
+       COUNT(*) FILTER (event_type = 'click')    AS click,
+       COUNT(*) FILTER (event_type = 'error')    AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (event_type = 'view')     AS view
+FROM events
+GROUP BY 1
+"""
+
+
+def unpivot_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-bucket counts back to long
+    (user_bucket, event_type, n) rows — schema-stable inverse of the
+    pivot, via the native unpivot operator (stack), not a union of N
+    selects."""
+    wide = pivot_event_counts(spark, sf)
+    return wide.unpivot(
+        "user_bucket", list(EVENT_TYPES), "event_type", "n"
+    ).where(F.col("n") > 0)
+
+
+_UNPIVOT_SQL = """
+SELECT CAST(user_id % 10 AS INT) AS user_bucket, event_type,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation) per event_type — the
+    complement of the sketch-based approx_percentile in agg_approx.
+    Spark `percentile` and DuckDB `quantile_cont` share the
+    interpolated-quantile definition, so this is hash-checkable where
+    the approx form is rows-only. Exact percentile shuffles all values
+    per group (no sketch): right when groups are few and the answer
+    must be exact; at 100 TB prefer agg_approx's sketches for
+    high-cardinality groups."""
+    ev = table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)") + 1e-9, 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)") + 1e-9, 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)") + 1e-9, 4).alias("p99"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5) + 1e-9, 4)  AS p50,
+       ROUND(quantile_cont(value, 0.9) + 1e-9, 4)  AS p90,
+       ROUND(quantile_cont(value, 0.99) + 1e-9, 4) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
 def ts_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series gap-fill + forward-fill (the hypertable/timescale
     operator family): hourly per-user aggregates densified to a
@@ -545,5 +623,14 @@ QUERIES: dict[str, QuerySpec] = {
     "ts_gapfill": QuerySpec("ts_gapfill", ts_gapfill, _GAPFILL_SQL),
     "upsert_snapshot": QuerySpec(
         "upsert_snapshot", upsert_snapshot, _UPSERT_SQL
+    ),
+    "pivot_event_counts": QuerySpec(
+        "pivot_event_counts", pivot_event_counts, _PIVOT_SQL
+    ),
+    "unpivot_event_counts": QuerySpec(
+        "unpivot_event_counts", unpivot_event_counts, _UNPIVOT_SQL
+    ),
+    "agg_percentiles": QuerySpec(
+        "agg_percentiles", agg_percentiles, _PERCENTILES_SQL
     ),
 }
