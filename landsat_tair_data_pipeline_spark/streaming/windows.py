@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..registry import QuerySpec
-from ..sources.tables import _normalize_event_ts
+from ..sources.tables import _normalize_event_ts, table
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,6 +308,39 @@ FROM events a JOIN events b
 """
 
 
+def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment join — the standard streaming lookup
+    pattern: each streamed event joins a STATIC per-user profile
+    (batch-computed average value) and is flagged above/below its
+    user's profile; output is the per-type above/below tally. The
+    static side is re-read per micro-batch by design (profile updates
+    between batches are picked up); stateless join, no watermark
+    needed. Oracle: the identical batch join."""
+    profile = (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("avg_value"))
+    )
+    ev = stream_events(spark, sf)
+    joined = ev.join(profile, "user_id").select(
+        "event_type",
+        (F.col("value") > F.col("avg_value")).alias("above"),
+    )
+    agg = joined.groupBy("event_type", "above").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return run_to_memory(agg, "stream_static_join_sink", "complete")
+
+
+_STATIC_JOIN_SQL = """
+WITH p AS (SELECT user_id, AVG(value) AS avg_value FROM events
+           GROUP BY user_id)
+SELECT e.event_type, e.value > p.avg_value AS above, COUNT(*) AS n
+FROM events e JOIN p ON e.user_id = p.user_id
+GROUP BY 1, 2
+"""
+
+
 def stream_sink_parquet(spark: SparkSession, sf: str) -> DataFrame:
     """Checkpointed parquet FILE sink — the production streaming
     output path (memory sinks are test fixtures): events stream →
@@ -376,6 +409,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "stream_sink_parquet": QuerySpec(
         "stream_sink_parquet", stream_sink_parquet, _SINK_PARQUET_SQL
+    ),
+    "stream_static_join": QuerySpec(
+        "stream_static_join", stream_static_join, _STATIC_JOIN_SQL
     ),
     # SURVEY §2.12 id for the streaming-window surface — same streaming
     # execution as stream_tumbling, registered under the inventory key
