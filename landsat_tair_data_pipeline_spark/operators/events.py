@@ -432,6 +432,107 @@ GROUP BY event_type
 """
 
 
+def events_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention — the product-analytics staple: users grouped
+    by signup day (their first 'signup' event), with the share still
+    active (any event) 1 and 7 days later. One aggregate for cohorts,
+    one semi-join-shaped aggregate for activity — no per-day fan-out,
+    scales as two linear shuffles on user_id."""
+    ev = table(spark, sf, "events")
+    cohort = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    j = cohort.join(activity, "user_id")
+    day_diff = F.datediff("day", "cohort_day")
+    return j.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_size"),
+        F.countDistinct(F.when(day_diff == 1, F.col("user_id"))).alias(
+            "retained_d1"
+        ),
+        F.countDistinct(F.when(day_diff == 7, F.col("user_id"))).alias(
+            "retained_d7"
+        ),
+    )
+
+
+_RETENTION_SQL = """
+WITH cohort AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT c.cohort_day,
+       COUNT(DISTINCT c.user_id) AS cohort_size,
+       COUNT(DISTINCT CASE WHEN a.day - c.cohort_day = 1
+                           THEN c.user_id END) AS retained_d1,
+       COUNT(DISTINCT CASE WHEN a.day - c.cohort_day = 7
+                           THEN c.user_id END) AS retained_d7
+FROM cohort c JOIN activity a ON c.user_id = a.user_id
+GROUP BY c.cohort_day
+"""
+
+
+def window_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    """NTILE quantile bucketing per group: events split into value
+    quartiles within each event_type, summarized per bucket. The
+    deterministic tie-break (value, event_id) makes bucket membership
+    — not just bucket sizes — engine-reproducible."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+_NTILE_SQL = """
+SELECT event_type, quartile, COUNT(*) AS n,
+       ROUND(MIN(value), 2) AS lo, ROUND(MAX(value), 2) AS hi
+FROM (SELECT event_type, value, event_id,
+             NTILE(4) OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS quartile
+      FROM events)
+GROUP BY event_type, quartile
+"""
+
+
+def agg_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlation/covariance aggregates per event_type: Pearson corr
+    and population covariance between event value and hour-of-day —
+    textbook two-pass-free streaming moments, identical definitions in
+    both engines."""
+    ev = table(spark, sf, "events")
+    hod = F.hour("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr("value", hod) + 1e-9, 4).alias("corr_value_hour"),
+        F.round(F.covar_pop("value", hod) + 1e-9, 4).alias("covar_pop"),
+        F.round(F.covar_samp("value", hod) + 1e-9, 4).alias("covar_samp"),
+    )
+
+
+_CORR_SQL = """
+SELECT event_type,
+       ROUND(corr(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)) + 1e-9, 4)
+         AS corr_value_hour,
+       ROUND(covar_pop(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)) + 1e-9, 4)
+         AS covar_pop,
+       ROUND(covar_samp(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)) + 1e-9, 4)
+         AS covar_samp
+FROM events
+GROUP BY event_type
+"""
+
+
 def ts_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series gap-fill + forward-fill (the hypertable/timescale
     operator family): hourly per-user aggregates densified to a
@@ -633,4 +734,9 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_percentiles": QuerySpec(
         "agg_percentiles", agg_percentiles, _PERCENTILES_SQL
     ),
+    "events_retention": QuerySpec(
+        "events_retention", events_retention, _RETENTION_SQL
+    ),
+    "window_ntile": QuerySpec("window_ntile", window_ntile, _NTILE_SQL),
+    "agg_corr": QuerySpec("agg_corr", agg_corr, _CORR_SQL),
 }
