@@ -56,6 +56,7 @@ HEADLINE = [
     "text_repetition",
     "sample_stratified",
     "sink_parquet_partitioned",
+    "src_jsonl_documents",
 ]
 
 

@@ -476,10 +476,15 @@ def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
 _STRATIFIED_SQL = """
 WITH keyed AS (
   SELECT source, doc_id,
-         (((doc_id % 4294967296) % 65536) * 2654435761 % 4294967296
-          + ((doc_id % 4294967296) // 65536 % 65536) * 2041643008)
-         % 4294967296 AS sample_key
-  FROM documents),
+         (((a % 65536) * 2654435761 % 4294967296
+           + (a // 65536 % 65536) * 2041643008) % 4294967296)
+           AS sample_key
+  FROM (SELECT source, doc_id,
+               -- pmod: DuckDB % follows the dividend sign, Spark pmod
+               -- is always non-negative — normalize so negative ids
+               -- hash identically in both engines
+               ((doc_id % 4294967296) + 4294967296) % 4294967296 AS a
+        FROM documents)),
 ranked AS (
   SELECT source, doc_id, sample_key,
          ROW_NUMBER() OVER (PARTITION BY source

@@ -402,6 +402,15 @@ def features_with_gt(spark: SparkSession) -> DataFrame:
     # scale the join output is too large to coalesce anyway.
     full = full.repartition(spark.sparkContext.defaultParallelism)
     out = assemble_features(full).persist(StorageLevel.MEMORY_AND_DISK)
+    evicted = _FEATURES_MEMO[0]
+    if evicted is not None and evicted[0]() is not None:
+        # deterministic release of the replaced frame's blocks (the
+        # block manager is shared across sessions of one context;
+        # waiting for GC + ContextCleaner lets copies accumulate)
+        try:
+            evicted[1].unpersist()
+        except Exception:
+            pass  # session mid-shutdown; blocks die with it anyway
     _FEATURES_MEMO[0] = (weakref.ref(spark), out)
     return out
 

@@ -390,7 +390,9 @@ def unpivot_event_counts(spark: SparkSession, sf: str) -> DataFrame:
     """UNPIVOT (melt): the wide per-bucket counts back to long
     (user_bucket, event_type, n) rows — schema-stable inverse of the
     pivot, via the native unpivot operator (stack), not a union of N
-    selects."""
+    selects. The oracle mirrors the EXPLICIT type list (an event type
+    outside EVENT_TYPES melts out of the pivot, so it must be filtered
+    out of the oracle too)."""
     wide = pivot_event_counts(spark, sf)
     return wide.unpivot(
         "user_bucket", list(EVENT_TYPES), "event_type", "n"
@@ -401,8 +403,9 @@ _UNPIVOT_SQL = """
 SELECT CAST(user_id % 10 AS INT) AS user_bucket, event_type,
        COUNT(*) AS n
 FROM events
+WHERE event_type IN ({types})
 GROUP BY 1, 2
-"""
+""".format(types=", ".join(f"'{t}'" for t in EVENT_TYPES))
 
 
 def agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:

@@ -77,11 +77,19 @@ def run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        # a timed-out drain must be LOUD — returning the memory table
+        # mid-write would yield silently short counts vs the oracle
+        q.stop()
+        raise TimeoutError(
+            f"run_to_memory({name!r}): availableNow drain did not "
+            f"finish within {timeout_s}s"
+        )
     return spark.table(name)
 
 
@@ -316,10 +324,15 @@ def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
     static side is re-read per micro-batch by design (profile updates
     between batches are picked up); stateless join, no watermark
     needed. Oracle: the identical batch join."""
+    # avg is ROUNDED before the comparison: an order-dependent double
+    # sum can differ by ulps between engines, and an event within
+    # float noise of its user's average would otherwise flip the
+    # boolean GROUP KEY (registry invariant: round float arithmetic
+    # identically on both sides)
     profile = (
         table(spark, sf, "events")
         .groupBy("user_id")
-        .agg(F.avg("value").alias("avg_value"))
+        .agg(F.round(F.avg("value") + 1e-9, 4).alias("avg_value"))
     )
     ev = stream_events(spark, sf)
     joined = ev.join(profile, "user_id").select(
@@ -333,8 +346,8 @@ def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _STATIC_JOIN_SQL = """
-WITH p AS (SELECT user_id, AVG(value) AS avg_value FROM events
-           GROUP BY user_id)
+WITH p AS (SELECT user_id, ROUND(AVG(value) + 1e-9, 4) AS avg_value
+           FROM events GROUP BY user_id)
 SELECT e.event_type, e.value > p.avg_value AS above, COUNT(*) AS n
 FROM events e JOIN p ON e.user_id = p.user_id
 GROUP BY 1, 2
