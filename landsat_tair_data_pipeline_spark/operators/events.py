@@ -536,6 +536,39 @@ GROUP BY event_type
 """
 
 
+def window_time_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-interval RANGE frame at event granularity: per user, the
+    trailing 1-hour count/average at every event (the rate-limiter /
+    rolling-metric shape). Spark's rangeBetween is numeric-only, so
+    the frame is keyed on epoch MICROS — semantically identical to
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW, including
+    peer rows (equal timestamps enter together, which ROWS can't
+    express). Complements window_range_frame's day-granularity form."""
+    ev = table(spark, sf, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.avg("value").over(w) + 1e-9, 4).alias("avg_1h"),
+    )
+
+
+_TIME_RANGE_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_1h,
+       ROUND(AVG(value) OVER w + 1e-9, 4) AS avg_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def ts_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series gap-fill + forward-fill (the hypertable/timescale
     operator family): hourly per-user aggregates densified to a
@@ -741,5 +774,8 @@ QUERIES: dict[str, QuerySpec] = {
         "events_retention", events_retention, _RETENTION_SQL
     ),
     "window_ntile": QuerySpec("window_ntile", window_ntile, _NTILE_SQL),
+    "window_time_range": QuerySpec(
+        "window_time_range", window_time_range, _TIME_RANGE_SQL
+    ),
     "agg_corr": QuerySpec("agg_corr", agg_corr, _CORR_SQL),
 }
