@@ -269,7 +269,66 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def emb_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding
+    corpus — the 4× storage shrink every large vector store applies —
+    with reconstruction-error accounting per dimension: scale = corpus
+    max|x| per dim, code = floor(x/scale·127 + 0.5 + 1e-9) (explicit
+    floor, not round(): HALF_UP on negatives is engine-dependent,
+    floor of the shifted value is bit-reproducible).
+
+    Scale shape: one posexplode + per-dim max (64 groups, map-side
+    combined), scales rebroadcast to the exploded stream, per-dim
+    error aggregate — all linear, no driver collect."""
+    emb = _emb(spark, sf)
+    ex = emb.select(
+        "vec_id", F.posexplode("v").alias("d0", "x")
+    ).select((F.col("d0") + 1).alias("d"), "x")
+    scales = ex.groupBy("d").agg(F.max(F.abs("x")).alias("s"))
+    q = ex.join(F.broadcast(scales), "d").select(
+        "d",
+        "x",
+        "s",
+        F.floor(F.col("x") / F.col("s") * 127 + 0.5 + 1e-9)
+        .cast("int")
+        .alias("code"),
+    )
+    return q.groupBy("d").agg(
+        F.round(F.max("s") + 1e-9, 6).alias("scale"),
+        F.min("code").alias("min_code"),
+        F.max("code").alias("max_code"),
+        F.round(
+            F.avg(F.abs(F.col("x") - F.col("code") * F.col("s") / 127))
+            + 1e-9,
+            6,
+        ).alias("avg_abs_err"),
+    )
+
+
+_QUANTIZE_SQL = """
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+scales AS (SELECT d, MAX(ABS(x)) AS s FROM ex GROUP BY d),
+q AS (
+  SELECT ex.d, ex.x, s.s,
+         CAST(FLOOR(ex.x / s.s * 127 + 0.5 + 1e-9) AS INT) AS code
+  FROM ex JOIN scales s ON ex.d = s.d)
+SELECT d,
+       ROUND(MAX(s) + 1e-9, 6) AS scale,
+       MIN(code) AS min_code,
+       MAX(code) AS max_code,
+       ROUND(AVG(ABS(x - code * s / 127)) + 1e-9, 6) AS avg_abs_err
+FROM q
+GROUP BY d
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "emb_quantize_int8": QuerySpec(
+        "emb_quantize_int8", emb_quantize_int8, _QUANTIZE_SQL
+    ),
     "sim_ivf_topk": QuerySpec("sim_ivf_topk", sim_ivf_topk, None),
     "ext_sim_search": QuerySpec("ext_sim_search", ext_sim_search, _SIM_SEARCH_SQL),
     "sim_lsh_buckets": QuerySpec("sim_lsh_buckets", sim_lsh_buckets, _LSH_BUCKETS_SQL),
