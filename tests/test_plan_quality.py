@@ -187,3 +187,18 @@ def test_partitioned_sink_readback_prunes_partitions(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "dayofmonth" in m.group(1), plan[:600]
+
+
+def test_time_range_window_is_single_shuffle(spark):
+    plan = _plan(spark, "window_time_range")
+    assert _shuffles(plan) == 1
+
+
+def test_quantize_broadcasts_only_the_dim_scales(spark):
+    """emb_quantize_int8's only broadcast is the per-dimension scale
+    frame (64 rows — bounded by the embedding dim, not the corpus)."""
+    df = SPECS["emb_quantize_int8"].fn(spark, SF)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert logical.count("ResolvedHint") == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
