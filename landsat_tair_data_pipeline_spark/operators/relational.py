@@ -1063,7 +1063,64 @@ def agg_approx(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_returnflag",
+    "l_linestatus",
+)
+
+
+def profile_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-profiling primitive: per-column null count, exact distinct
+    count, min/max (stringified for a uniform long schema) over a
+    representative lineitem column set — ONE scan producing every
+    column's row via a single wide aggregate, then an unpivot-style
+    reshape driver-side-free. At 100 TB swap countDistinct for the
+    HLL sketches in agg_approx; the exact form here is what makes the
+    oracle hashable."""
+    li = table(spark, sf, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_str,
+       CAST(MAX({c}) AS VARCHAR) AS max_str
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "profile_table": QuerySpec("profile_table", profile_table, _PROFILE_SQL),
     "agg_approx": QuerySpec("agg_approx", agg_approx, None),
     "q10_returned_items": QuerySpec(
         "q10_returned_items", q10_returned_items, _Q10_SQL
