@@ -525,6 +525,55 @@ FROM m JOIN top ON m.doc_id = top.doc_id
 """.format(toks=_TOKS_SQL, g2=_ngrams_sql(2), g3=_ngrams_sql(3))
 
 
+# email pattern restricted to the syntax subset Java regex and RE2
+# (DuckDB) treat identically — no backrefs, no lookaround
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (the release-gate redaction pass): emails located
+    and replaced with a [EMAIL] placeholder, with per-doc counts and a
+    digest of the scrubbed text so the oracle verifies the REPLACEMENT
+    bytes, not just the counts. The synthetic corpus contains no PII,
+    so a deterministic email is appended to every 7th doc identically
+    on both sides — the scrub then has real positives to find, and a
+    regex-dialect divergence (Java vs RE2) breaks the hash."""
+    docs = table(spark, sf, "documents")
+    doctored = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.col("text"))
+    scrubbed = F.regexp_replace(doctored, _EMAIL_RE, "[EMAIL]")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(doctored, F.lit(_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+_PII_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact: user' || doc_id || '@example.com'
+              ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{re}')) AS n_emails,
+       length(regexp_replace(t, '{re}', '[EMAIL]', 'g')) AS scrubbed_len,
+       md5(regexp_replace(t, '{re}', '[EMAIL]', 'g')) AS scrubbed_md5
+FROM d
+""".replace("{re}", _EMAIL_RE)
+
+
 def src_jsonl_documents(spark: SparkSession, sf: str) -> DataFrame:
     """JSONL (newline-delimited JSON) ingest — the interchange format
     every LLM-corpus pipeline meets. documents round-trips through
@@ -590,4 +639,5 @@ QUERIES: dict[str, QuerySpec] = {
     "src_jsonl_documents": QuerySpec(
         "src_jsonl_documents", src_jsonl_documents, _JSONL_SQL
     ),
+    "text_pii_scrub": QuerySpec("text_pii_scrub", text_pii_scrub, _PII_SQL),
 }
