@@ -609,8 +609,8 @@ def src_jsonl_documents(spark: SparkSession, sf: str) -> DataFrame:
 _JSONL_SQL = """
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(length(text)) AS sum_text_len,
-       SUM(n_chars) AS sum_n_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
        COUNT(DISTINCT lang) AS n_langs
 FROM documents
 GROUP BY source

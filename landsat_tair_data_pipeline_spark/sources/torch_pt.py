@@ -82,11 +82,37 @@ def _rebuild_tensor_v2(
     """numpy equivalent of torch._utils._rebuild_tensor_v2 for dense
     tensors: strided view over the flat storage, copied out so the
     result owns its memory."""
+    shape = tuple(int(d) for d in size)
+    strides_elems = tuple(int(s) for s in stride)
+    offset = int(storage_offset)
+    if len(shape) != len(strides_elems) or offset < 0 or any(d < 0 for d in shape):
+        raise UnsupportedPtError(
+            f"malformed tensor geometry: shape={shape} strides={strides_elems} "
+            f"offset={offset}"
+        )
+    # Bound the strided view against the storage BEFORE building it:
+    # pickle-supplied geometry is attacker-controlled, and as_strided
+    # reads whatever the arithmetic reaches (out-of-bounds memory on a
+    # crafted archive). Max reachable flat index = offset + sum over
+    # dims of (dim-1)*stride for positive strides (negative strides
+    # reach below offset, also rejected — torch.save never emits them
+    # for dense CPU tensors).
+    if any(s < 0 for s in strides_elems):
+        raise UnsupportedPtError(f"negative strides {strides_elems}")
+    max_index = offset + sum(
+        (d - 1) * s for d, s in zip(shape, strides_elems) if d > 0
+    )
+    n_elems = int(np.prod(shape)) if shape else 1
+    if n_elems > 0 and max_index >= storage.size:
+        raise UnsupportedPtError(
+            f"tensor geometry reaches element {max_index} but storage has "
+            f"only {storage.size} elements"
+        )
     itemsize = storage.dtype.itemsize
-    byte_strides = tuple(int(s) * itemsize for s in stride)
-    base = storage[int(storage_offset):]
+    byte_strides = tuple(s * itemsize for s in strides_elems)
+    base = storage[offset:]
     view = np.lib.stride_tricks.as_strided(
-        base, shape=tuple(int(d) for d in size), strides=byte_strides
+        base, shape=shape, strides=byte_strides
     )
     return np.array(view)  # materialize: decouple from the mmap'd buffer
 

@@ -90,7 +90,9 @@ def test_jaccard_broadcasts_only_bounded_frames(spark):
     # self-join's two sides, so the same bounded hint may appear twice
     assert hint_idx, "expected the bounded top-K broadcast hint"
     for i in hint_idx:
-        assert "GlobalLimit 65536" in lines[i + 1], lines[i : i + 2]
+        assert i + 1 < len(lines) and "GlobalLimit 65536" in lines[i + 1], (
+            lines[i : i + 2]
+        )
 
 
 def test_embedding_cosine_is_distributed(spark):
