@@ -57,6 +57,14 @@ HEADLINE = [
     "sample_stratified",
     "sink_parquet_partitioned",
     "src_jsonl_documents",
+    # r6 additions (append-only): the heavy never-benched keys VERDICT
+    # r5 flagged — each gets a recorded baseline so future regressions
+    # are visible. dedup_clusters joins after all: its iterative-CC
+    # convergence cost is its own axis, distinct from the pair join.
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "llm_data_pipeline_v2",
+    "ts_gapfill",
 ]
 
 

@@ -435,6 +435,33 @@ SELECT 'test' AS split, c - CAST(FLOOR(c * 0.8) AS BIGINT) AS n_rows FROM n
 """
 
 
+def _mult_hash_key(col: str = "doc_id"):
+    """(col * 2654435761) mod 2^32 (Knuth multiplicative hash),
+    computed via a 16-bit split so no intermediate exceeds int64 — the
+    naive product overflows at id ≥ ~3.47e9, where Spark (non-ANSI)
+    would wrap silently and DuckDB would raise: the reproducibility
+    contract would break exactly when the data grows. 2041643008 =
+    (2654435761·2^16) mod 2^32. Identical values to the naive form
+    below the overflow. The SQL twin is _MULT_HASH_SQL."""
+    a = F.pmod(F.col(col), F.lit(4294967296))
+    lo = F.pmod(a, F.lit(65536))
+    hi = F.pmod(F.floor(a / F.lit(65536)), F.lit(65536))
+    return F.pmod(
+        F.pmod(lo * F.lit(2654435761), F.lit(4294967296))
+        + hi * F.lit(2041643008),
+        F.lit(4294967296),
+    )
+
+
+# DuckDB twin of _mult_hash_key over a column `a` already normalized
+# to ((x % 2^32) + 2^32) % 2^32 (pmod: DuckDB % follows the dividend
+# sign, Spark pmod is always non-negative).
+_MULT_HASH_SQL = (
+    "(((a % 65536) * 2654435761 % 4294967296"
+    " + (a // 65536 % 65536) * 2041643008) % 4294967296)"
+)
+
+
 def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     """Exact k-per-stratum sampling (the corpus-mixing primitive: take
     exactly k docs per source). Selection key is a declared
@@ -450,20 +477,7 @@ def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     cross-product."""
     k = 10
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    # (doc_id * 2654435761) mod 2^32, computed via a 16-bit split so no
-    # intermediate exceeds int64 — the naive product overflows at
-    # doc_id ≥ ~3.47e9, where Spark (non-ANSI) would wrap silently and
-    # DuckDB would raise: the reproducibility contract would break
-    # exactly when the data grows. 2041643008 = (2654435761·2^16) mod
-    # 2^32. Identical values to the naive form below the overflow.
-    a = F.pmod(F.col("doc_id"), F.lit(4294967296))
-    lo = F.pmod(a, F.lit(65536))
-    hi = F.pmod(F.floor(a / F.lit(65536)), F.lit(65536))
-    key = F.pmod(
-        F.pmod(lo * F.lit(2654435761), F.lit(4294967296))
-        + hi * F.lit(2041643008),
-        F.lit(4294967296),
-    )
+    key = _mult_hash_key()
     w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
     return (
         docs.select("doc_id", "source", key.alias("sample_key"))
@@ -524,6 +538,60 @@ SELECT 4 * k + (c - k) AS n_total, c AS n_docs, 3 * k AS n_augmented FROM n
 """
 
 
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.1}
+_MIX_DEFAULT = 0.5
+_MIX_SCALE = 4294967296  # 2^32, the hash-key range
+
+
+def sample_source_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted per-source corpus mixing (the GPT-3/Pile recipe:
+    sample each source at a declared rate so the training mixture
+    matches target proportions). Keep a doc iff its deterministic
+    hash fraction falls below the source's weight — reproducible in
+    any engine and any partitioning, unlike rand()-thinning, so the
+    oracle checks the SELECTED ROWS. Thresholds are integer literals
+    (weight·2^32) so the comparison never touches floats.
+
+    Scale shape: narrow map + filter, zero shuffles; the weight table
+    rides along as a literal map expression (a real deployment would
+    broadcast-join a weights dimension — same plan class)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    key = _mult_hash_key()
+    m = F.create_map(
+        *[
+            x
+            for s, w in _MIX_WEIGHTS.items()
+            for x in (F.lit(s), F.lit(int(w * _MIX_SCALE)))
+        ]
+    )
+    threshold = F.coalesce(
+        m[F.col("source")], F.lit(int(_MIX_DEFAULT * _MIX_SCALE))
+    )
+    return (
+        docs.select("source", "doc_id", key.alias("sample_key"))
+        .where(F.col("sample_key") < threshold)
+    )
+
+
+_SOURCE_MIX_SQL = """
+WITH keyed AS (
+  SELECT source, doc_id, {hash} AS sample_key
+  FROM (SELECT source, doc_id,
+               ((doc_id % 4294967296) + 4294967296) % 4294967296 AS a
+        FROM documents))
+SELECT source, doc_id, sample_key
+FROM keyed
+WHERE sample_key < CASE source {cases} ELSE {default} END
+""".format(
+    hash=_MULT_HASH_SQL,
+    cases=" ".join(
+        f"WHEN '{s}' THEN {int(w * _MIX_SCALE)}"
+        for s, w in _MIX_WEIGHTS.items()
+    ),
+    default=int(_MIX_DEFAULT * _MIX_SCALE),
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "aug_rot90": QuerySpec("aug_rot90", aug_rot90, _ROT90_SQL),
     "aug_explode_4x": QuerySpec("aug_explode_4x", aug_explode_4x, _EXPLODE4X_SQL),
@@ -535,5 +603,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "aug_train_pipeline": QuerySpec(
         "aug_train_pipeline", aug_train_pipeline, _TRAIN_PIPELINE_SQL
+    ),
+    "sample_source_mix": QuerySpec(
+        "sample_source_mix", sample_source_mix, _SOURCE_MIX_SQL
     ),
 }

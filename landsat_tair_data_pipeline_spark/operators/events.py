@@ -699,7 +699,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     read back a stale write, and incomplete leftovers from an
     interrupted write are scrubbed first (util.prepare_scratch_dir) —
     mode('ignore') checks only path existence, not completion."""
-    from ..util import prepare_scratch_dir
+    from ..util import assert_readback_complete, prepare_scratch_dir
 
     out_dir = prepare_scratch_dir("events_part", f"{sf}/events.parquet")
 
@@ -712,6 +712,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(out_dir)
     )
     back = spark.read.parquet(out_dir)
+    assert_readback_complete(ev, back, "sink_parquet_partitioned")
     return (
         back.where(F.dayofmonth("event_date") <= 3)
         .groupBy("event_date")
@@ -735,6 +736,108 @@ FROM events
 WHERE EXTRACT(day FROM ts) <= 3
 GROUP BY 1
 """
+
+
+_RANGE_BIN_S = 600  # 10-min grid; interval durations are < _RANGE_BIN_S
+
+
+def join_range_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-containment join WITHOUT an equi key — the classic
+    range-join gap in Spark (a raw `p.ts BETWEEN i.t0 AND i.t1` join
+    plans as BroadcastNestedLoopJoin: O(n·m) and a driver-sized
+    broadcast). Binned rewrite: explode each interval onto the fixed
+    10-minute grid cells it overlaps, map each point to its single
+    cell, equi-join on the cell with the range predicate as a
+    secondary condition, aggregate per interval. Each point has
+    exactly one cell, so no post-join dedup; interval durations are
+    bounded below the bin width (duration = floor(value) s < 600 s),
+    so the explode factor is at most 2. At 100 TB this is one shuffle
+    on the bin key with partial aggregation — the same plan shape a
+    dedicated range-join optimizer (e.g. Databricks' bin join) emits.
+
+    Intervals: 'signup' events open a window [ts, ts + floor(value)
+    seconds]; points: 'error' events. Per interval: how many errors
+    landed inside, and their value sum (left join keeps zero-hit
+    intervals)."""
+    ev = table(spark, sf, "events")
+    iv = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("t0"),
+        F.timestamp_add(
+            "SECOND", F.floor("value").cast("int"), F.col("ts")
+        ).alias("t1"),
+    )
+    ivb = iv.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("t0") / _RANGE_BIN_S),
+                F.floor(F.unix_timestamp("t1") / _RANGE_BIN_S),
+            )
+        ),
+    )
+    pts = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+        F.floor(F.unix_timestamp("ts") / _RANGE_BIN_S).alias("bin"),
+    )
+    joined = ivb.join(
+        pts,
+        (ivb["bin"] == pts["bin"])
+        & pts["p_ts"].between(ivb["t0"], ivb["t1"]),
+        "left",
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count("p_id").alias("n_hits"),
+        F.round(F.coalesce(F.sum("p_value"), F.lit(0.0)) + 1e-9, 2).alias(
+            "sum_hit_value"
+        ),
+    )
+
+
+_RANGE_INTERVAL_SQL = """
+SELECT i.interval_id,
+       COUNT(p.event_id) AS n_hits,
+       ROUND(COALESCE(SUM(p.value), 0) + 1e-9, 2) AS sum_hit_value
+FROM (SELECT event_id AS interval_id, ts AS t0,
+             ts + to_seconds(CAST(FLOOR(value) AS BIGINT)) AS t1
+      FROM events WHERE event_type = 'signup') i
+LEFT JOIN (SELECT event_id, ts, value FROM events
+           WHERE event_type = 'error') p
+  ON p.ts >= i.t0 AND p.ts <= i.t1
+GROUP BY 1
+"""
+
+
+def agg_sketch_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark 3.5+ builtins) — the 100 TB cardinality primitive: per-day
+    sketches are tiny (≤ 2^12 registers), persistable, and UNION-able
+    across any partitioning of the data, so rollups never rescan the
+    fact table. Surface: per event_type, the direct sketch estimate,
+    the estimate from unioning per-day sketches (must agree — HLL
+    register-max merge is lossless at equal precision, asserted in
+    tests), and the exact count for error bounding. Rows-only at the
+    driver: DuckDB's approx_count_distinct is a different HLL
+    implementation, so estimates are not cross-engine comparable."""
+    ev = table(spark, sf, "events")
+    per_day = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = per_day.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "direct_est"
+        ),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    return (
+        direct.join(merged, "event_type")
+        .select("event_type", "direct_est", "merged_est", "exact_distinct")
+    )
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -778,4 +881,11 @@ QUERIES: dict[str, QuerySpec] = {
         "window_time_range", window_time_range, _TIME_RANGE_SQL
     ),
     "agg_corr": QuerySpec("agg_corr", agg_corr, _CORR_SQL),
+    "join_range_interval": QuerySpec(
+        "join_range_interval", join_range_interval, _RANGE_INTERVAL_SQL
+    ),
+    # rows-only by design: DuckDB's HLL is a different implementation,
+    # estimates are engine-specific (merge-losslessness + error bound
+    # asserted in tests/test_relational_extra.py instead)
+    "agg_sketch_hll": QuerySpec("agg_sketch_hll", agg_sketch_hll, None),
 }

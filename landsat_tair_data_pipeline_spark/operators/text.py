@@ -586,7 +586,7 @@ def src_jsonl_documents(spark: SparkSession, sf: str) -> DataFrame:
     encoding/escaping loss in the JSON codec breaks the sums.
     Interrupted-write leftovers are scrubbed before the
     write-iff-absent (util.prepare_scratch_dir)."""
-    from ..util import prepare_scratch_dir
+    from ..util import assert_readback_complete, prepare_scratch_dir
 
     out_dir = prepare_scratch_dir(
         "documents_jsonl", f"{sf}/documents.parquet"
@@ -595,6 +595,7 @@ def src_jsonl_documents(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
     docs.write.mode("ignore").json(out_dir)
     back = spark.read.schema(docs.schema).json(out_dir)
+    assert_readback_complete(docs, back, "src_jsonl_documents")
     return (
         back.groupBy("source")
         .agg(
@@ -615,6 +616,59 @@ SELECT source,
 FROM documents
 GROUP BY source
 """
+
+
+_CHUNK_W, _CHUNK_S = 16, 8
+
+
+def text_chunk_stride(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping sliding-window chunking — the training-data
+    complement of pack_chunks: split each document's token sequence
+    into windows of W=16 tokens advancing by stride S=8 (50% overlap,
+    the long-context training recipe). Chunk starts are every multiple
+    of S below n_tokens, so every token is covered and tail chunks may
+    be short. The checkable surface is the md5 of each materialized
+    chunk — any off-by-one in the slice arithmetic changes the hash.
+
+    Scale shape: narrow map + explode, no shuffle at all; output size
+    is ~n/S chunks per document, linear in the corpus. The token array
+    is built once per row and sliced per chunk (JVM-side `slice`, no
+    Python)."""
+    docs = table(spark, sf, "documents")
+    base = docs.select("doc_id", TOKENS().alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(_CHUNK_S)).cast("int")
+    exploded = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice("toks", F.col("chunk_idx") * _CHUNK_S + 1, _CHUNK_W)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * _CHUNK_S).cast("int").alias("start_tok"),
+        F.size(piece).alias("n_chunk_toks"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_hash"),
+    )
+
+
+_CHUNK_SQL = """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+     c AS (SELECT doc_id, toks,
+                  unnest(generate_series(
+                      0, CAST(CEIL(len(toks) / {S}.0) AS BIGINT) - 1
+                  )) AS chunk_idx
+           FROM t)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_idx * {S} AS INT) AS start_tok,
+       CAST(len(toks[chunk_idx * {S} + 1 : chunk_idx * {S} + {W}]) AS INT)
+           AS n_chunk_toks,
+       md5(array_to_string(
+           toks[chunk_idx * {S} + 1 : chunk_idx * {S} + {W}], ' '
+       )) AS chunk_hash
+FROM c
+""".format(toks=_TOKS_SQL, W=_CHUNK_W, S=_CHUNK_S)
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -640,4 +694,7 @@ QUERIES: dict[str, QuerySpec] = {
         "src_jsonl_documents", src_jsonl_documents, _JSONL_SQL
     ),
     "text_pii_scrub": QuerySpec("text_pii_scrub", text_pii_scrub, _PII_SQL),
+    "text_chunk_stride": QuerySpec(
+        "text_chunk_stride", text_chunk_stride, _CHUNK_SQL
+    ),
 }

@@ -41,3 +41,21 @@ def prepare_scratch_dir(prefix: str, src_path: str) -> str:
     ):
         shutil.rmtree(out_dir)
     return out_dir
+
+
+def assert_readback_complete(src, back, label: str) -> None:
+    """Loud integrity gate between a scratch sink and its read-back:
+    raises if the round-tripped row count differs from the source. A
+    stale or partial scratch directory otherwise surfaces only as a
+    silent value-hash mismatch at the driver (the failure class
+    content-addressing defends against but cannot prove absent);
+    this converts it into a named error at the query itself. Costs
+    two count jobs over already-pruned scans — noise next to the
+    sink write it guards."""
+    n_src, n_back = src.count(), back.count()
+    if n_src != n_back:
+        raise RuntimeError(
+            f"{label}: scratch read-back has {n_back} rows but source has "
+            f"{n_src} — stale or partial sink output; delete the scratch "
+            "dir and rerun"
+        )

@@ -204,3 +204,32 @@ def test_quantize_broadcasts_only_the_dim_scales(spark):
     assert logical.count("ResolvedHint") == 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_range_interval_join_is_equi_not_nested_loop(spark):
+    """The binned interval join exists precisely to avoid the
+    BroadcastNestedLoopJoin a raw range predicate plans to: the
+    physical plan must join on the bin equi-key (hash or sort-merge;
+    AQE may broadcast the smaller side — still equi) with zero
+    nested-loop or cartesian operators."""
+    plan = _plan(spark, "join_range_interval")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_chunk_stride_is_narrow(spark):
+    """Chunking is a pure narrow map+explode: any Exchange in the plan
+    means a shuffle snuck into a per-row operation."""
+    df = SPECS["text_chunk_stride"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_source_mix_is_narrow_and_pushes_nothing_to_python(spark):
+    """Weighted mixing is a literal-map lookup + integer compare:
+    no shuffle, no Python eval."""
+    df = SPECS["sample_source_mix"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan

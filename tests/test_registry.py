@@ -7,13 +7,13 @@ driver evidence. Pin it.
 
 from __future__ import annotations
 
-from landsat_tair_data_pipeline_spark.registry import _ROUND5_FRONT, all_queries
+from landsat_tair_data_pipeline_spark.registry import _ROUND6_FRONT, all_queries
 
 
 def test_front_window_is_exactly_the_declared_50():
     qs = all_queries()
-    assert list(qs)[:50] == list(_ROUND5_FRONT)
-    assert len(_ROUND5_FRONT) == len(set(_ROUND5_FRONT)) == 50
+    assert list(qs)[:50] == list(_ROUND6_FRONT)
+    assert len(_ROUND6_FRONT) == len(set(_ROUND6_FRONT)) == 50
 
 
 def test_spec_names_match_keys():

@@ -44,3 +44,20 @@ def test_partitioned_layout_prunes(spark, tmp_path):
     assert one.select("scene_id").distinct().count() == 1
     full = spark.read.parquet(out)
     assert full.select("scene_id").distinct().count() > 1
+
+
+def test_hll_sketch_merge_is_lossless_and_bounded(spark):
+    """HLL register-max merge at equal precision loses nothing: the
+    estimate from unioning per-day sketches must equal the direct
+    whole-table sketch estimate, and both must sit within 5% of the
+    exact distinct count (at this cardinality the sketch is typically
+    still in exact sparse mode, so the bound is generous)."""
+    from landsat_tair_data_pipeline_spark.operators.events import agg_sketch_hll
+
+    rows = agg_sketch_hll(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["direct_est"] == r["merged_est"], r
+        assert abs(r["direct_est"] - r["exact_distinct"]) <= (
+            0.05 * r["exact_distinct"]
+        ), r
