@@ -699,9 +699,14 @@ def sink_parquet_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     read back a stale write, and incomplete leftovers from an
     interrupted write are scrubbed first (util.prepare_scratch_dir) —
     mode('ignore') checks only path existence, not completion."""
-    from ..util import assert_readback_complete, prepare_scratch_dir
+    from ..util import (
+        assert_readback_complete,
+        prepare_scratch_dir,
+        scratch_is_reused,
+    )
 
     out_dir = prepare_scratch_dir("events_part", f"{sf}/events.parquet")
+    reused = scratch_is_reused(out_dir)
 
     ev = table(spark, sf, "events").withColumn("event_date", F.to_date("ts"))
     (
@@ -712,7 +717,8 @@ def sink_parquet_partitioned(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(out_dir)
     )
     back = spark.read.parquet(out_dir)
-    assert_readback_complete(ev, back, "sink_parquet_partitioned")
+    if reused:
+        assert_readback_complete(ev, back, "sink_parquet_partitioned")
     return (
         back.where(F.dayofmonth("event_date") <= 3)
         .groupBy("event_date")
@@ -840,6 +846,82 @@ def agg_sketch_hll(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def agg_mode_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-group MODE: each user's most frequent event
+    type, ties broken by the lexicographically smallest type (native
+    `mode()` is tie-nondeterministic in both engines, so the operator
+    is the count + bounded-window form — reproducible anywhere).
+    Scale: one shuffle for the (user, type) count, then a 5-row-max
+    per-user window — WindowGroupLimit prunes map-side."""
+    ev = table(spark, sf, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+_MODE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rk
+  FROM c)
+SELECT user_id, event_type AS mode_event_type, n AS mode_count
+FROM r WHERE rk = 1
+"""
+
+
+_SKEW_SALTS = 16
+
+
+def agg_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted aggregation — the skewed-key recipe: 5 event
+    types over the whole fact table means 5 reduce keys, so at 1000
+    executors a plain groupBy funnels everything through 5 tasks.
+    Salting by a deterministic hash of the row key fans phase 1 out to
+    5×16 tasks (each partially aggregated map-side), and phase 2
+    reduces 16 tiny rows per type. Same answer, no hot task — the
+    manual form of what AQE's skew mitigation cannot do for
+    aggregations (it only splits skewed JOIN partitions). The salt is
+    xxhash64-derived (not rand()) so reruns are identical."""
+    ev = table(spark, sf, "events")
+    salted = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(_SKEW_SALTS))
+    )
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_sum")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n_events"),
+        F.round(F.sum("_sum") + 1e-9, 2).alias("sum_value"),
+        F.round(F.sum("_sum") / F.sum("_n") + 1e-9, 4).alias("avg_value"),
+    )
+
+
+_SALTED_SKEW_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value) + 1e-9, 2) AS sum_value,
+       ROUND(SUM(value) / COUNT(*) + 1e-9, 4) AS avg_value
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec("events_tumbling", events_tumbling, _TUMBLING_SQL),
     "events_sliding": QuerySpec("events_sliding", events_sliding, _SLIDING_SQL),
@@ -888,4 +970,10 @@ QUERIES: dict[str, QuerySpec] = {
     # estimates are engine-specific (merge-losslessness + error bound
     # asserted in tests/test_relational_extra.py instead)
     "agg_sketch_hll": QuerySpec("agg_sketch_hll", agg_sketch_hll, None),
+    "agg_mode_per_group": QuerySpec(
+        "agg_mode_per_group", agg_mode_per_group, _MODE_SQL
+    ),
+    "agg_salted_skew": QuerySpec(
+        "agg_salted_skew", agg_salted_skew, _SALTED_SKEW_SQL
+    ),
 }

@@ -1007,6 +1007,163 @@ WHERE p_brand = 'Brand#1'
 """
 
 
+def q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: priority histogram of orders with at least one
+    late line item, via an EXISTS semi-join whose condition spans both
+    sides (this schema has no commit/receipt dates, so "late" is
+    shipped > 30 days after order date). The semi-join keeps each
+    order at most once — no DISTINCT repair needed — and at 100 TB it
+    shuffles only the quarter-filtered orders slice (the date filter
+    is pushed to the scan)."""
+    o = table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = table(spark, sf, "lineitem")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q9_profit_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year. No
+    partsupp table in this schema, so cost is proxied as
+    0.8·p_retailprice·l_quantity (the join tree — fact against three
+    broadcast dimensions with a size-filtered part — is the point).
+    One shuffle: the final (nation, year) aggregation."""
+    li = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    p = table(spark, sf, "part").where(F.col("p_size") <= 25)
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        0.8 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount) + 1e-9, 2).alias("sum_profit"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - 0.8 * p_retailprice * l_quantity) + 1e-9, 2)
+           AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_size <= 25
+GROUP BY 1, 2
+"""
+
+
+def q19_disjunctive_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate
+    spanning the fact (quantity) and the broadcast dimension
+    (brand/size). Catalyst extracts the common part-side disjunction
+    (brand ∈ {1,2,3}) below the join while the mixed residual stays a
+    post-join filter — the scan reads only the three brands' rows."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return j.where(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            + 1e-9,
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers who never ordered —
+    a scalar aggregate threshold (avg positive balance) applied via a
+    1-row broadcast cross join, then an anti join against orders.
+    At 100 TB the anti join shuffles on custkey; the scalar side is a
+    full-reduce to one row (map-side combinable)."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    thr = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(thr)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal") + 1e-9, 2).alias("totacctbal"),
+    )
+
+
+_Q22_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal) + 1e-9, 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
 def sql_q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """The same Q1 pricing summary through the spark.sql() ENTRY PATH:
     tables registered as temp views, query expressed as one SQL string
@@ -1185,5 +1342,18 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sql_q1_pricing_summary": QuerySpec(
         "sql_q1_pricing_summary", sql_q1_pricing_summary, _SQL_Q1_SQL
+    ),
+    # appended r6: the remaining TPC-H shapes this schema supports
+    "q4_order_priority": QuerySpec(
+        "q4_order_priority", q4_order_priority, _Q4_SQL
+    ),
+    "q9_profit_by_nation": QuerySpec(
+        "q9_profit_by_nation", q9_profit_by_nation, _Q9_SQL
+    ),
+    "q19_disjunctive_pushdown": QuerySpec(
+        "q19_disjunctive_pushdown", q19_disjunctive_pushdown, _Q19_SQL
+    ),
+    "q22_idle_customers": QuerySpec(
+        "q22_idle_customers", q22_idle_customers, _Q22_SQL
     ),
 }

@@ -111,6 +111,12 @@ _ROUND6_FRONT = [
     "text_chunk_stride",
     "sample_source_mix",
     "agg_sketch_hll",
+    "q4_order_priority",
+    "q9_profit_by_nation",
+    "q19_disjunctive_pushdown",
+    "q22_idle_customers",
+    "agg_mode_per_group",
+    "agg_salted_skew",
     # never driver-checked, added late in r5 (11)
     "pivot_event_counts",
     "unpivot_event_counts",
@@ -150,19 +156,13 @@ _ROUND6_FRONT = [
     "setop_intersect",
     "sim_ivf_topk",
     "sim_lsh_buckets",
-    # r3-vintage fixture/mapping tail (9 — map_k_coeffs, map_flatten,
-    # src_csv_ground_truths, sink_csv_stations displaced by the four
-    # r6 additions; they read in-repo fixtures the driver never
-    # regenerates, so their r3 evidence is the least at risk)
+    # r3-vintage fixture/mapping tail (3 — the other ten r3-vintage
+    # fixture keys were displaced by the ten r6 additions; they read
+    # in-repo fixtures the driver never regenerates, so their r3
+    # evidence is the least at risk)
     "agg_ratio",
     "join_zip_positional",
     "map_cast_double",
-    "map_str_to_float",
-    "map_dn_to_radiance",
-    "map_bt_l5",
-    "map_bt_l89",
-    "map_band_remap_l8",
-    "map_coeff_vector",
 ]
 
 # Historical r5 order kept for reference (drove CORRECTNESS_r05):

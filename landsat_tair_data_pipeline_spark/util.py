@@ -43,15 +43,25 @@ def prepare_scratch_dir(prefix: str, src_path: str) -> str:
     return out_dir
 
 
+def scratch_is_reused(out_dir: str) -> bool:
+    """True iff a prior completed write exists at ``out_dir`` — i.e.
+    ``mode('ignore')`` will SKIP writing and the query will read data
+    this run did not produce. That is the only stale-content risk
+    path, so callers gate the (count-job-costing) read-back integrity
+    check on it: a fresh write this run is trusted-complete."""
+    return os.path.exists(os.path.join(out_dir, "_SUCCESS"))
+
+
 def assert_readback_complete(src, back, label: str) -> None:
-    """Loud integrity gate between a scratch sink and its read-back:
-    raises if the round-tripped row count differs from the source. A
-    stale or partial scratch directory otherwise surfaces only as a
-    silent value-hash mismatch at the driver (the failure class
-    content-addressing defends against but cannot prove absent);
-    this converts it into a named error at the query itself. Costs
-    two count jobs over already-pruned scans — noise next to the
-    sink write it guards."""
+    """Loud integrity gate between a reused scratch sink and its
+    read-back: raises if the round-tripped row count differs from the
+    source. A stale or partial scratch directory otherwise surfaces
+    only as a silent value-hash mismatch at the driver (the failure
+    class content-addressing defends against but cannot prove
+    absent); this converts it into a named error at the query itself.
+    Call only when scratch_is_reused() — a fresh write needs no
+    proof, and skipping keeps the two count jobs off the write
+    path."""
     n_src, n_back = src.count(), back.count()
     if n_src != n_back:
         raise RuntimeError(

@@ -233,3 +233,42 @@ def test_source_mix_is_narrow_and_pushes_nothing_to_python(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q9_three_broadcast_dims_one_shuffle(spark):
+    """Q9's join tree: fact against three broadcast dimensions, the
+    only shuffle being the final (nation, year) aggregation; the
+    p_size filter must reach the part scan."""
+    plan = _plan(spark, "q9_profit_by_nation")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert _shuffles(plan) == 1
+    assert re.search(r"PushedFilters: \[[^\]]*p_size[^\]]*\]", plan)
+
+
+def test_q19_disjunction_reaches_fact_scan(spark):
+    """The OR-of-ANDs mixes fact and dim columns; Catalyst must still
+    derive a fact-only disjunction over l_quantity and push it into
+    the lineitem scan (row-group pruning at 100 TB)."""
+    plan = _plan(spark, "q19_disjunctive_pushdown")
+    assert re.search(r"PushedFilters: \[[^\]]*Or\([^\]]*l_quantity[^\]]*\]", plan)
+    assert plan.count("BroadcastHashJoin") == 1
+    assert _shuffles(plan) == 1
+
+
+def test_salted_skew_is_two_phase(spark):
+    """The salted aggregation must show BOTH phases (salted partial +
+    final), i.e. two exchanges and four HashAggregates — collapsing
+    back to a single-phase groupBy would silently reintroduce the
+    5-hot-task bottleneck the operator exists to break."""
+    plan = _plan(spark, "agg_salted_skew")
+    assert _shuffles(plan) == 2
+    assert plan.count("HashAggregate") == 4
+
+
+def test_mode_rank_prunes_map_side(spark):
+    """The per-user mode keeps ≤1 row per user via a rank window that
+    must prune map-side (partial WindowGroupLimit before the
+    exchange), not sort whole partitions."""
+    plan = _plan(spark, "agg_mode_per_group")
+    assert plan.count("WindowGroupLimit") == 2
