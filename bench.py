@@ -65,6 +65,11 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "llm_data_pipeline_v2",
     "ts_gapfill",
+    # r6 new-operator keys
+    "join_range_interval",
+    "text_chunk_stride",
+    "agg_salted_skew",
+    "q9_profit_by_nation",
 ]
 
 

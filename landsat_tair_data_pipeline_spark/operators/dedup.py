@@ -527,9 +527,21 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         nbr = edges.join(
             labels.withColumnRenamed("doc", "nbr_doc"),
             edges.doc_b == F.col("nbr_doc"),
-        ).select(F.col("doc_a").alias("doc"), "lbl")
+        ).select(F.col("doc_a").alias("doc"), "lbl", F.lit(0).alias("_self"))
+        # thread each node's OLD label through the same aggregate
+        # (max over the self-tagged row) so the convergence check
+        # reads the already-materialized frame instead of paying an
+        # extra join + shuffle per round
         propagated = (
-            labels.unionByName(nbr).groupBy("doc").agg(F.min("lbl").alias("lbl"))
+            labels.withColumn("_self", F.lit(1))
+            .unionByName(nbr)
+            .groupBy("doc")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.max(F.when(F.col("_self") == 1, F.col("lbl"))).alias(
+                    "_old"
+                ),
+            )
         )
         # pointer jumping: also adopt the label of my label (doc is
         # unique in `propagated`, so doc→lbl is a function; the left
@@ -545,15 +557,12 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
                 F.least(
                     F.col("lbl"), F.coalesce("_lbl2", F.col("lbl"))
                 ).alias("lbl"),
+                "_old",
             )
             .localCheckpoint()
         )
-        changed = (
-            new.join(labels.withColumnRenamed("lbl", "old"), "doc")
-            .where(F.col("lbl") != F.col("old"))
-            .count()
-        )
-        labels = new
+        changed = new.where(F.col("lbl") != F.col("_old")).count()
+        labels = new.select("doc", "lbl")
         if changed == 0:
             break
     if changed != 0:
