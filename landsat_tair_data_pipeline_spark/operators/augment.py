@@ -489,10 +489,7 @@ def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
 
 _STRATIFIED_SQL = """
 WITH keyed AS (
-  SELECT source, doc_id,
-         (((a % 65536) * 2654435761 % 4294967296
-           + (a // 65536 % 65536) * 2041643008) % 4294967296)
-           AS sample_key
+  SELECT source, doc_id, {hash} AS sample_key
   FROM (SELECT source, doc_id,
                -- pmod: DuckDB % follows the dividend sign, Spark pmod
                -- is always non-negative — normalize so negative ids
@@ -505,7 +502,7 @@ ranked AS (
                             ORDER BY sample_key ASC, doc_id ASC) AS rk
   FROM keyed)
 SELECT source, doc_id, sample_key, rk FROM ranked WHERE rk <= 10
-"""
+""".format(hash=_MULT_HASH_SQL)
 
 
 def aug_train_pipeline(spark: SparkSession, sf: str) -> DataFrame:

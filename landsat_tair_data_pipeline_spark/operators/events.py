@@ -699,14 +699,11 @@ def sink_parquet_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     read back a stale write, and incomplete leftovers from an
     interrupted write are scrubbed first (util.prepare_scratch_dir) —
     mode('ignore') checks only path existence, not completion."""
-    from ..util import (
-        assert_readback_complete,
-        prepare_scratch_dir,
-        scratch_is_reused,
-    )
+    from ..util import assert_readback_complete, prepare_scratch_dir
 
-    out_dir = prepare_scratch_dir("events_part", f"{sf}/events.parquet")
-    reused = scratch_is_reused(out_dir)
+    out_dir, reused = prepare_scratch_dir(
+        "events_part", f"{sf}/events.parquet"
+    )
 
     ev = table(spark, sf, "events").withColumn("event_date", F.to_date("ts"))
     (
@@ -773,9 +770,14 @@ def join_range_interval(spark: SparkSession, sf: str) -> DataFrame:
             "SECOND", F.floor("value").cast("int"), F.col("ts")
         ).alias("t1"),
     )
+    # explode_OUTER: a NULL value/ts makes the bin sequence NULL, and
+    # plain explode would drop the interval entirely — the oracle's
+    # LEFT JOIN keeps it with n_hits=0 (NULL bounds match no point),
+    # so the Spark side must too (null bin joins nothing, left join
+    # preserves the row)
     ivb = iv.withColumn(
         "bin",
-        F.explode(
+        F.explode_outer(
             F.sequence(
                 F.floor(F.unix_timestamp("t0") / _RANGE_BIN_S),
                 F.floor(F.unix_timestamp("t1") / _RANGE_BIN_S),

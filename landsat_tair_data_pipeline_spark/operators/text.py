@@ -586,16 +586,11 @@ def src_jsonl_documents(spark: SparkSession, sf: str) -> DataFrame:
     encoding/escaping loss in the JSON codec breaks the sums.
     Interrupted-write leftovers are scrubbed before the
     write-iff-absent (util.prepare_scratch_dir)."""
-    from ..util import (
-        assert_readback_complete,
-        prepare_scratch_dir,
-        scratch_is_reused,
-    )
+    from ..util import assert_readback_complete, prepare_scratch_dir
 
-    out_dir = prepare_scratch_dir(
+    out_dir, reused = prepare_scratch_dir(
         "documents_jsonl", f"{sf}/documents.parquet"
     )
-    reused = scratch_is_reused(out_dir)
 
     docs = table(spark, sf, "documents")
     docs.write.mode("ignore").json(out_dir)

@@ -106,7 +106,8 @@ _ROUND6_FRONT = [
     # the one r5 red, fixed this round (1)
     "src_jsonl_documents",
     # new in r6: binned interval join, strided chunking, weighted
-    # source mixing, HLL sketches (rows-only) (4)
+    # source mixing, HLL sketches (rows-only), four TPC-H shapes,
+    # deterministic mode, salted skew agg (10)
     "join_range_interval",
     "text_chunk_stride",
     "sample_source_mix",

@@ -31,6 +31,7 @@ dtypes). Sparse/quantized layouts and the pre-1.6 non-zip stream raise
 from __future__ import annotations
 
 import io
+import math
 import pickle
 import zipfile
 from collections import OrderedDict
@@ -102,7 +103,10 @@ def _rebuild_tensor_v2(
     max_index = offset + sum(
         (d - 1) * s for d, s in zip(shape, strides_elems) if d > 0
     )
-    n_elems = int(np.prod(shape)) if shape else 1
+    # math.prod, not np.prod: numpy accumulates in int64 and WRAPS on
+    # crafted shapes (e.g. (2^32, 2^32) → 0), which would skip the
+    # bounds check below
+    n_elems = math.prod(shape)
     if n_elems > 0 and max_index >= storage.size:
         raise UnsupportedPtError(
             f"tensor geometry reaches element {max_index} but storage has "

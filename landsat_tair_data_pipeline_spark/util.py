@@ -31,25 +31,26 @@ def content_tag(src_path: str) -> str:
     ).hexdigest()[:12]
 
 
-def prepare_scratch_dir(prefix: str, src_path: str) -> str:
+def prepare_scratch_dir(prefix: str, src_path: str) -> tuple[str, bool]:
     """Content-addressed scratch dir for a batch sink; removes an
     incomplete (no ``_SUCCESS``) leftover from an interrupted write so
-    ``mode('ignore')`` semantics stay correct."""
+    ``mode('ignore')`` semantics stay correct. Returns
+    ``(out_dir, reused)``."""
     out_dir = os.path.join(SCRATCH_DIR, f"{prefix}_{content_tag(src_path)}")
     if os.path.isdir(out_dir) and not os.path.exists(
         os.path.join(out_dir, "_SUCCESS")
     ):
         shutil.rmtree(out_dir)
-    return out_dir
-
-
-def scratch_is_reused(out_dir: str) -> bool:
-    """True iff a prior completed write exists at ``out_dir`` — i.e.
-    ``mode('ignore')`` will SKIP writing and the query will read data
-    this run did not produce. That is the only stale-content risk
-    path, so callers gate the (count-job-costing) read-back integrity
-    check on it: a fresh write this run is trusted-complete."""
-    return os.path.exists(os.path.join(out_dir, "_SUCCESS"))
+    # reused=True iff a prior COMPLETED write survives — i.e.
+    # mode('ignore') will skip writing and the query will read data
+    # this run did not produce. That is the only stale-content risk
+    # path, so callers gate the (count-job-costing) read-back
+    # integrity check on it: a fresh write this run is
+    # trusted-complete. Returned from here (not probed by callers
+    # after the fact) because probing _SUCCESS after the write always
+    # says True.
+    reused = os.path.exists(os.path.join(out_dir, "_SUCCESS"))
+    return out_dir, reused
 
 
 def assert_readback_complete(src, back, label: str) -> None:
