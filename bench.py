@@ -70,6 +70,7 @@ HEADLINE = [
     "text_chunk_stride",
     "agg_salted_skew",
     "q9_profit_by_nation",
+    "llm_data_pipeline_v3",
 ]
 
 

@@ -540,6 +540,21 @@ _MIX_DEFAULT = 0.5
 _MIX_SCALE = 4294967296  # 2^32, the hash-key range
 
 
+def _mix_threshold():
+    """Integer keep-threshold (weight·2^32) for the row's `source` —
+    the Column twin of _MIX_CASE_SQL."""
+    m = F.create_map(
+        *[
+            x
+            for s, w in _MIX_WEIGHTS.items()
+            for x in (F.lit(s), F.lit(int(w * _MIX_SCALE)))
+        ]
+    )
+    return F.coalesce(
+        m[F.col("source")], F.lit(int(_MIX_DEFAULT * _MIX_SCALE))
+    )
+
+
 def sample_source_mix(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted per-source corpus mixing (the GPT-3/Pile recipe:
     sample each source at a declared rate so the training mixture
@@ -554,21 +569,22 @@ def sample_source_mix(spark: SparkSession, sf: str) -> DataFrame:
     broadcast-join a weights dimension — same plan class)."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     key = _mult_hash_key()
-    m = F.create_map(
-        *[
-            x
-            for s, w in _MIX_WEIGHTS.items()
-            for x in (F.lit(s), F.lit(int(w * _MIX_SCALE)))
-        ]
-    )
-    threshold = F.coalesce(
-        m[F.col("source")], F.lit(int(_MIX_DEFAULT * _MIX_SCALE))
-    )
     return (
         docs.select("source", "doc_id", key.alias("sample_key"))
-        .where(F.col("sample_key") < threshold)
+        .where(F.col("sample_key") < _mix_threshold())
     )
 
+
+# the weight-threshold lookup as a SQL expression — shared with the
+# composed pipeline oracle (dedup._PIPELINE_V3_SQL) so Spark and every
+# oracle select by the identical integer thresholds
+_MIX_CASE_SQL = "CASE source {cases} ELSE {default} END".format(
+    cases=" ".join(
+        f"WHEN '{s}' THEN {int(w * _MIX_SCALE)}"
+        for s, w in _MIX_WEIGHTS.items()
+    ),
+    default=int(_MIX_DEFAULT * _MIX_SCALE),
+)
 
 _SOURCE_MIX_SQL = """
 WITH keyed AS (
@@ -578,15 +594,8 @@ WITH keyed AS (
         FROM documents))
 SELECT source, doc_id, sample_key
 FROM keyed
-WHERE sample_key < CASE source {cases} ELSE {default} END
-""".format(
-    hash=_MULT_HASH_SQL,
-    cases=" ".join(
-        f"WHEN '{s}' THEN {int(w * _MIX_SCALE)}"
-        for s, w in _MIX_WEIGHTS.items()
-    ),
-    default=int(_MIX_DEFAULT * _MIX_SCALE),
-)
+WHERE sample_key < {mix_case}
+""".format(hash=_MULT_HASH_SQL, mix_case=_MIX_CASE_SQL)
 
 
 QUERIES: dict[str, QuerySpec] = {

@@ -873,6 +873,131 @@ def llm_data_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
     return _chunk_summary(survivors)
 
 
+def llm_data_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-6 corpus build — the full modern pre-training data
+    recipe, still ONE composed Catalyst job:
+
+        documents
+          → eval holdout         (drop doc_id % 10 = 0 up front)
+          → quality filter       (text_quality.passes_quality)
+          → repetition filter    (text_repetition.is_repetitive = false)
+          → DECONTAMINATION      (drop any train doc sharing a word
+                                  5-gram with the eval slice — the
+                                  reverse direction of
+                                  text_contamination, which measures
+                                  eval; here train is cleansed)
+          → PII scrub            (emails → [EMAIL]; same deterministic
+                                  doctoring as text_pii_scrub so the
+                                  scrub has real positives, and the
+                                  SCRUBBED bytes flow downstream)
+          → source mixing        (sample_source_mix weights, identical
+                                  hash + integer thresholds)
+          → exact dedup          (keep lowest doc_id per md5 of the
+                                  final scrubbed bytes)
+          → strided chunking     (text_chunk_stride W=16/S=8 windows)
+          → per-source summary   (docs, chunks, token + distinct-chunk
+                                  counts — chunk hashes make any
+                                  upstream byte drift break the gate)
+
+    Every stage is an already-oracled operator; the composed oracle
+    chains the same CTEs, so a divergence in ANY stage (tokenizer,
+    regex dialect, hash arithmetic, chunk slicing) breaks the hash.
+
+    Scale shape: three linear gate joins on doc_id, one gram
+    semi/anti join pair (shuffle on the gram key, Zipf skew handled by
+    AQE), narrow scrub/mix maps, one md5 dedup shuffle, narrow
+    chunking, one final per-source aggregate. Nothing corpus-sized is
+    broadcast or collected."""
+    from .augment import _mix_threshold, _mult_hash_key
+    from .text import (
+        CONTAM_N,
+        _EMAIL_RE,
+        _EVAL_PRED,
+        _word_ngrams,
+        text_quality,
+        text_repetition,
+    )
+
+    docs = table(spark, sf, "documents")
+    quality_ids = (
+        text_quality(spark, sf)
+        .where(F.col("passes_quality") == 1)
+        .select("doc_id")
+    )
+    non_repetitive = (
+        text_repetition(spark, sf)
+        .where(~F.col("is_repetitive"))
+        .select("doc_id")
+    )
+    base = (
+        docs.where(~F.expr(_EVAL_PRED))
+        .join(quality_ids, "doc_id")
+        .join(non_repetitive, "doc_id")
+        .select("doc_id", "source", "text")
+    )
+
+    eval_grams = (
+        docs.where(F.expr(_EVAL_PRED))
+        .select(F.explode(_word_ngrams(CONTAM_N)).alias("gram"))
+        .distinct()
+    )
+    contaminated = (
+        base.select("doc_id", F.explode(_word_ngrams(CONTAM_N)).alias("gram"))
+        .join(eval_grams, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = base.join(contaminated, "doc_id", "left_anti")
+
+    doctored = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.col("text"))
+    scrubbed = clean.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(doctored, _EMAIL_RE, "[EMAIL]").alias("t"),
+    )
+
+    mixed = scrubbed.where(_mult_hash_key() < _mix_threshold())
+
+    keep = mixed.groupBy(F.md5("t").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    final = mixed.join(keep.select("doc_id"), "doc_id")
+
+    toks = F.split(F.trim(F.lower(F.col("t"))), r"\s+")
+    from .text import _CHUNK_S, _CHUNK_W
+
+    chunked = final.select(
+        "doc_id", "source", toks.alias("toks")
+    ).select(
+        "doc_id",
+        "source",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("toks") / F.lit(_CHUNK_S)).cast("int") - 1,
+            )
+        ).alias("ci"),
+    )
+    piece = F.slice("toks", F.col("ci") * _CHUNK_S + 1, _CHUNK_W)
+    return chunked.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.size(piece)).alias("total_chunk_toks"),
+        F.countDistinct(F.md5(F.concat_ws(" ", piece))).alias(
+            "n_distinct_chunks"
+        ),
+    )
+
+
 def text_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-bigram language-model quality score — the KenLM-style
     perplexity filter of pretraining pipelines, with the corpus itself
@@ -931,6 +1056,71 @@ from .text import _REPETITION_SQL as _TEXT_REPETITION_SQL  # noqa: E402
 
 _PIPELINE_SQL = _PIPELINE_SQL.format(quality=_TEXT_QUALITY_SQL.strip())
 
+from .augment import _MIX_CASE_SQL as _AUG_MIX_CASE_SQL  # noqa: E402
+from .augment import _MULT_HASH_SQL as _AUG_HASH_SQL  # noqa: E402
+from .text import _EMAIL_RE as _TEXT_EMAIL_RE  # noqa: E402
+from .text import _CHUNK_S, _CHUNK_W, _ngrams_sql  # noqa: E402
+from .text import CONTAM_N as _CONTAM_N  # noqa: E402
+
+_PIPELINE_V3_SQL = """
+WITH q AS ({quality}),
+rep AS (SELECT doc_id FROM ({repetition}) WHERE NOT is_repetitive),
+base AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d
+  JOIN (SELECT doc_id FROM q WHERE passes_quality = 1) USING (doc_id)
+  JOIN rep USING (doc_id)
+  WHERE NOT (d.doc_id % 10 = 0)),
+tok_e AS (SELECT {toks} AS toks FROM documents WHERE doc_id % 10 = 0),
+eval_grams AS (SELECT DISTINCT unnest({ngrams}) AS gram FROM tok_e),
+tok_b AS (SELECT doc_id, {toks} AS toks FROM base),
+contaminated AS (
+  SELECT DISTINCT bg.doc_id
+  FROM (SELECT doc_id, unnest({ngrams}) AS gram FROM tok_b) bg
+  JOIN eval_grams USING (gram)),
+clean AS (SELECT * FROM base
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+scrubbed AS (
+  SELECT doc_id, source,
+         regexp_replace(CASE WHEN doc_id % 7 = 0
+                             THEN text || ' contact: user' || doc_id
+                                  || '@example.com'
+                             ELSE text END, '<EMAILRE>', '[EMAIL]', 'g') AS t
+  FROM clean),
+mixed AS (
+  SELECT doc_id, source, t
+  FROM (SELECT s.*, ((doc_id % 4294967296) + 4294967296) % 4294967296 AS a
+        FROM scrubbed s)
+  WHERE {hash} < {mix_case}),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM mixed GROUP BY md5(t)),
+final AS (SELECT m.* FROM mixed m JOIN keep USING (doc_id)),
+tok_f AS (SELECT doc_id, source,
+                 string_split_regex(trim(lower(t)), '\\s+') AS toks
+          FROM final),
+chunks AS (SELECT doc_id, source, toks,
+                  unnest(generate_series(
+                      0, CAST(CEIL(len(toks) / {S}.0) AS BIGINT) - 1)) AS ci
+           FROM tok_f)
+SELECT source,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(len(toks[ci * {S} + 1 : ci * {S} + {W}])) AS BIGINT)
+           AS total_chunk_toks,
+       COUNT(DISTINCT md5(array_to_string(
+           toks[ci * {S} + 1 : ci * {S} + {W}], ' '))) AS n_distinct_chunks
+FROM chunks
+GROUP BY source
+""".format(
+    quality=_TEXT_QUALITY_SQL.strip(),
+    repetition=_TEXT_REPETITION_SQL.strip(),
+    toks=_TOKENS_SQL,
+    ngrams=_ngrams_sql(_CONTAM_N),
+    hash=_AUG_HASH_SQL,
+    mix_case=_AUG_MIX_CASE_SQL,
+    S=_CHUNK_S,
+    W=_CHUNK_W,
+).replace("<EMAILRE>", _TEXT_EMAIL_RE)
+
 _PIPELINE_V2_SQL = """
 WITH q AS ({quality}),
 rep AS (SELECT doc_id FROM ({repetition}) WHERE NOT is_repetitive),
@@ -978,6 +1168,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "llm_data_pipeline_v2": QuerySpec(
         "llm_data_pipeline_v2", llm_data_pipeline_v2, _PIPELINE_V2_SQL
+    ),
+    "llm_data_pipeline_v3": QuerySpec(
+        "llm_data_pipeline_v3", llm_data_pipeline_v3, _PIPELINE_V3_SQL
     ),
     "text_bigram_lm_score": QuerySpec(
         "text_bigram_lm_score", text_bigram_lm_score, _BIGRAM_LM_SQL

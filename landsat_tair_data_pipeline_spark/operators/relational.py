@@ -1132,6 +1132,78 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
 """
 
 
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_2's share of ASIA-market revenue by
+    order year. The fact-fact lineitem⋈orders shuffle join carries two
+    independent dimension chains — customer→nation→region gating the
+    market, supplier→nation naming the seller — and the share is a
+    conditional-sum over the same aggregate pass (no second scan).
+    Only the genuinely bounded dims (nation, region) carry broadcast
+    hints — customer and supplier grow with the fact data in TPC-H,
+    so their joins are left to AQE (broadcast at test scale, shuffle
+    at 100 TB); the one unavoidable big shuffle is lineitem⋈orders on
+    orderkey."""
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    cust_in_region = (
+        c.join(
+            F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+        )
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
+    ).select(F.col("s_suppkey").alias("sk"), F.col("n_name").alias("s_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust_in_region, o["o_custkey"] == F.col("c_custkey"))
+        .join(supp_nation, li["l_suppkey"] == F.col("sk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("s_nation"),
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("s_nation") == "NATION_2", F.col("volume")))
+            / F.sum("volume")
+            + 1e-9,
+            4,
+        ).alias("mkt_share"),
+        # 1e-6, not the house 1e-9: the yearly volume is ~1e8 where a
+        # double's ULP is ~1.5e-8, so engine accumulation-order noise
+        # (~1e-7) straddles .xx5 rounding boundaries that 1e-9 cannot
+        # clear (observed live: ...172.545 split .55 vs .54)
+        F.round(F.sum("volume") + 1e-6, 2).alias("total_volume"),
+    )
+
+
+_Q8_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       ROUND(SUM(CASE WHEN sn.n_name = 'NATION_2'
+                      THEN l_extendedprice * (1 - l_discount) END)
+             / SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 4)
+           AS mkt_share,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+           AS total_volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY 1
+"""
+
+
 def q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q22 shape: well-funded customers who never ordered —
     a scalar aggregate threshold (avg positive balance) applied via a
@@ -1355,5 +1427,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q22_idle_customers": QuerySpec(
         "q22_idle_customers", q22_idle_customers, _Q22_SQL
+    ),
+    "q8_market_share": QuerySpec(
+        "q8_market_share", q8_market_share, _Q8_SQL
     ),
 }

@@ -106,8 +106,8 @@ _ROUND6_FRONT = [
     # the one r5 red, fixed this round (1)
     "src_jsonl_documents",
     # new in r6: binned interval join, strided chunking, weighted
-    # source mixing, HLL sketches (rows-only), four TPC-H shapes,
-    # deterministic mode, salted skew agg (10)
+    # source mixing, HLL sketches (rows-only), five TPC-H shapes,
+    # deterministic mode, salted skew agg, v3 corpus pipeline (12)
     "join_range_interval",
     "text_chunk_stride",
     "sample_source_mix",
@@ -118,6 +118,8 @@ _ROUND6_FRONT = [
     "q22_idle_customers",
     "agg_mode_per_group",
     "agg_salted_skew",
+    "llm_data_pipeline_v3",
+    "q8_market_share",
     # never driver-checked, added late in r5 (11)
     "pivot_event_counts",
     "unpivot_event_counts",
@@ -157,13 +159,11 @@ _ROUND6_FRONT = [
     "setop_intersect",
     "sim_ivf_topk",
     "sim_lsh_buckets",
-    # r3-vintage fixture/mapping tail (3 — the other ten r3-vintage
-    # fixture keys were displaced by the ten r6 additions; they read
-    # in-repo fixtures the driver never regenerates, so their r3
+    # r3-vintage fixture/mapping tail (1 — the other twelve r3-vintage
+    # fixture keys were displaced by the twelve r6 additions; they
+    # read in-repo fixtures the driver never regenerates, so their r3
     # evidence is the least at risk)
-    "agg_ratio",
     "join_zip_positional",
-    "map_cast_double",
 ]
 
 # Historical r5 order kept for reference (drove CORRECTNESS_r05):

@@ -61,3 +61,20 @@ def test_hll_sketch_merge_is_lossless_and_bounded(spark):
         assert abs(r["direct_est"] - r["exact_distinct"]) <= (
             0.05 * r["exact_distinct"]
         ), r
+
+
+def test_explode_outer_keeps_null_bounded_intervals(spark):
+    """join_range_interval's NULL contract: a NULL interval bound
+    yields a NULL bin sequence, and explode_outer must KEEP the row
+    (plain explode drops it) so the left join emits the interval with
+    n_hits=0 exactly like the oracle's range LEFT JOIN. Pin the Spark
+    semantics the operator relies on."""
+    df = spark.createDataFrame([(1, None), (2, 5.0)], "id long, v double")
+    out = df.select(
+        "id",
+        F.explode_outer(
+            F.sequence(F.floor(F.col("v")), F.floor(F.col("v")))
+        ).alias("bin"),
+    )
+    rows = {r["id"]: r["bin"] for r in out.collect()}
+    assert rows == {1: None, 2: 5}
