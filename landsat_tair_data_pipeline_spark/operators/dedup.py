@@ -929,11 +929,23 @@ def llm_data_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
         .where(~F.col("is_repetitive"))
         .select("doc_id")
     )
+    # Two deliberate physical choices (both NOTES.md traps):
+    # - persist the frames consumed by TWO downstream branches
+    #   (base → gram-join + anti-join; mixed → keeper-agg + final
+    #   join): DataFrame branches don't share subtrees, so without it
+    #   the quality/repetition gate joins and scrub/mix maps run twice
+    # - repartition(n) with an explicit number BEFORE caching: AQE
+    #   coalesces the small gate-join output to ONE partition, and the
+    #   interpreted gram-HOF explode then runs single-task (measured
+    #   8.5 s for 149k grams on one core vs <1 s spread). No-op at
+    #   real scale, 10× locally.
     base = (
         docs.where(~F.expr(_EVAL_PRED))
         .join(quality_ids, "doc_id")
         .join(non_repetitive, "doc_id")
         .select("doc_id", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     eval_grams = (
@@ -964,7 +976,11 @@ def llm_data_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_replace(doctored, _EMAIL_RE, "[EMAIL]").alias("t"),
     )
 
-    mixed = scrubbed.where(_mult_hash_key() < _mix_threshold())
+    mixed = (
+        scrubbed.where(_mult_hash_key() < _mix_threshold())
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     keep = mixed.groupBy(F.md5("t").alias("_h")).agg(
         F.min("doc_id").alias("doc_id")

@@ -272,3 +272,17 @@ def test_mode_rank_prunes_map_side(spark):
     exchange), not sort whole partitions."""
     plan = _plan(spark, "agg_mode_per_group")
     assert plan.count("WindowGroupLimit") == 2
+
+
+def test_q8_hints_only_bounded_dims(spark):
+    """q8's scale honesty: exactly the three bounded-dimension
+    broadcasts are HINTED (nation twice, region once) — customer and
+    supplier grow with the fact data in TPC-H, so pinning them to
+    broadcast would OOM a 100 TB run; their join strategy belongs to
+    AQE. No nested-loop anywhere."""
+    df = SPECS["q8_market_share"].fn(spark, SF)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert logical.count("ResolvedHint") == 3, logical.count("ResolvedHint")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
