@@ -290,6 +290,55 @@ FROM documents
 """
 
 
+def mm_dedup_binary(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact binary dedup — step 1 of any image/audio dedup stack:
+    hash the OPAQUE payload bytes JVM-side (no Python crossing, no
+    decode) and report per-type redundancy (distinct payloads, dup
+    groups, redundant copies, deterministic min keeper).
+    At 100 TB this is the cheap pass that typically removes the bulk
+    of media duplicates before any perceptual hashing: one shuffle on
+    a 16-byte digest, payload bytes never leave the scan. The oracle
+    reproduces the digest because the fake payload is the UTF-8 bytes
+    of `text` and DuckDB's md5 hashes the same bytes."""
+    media = media_table(spark, sf).select("doc_id", "media_type", "payload")
+    groups = media.groupBy(
+        "media_type", F.md5("payload").alias("payload_md5")
+    ).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+    return groups.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_distinct_payloads"),
+        F.sum("n_copies").alias("n_payloads"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias(
+            "n_dup_groups"
+        ),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_redundant"),
+        F.min("keeper_doc_id").alias("min_keeper"),
+    )
+
+
+_MM_DEDUP_SQL = """
+WITH g AS (
+  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         md5(text) AS payload_md5,
+         COUNT(*) AS n_copies,
+         MIN(doc_id) AS keeper_doc_id
+  FROM documents
+  GROUP BY 1, 2)
+SELECT media_type,
+       COUNT(*) AS n_distinct_payloads,
+       CAST(SUM(n_copies) AS BIGINT) AS n_payloads,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_groups,
+       CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_redundant,
+       MIN(keeper_doc_id) AS min_keeper
+FROM g
+GROUP BY media_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "mm_decode_stats": QuerySpec(
         "mm_decode_stats", mm_decode_stats, _DECODE_STATS_SQL
@@ -299,5 +348,8 @@ QUERIES: dict[str, QuerySpec] = {
     "mm_frame_sample": QuerySpec("mm_frame_sample", mm_frame_sample, _FRAME_SAMPLE_SQL),
     "mm_feature_extract": QuerySpec(
         "mm_feature_extract", mm_feature_extract, _FEATURE_EXTRACT_SQL
+    ),
+    "mm_dedup_binary": QuerySpec(
+        "mm_dedup_binary", mm_dedup_binary, _MM_DEDUP_SQL
     ),
 }

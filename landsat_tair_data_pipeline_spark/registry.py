@@ -107,7 +107,8 @@ _ROUND6_FRONT = [
     "src_jsonl_documents",
     # new in r6: binned interval join, strided chunking, weighted
     # source mixing, HLL sketches (rows-only), five TPC-H shapes,
-    # deterministic mode, salted skew agg, v3 corpus pipeline (12)
+    # deterministic mode, salted skew agg, v3 corpus pipeline,
+    # binary media dedup (13)
     "join_range_interval",
     "text_chunk_stride",
     "sample_source_mix",
@@ -120,6 +121,7 @@ _ROUND6_FRONT = [
     "agg_salted_skew",
     "llm_data_pipeline_v3",
     "q8_market_share",
+    "mm_dedup_binary",
     # never driver-checked, added late in r5 (11)
     "pivot_event_counts",
     "unpivot_event_counts",
@@ -159,11 +161,10 @@ _ROUND6_FRONT = [
     "setop_intersect",
     "sim_ivf_topk",
     "sim_lsh_buckets",
-    # r3-vintage fixture/mapping tail (1 — the other twelve r3-vintage
-    # fixture keys were displaced by the twelve r6 additions; they
-    # read in-repo fixtures the driver never regenerates, so their r3
-    # evidence is the least at risk)
-    "join_zip_positional",
+    # (the thirteen r3-vintage fixture keys were all displaced by the
+    # thirteen r6 additions; they read in-repo fixtures the driver
+    # never regenerates, so their r3 driver evidence — plus the local
+    # parity suite — remains the least-at-risk coverage)
 ]
 
 # Historical r5 order kept for reference (drove CORRECTNESS_r05):
