@@ -78,3 +78,41 @@ def test_explode_outer_keeps_null_bounded_intervals(spark):
     )
     rows = {r["id"]: r["bin"] for r in out.collect()}
     assert rows == {1: None, 2: 5}
+
+
+def test_mult_hash_key_is_engine_exact_past_int64_overflow(spark):
+    """The sampling hash's reproducibility contract: identical values
+    from the Spark column expression, the DuckDB SQL twin, and an
+    arbitrary-precision Python reference — INCLUDING ids past
+    ~3.47e9 where the naive (id * 2654435761) product overflows
+    int64, and negative ids where % semantics diverge between
+    engines."""
+    import duckdb
+
+    from landsat_tair_data_pipeline_spark.operators.augment import (
+        _MULT_HASH_SQL,
+        _mult_hash_key,
+    )
+
+    ids = [0, 1, 65535, 65536, 2**31 - 1, 2**32 - 1, 2**32,
+           2**33 + 5, 3_470_000_000, 10**12 + 7, -1, -2**31]
+
+    def ref(x):
+        return ((x % 2**32) * 2654435761) % 2**32
+
+    sdf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got_spark = {
+        r["doc_id"]: r["k"]
+        for r in sdf.select("doc_id", _mult_hash_key().alias("k")).collect()
+    }
+    vals = ", ".join(f"({i})" for i in ids)
+    got_duck = dict(
+        duckdb.sql(
+            f"SELECT doc_id, {_MULT_HASH_SQL} AS k FROM ("
+            f"SELECT doc_id, ((doc_id % 4294967296) + 4294967296) "
+            f"% 4294967296 AS a FROM (VALUES {vals}) t(doc_id))"
+        ).fetchall()
+    )
+    for i in ids:
+        assert got_spark[i] == ref(i), (i, got_spark[i], ref(i))
+        assert got_duck[i] == ref(i), (i, got_duck[i], ref(i))
