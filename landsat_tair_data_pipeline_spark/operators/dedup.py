@@ -1014,6 +1014,75 @@ def llm_data_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SHARED_N = 8  # long-gram order: shared 8-grams ≈ copied passages
+_SHARED_MAX_DF = 20  # drop grams in more docs (boilerplate guard)
+_SHARED_MIN = 2  # pair survives with >= this many shared grams
+
+
+def dedup_shared_ngram_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Copied-passage pair finder (the ExactSubstr-dedup shape of Lee
+    et al. at doc-pair granularity): two docs pair up when they share
+    ≥ 2 distinct word 8-grams — long enough that random co-occurrence
+    is ~impossible, so hits are real copied spans.
+
+    Scale shape: the inverted index (gram → docs) is one explode +
+    distinct; the boilerplate guard drops grams appearing in more than
+    20 docs BEFORE the self-join, which bounds each gram's pair
+    fan-out at C(20,2) — the standard document-frequency cap that
+    keeps posting-list self-joins from going quadratic on common
+    phrases. One shuffle on the gram key, one pair aggregate."""
+    from .text import _word_ngrams
+
+    docs = table(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    g = (
+        docs.select(
+            "doc_id", F.explode(_word_ngrams(_SHARED_N)).alias("gram")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    keep = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df").between(2, _SHARED_MAX_DF))
+        .select("gram")
+    )
+    gk = g.join(keep, "gram")
+    a = gk.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = gk.select(F.col("doc_id").alias("doc_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .where(F.col("n_shared_grams") >= _SHARED_MIN)
+    )
+
+
+def _shared_ngram_sql() -> str:
+    from .text import _ngrams_sql
+
+    return """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (SELECT DISTINCT doc_id, gram FROM (
+  SELECT doc_id, unnest({ngrams}) AS gram FROM t)),
+f AS (SELECT gram FROM g GROUP BY gram
+      HAVING COUNT(*) BETWEEN 2 AND {maxdf})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_grams
+FROM g a JOIN f USING (gram) JOIN g b USING (gram)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {minshared}
+""".format(
+        toks=_TOKENS_SQL,
+        ngrams=_ngrams_sql(_SHARED_N),
+        maxdf=_SHARED_MAX_DF,
+        minshared=_SHARED_MIN,
+    )
+
+
 def text_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-bigram language-model quality score — the KenLM-style
     perplexity filter of pretraining pipelines, with the corpus itself
@@ -1187,6 +1256,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "llm_data_pipeline_v3": QuerySpec(
         "llm_data_pipeline_v3", llm_data_pipeline_v3, _PIPELINE_V3_SQL
+    ),
+    "dedup_shared_ngram_pairs": QuerySpec(
+        "dedup_shared_ngram_pairs",
+        dedup_shared_ngram_pairs,
+        _shared_ngram_sql(),
     ),
     "text_bigram_lm_score": QuerySpec(
         "text_bigram_lm_score", text_bigram_lm_score, _BIGRAM_LM_SQL

@@ -924,6 +924,108 @@ GROUP BY event_type
 """
 
 
+def events_top_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top user paths — the product-analytics sequence rollup: events
+    sessionized (15-min gap, same boundary as events_session), each
+    session rendered as its ordered event-type string ('view>click>
+    purchase'), top 20 paths by frequency with a total-order
+    tiebreak (count desc, path asc) so the limit is deterministic.
+
+    Scale shape: one shuffle for the sessionization window, one for
+    the session rollup, one for the path count; collect_list is
+    per-session (bounded by session length), sorted via
+    sort_array(struct(ts, event_id)) because collect_list order is
+    otherwise nondeterministic (NOTES trap). The final top-20 is a
+    TakeOrdered, not a global sort."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # microsecond-exact gap compare: cast("long") truncates to whole
+    # seconds and disagrees with the oracle's INTERVAL compare on
+    # sub-second boundaries
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+            >= 900 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "sess_id", F.sum(new_sess).over(w)
+    )
+    paths = sess.groupBy("user_id", "sess_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda e: e["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+_TOP_PATHS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   >= INTERVAL '15 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged),
+paths AS (
+  SELECT user_id, sess_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY 1, 2)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
+
+
+def agg_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width value histogram (width 50) per event type — the
+    profiling complement of agg_percentiles: one shuffle with
+    map-side partial aggregation; bucket arithmetic is exact integer
+    floor so engines agree without rounding."""
+    ev = table(spark, sf, "events")
+    bucket = F.floor(F.col("value") / 50).cast("long")
+    return ev.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value") + 1e-9, 4).alias("avg_value"),
+    )
+
+
+_VALUE_HIST_SQL = """
+SELECT event_type,
+       CAST(FLOOR(value / 50) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       ROUND(AVG(value) + 1e-9, 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec("events_tumbling", events_tumbling, _TUMBLING_SQL),
     "events_sliding": QuerySpec("events_sliding", events_sliding, _SLIDING_SQL),
@@ -977,5 +1079,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "agg_salted_skew": QuerySpec(
         "agg_salted_skew", agg_salted_skew, _SALTED_SKEW_SQL
+    ),
+    "events_top_paths": QuerySpec(
+        "events_top_paths", events_top_paths, _TOP_PATHS_SQL
+    ),
+    "agg_value_histogram": QuerySpec(
+        "agg_value_histogram", agg_value_histogram, _VALUE_HIST_SQL
     ),
 }

@@ -108,7 +108,8 @@ _ROUND6_FRONT = [
     # new in r6: binned interval join, strided chunking, weighted
     # source mixing, HLL sketches (rows-only), five TPC-H shapes,
     # deterministic mode, salted skew agg, v3 corpus pipeline,
-    # binary media dedup (13)
+    # binary media dedup, copied-passage pairs, top paths, value
+    # histogram (16)
     "join_range_interval",
     "text_chunk_stride",
     "sample_source_mix",
@@ -122,6 +123,9 @@ _ROUND6_FRONT = [
     "llm_data_pipeline_v3",
     "q8_market_share",
     "mm_dedup_binary",
+    "dedup_shared_ngram_pairs",
+    "events_top_paths",
+    "agg_value_histogram",
     # never driver-checked, added late in r5 (11)
     "pivot_event_counts",
     "unpivot_event_counts",
@@ -135,7 +139,10 @@ _ROUND6_FRONT = [
     "profile_table",
     "text_pii_scrub",
     # r1-vintage, testdata-reading, never re-checked since either
-    # regeneration (25)
+    # regeneration (22 — three rows-only keys, dedup_simhash /
+    # ext_dedup_near / sim_ivf_topk, displaced by the late-r6
+    # additions: a rows-only driver row certifies least, and all
+    # three stay run-checked in the local suite)
     "agg_approx",
     "agg_conditional",
     "agg_group_stats",
@@ -144,13 +151,11 @@ _ROUND6_FRONT = [
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "dedup_normalized",
-    "dedup_simhash",
     "distinct_proj",
     "events_dedup_first",
     "events_json_extract",
     "events_rate_per_user",
     "events_sliding",
-    "ext_dedup_near",
     "ext_sim_search",
     "filt_predicates",
     "proj_case_when",
@@ -159,7 +164,6 @@ _ROUND6_FRONT = [
     "proj_string_funcs",
     "setop_except",
     "setop_intersect",
-    "sim_ivf_topk",
     "sim_lsh_buckets",
     # (the thirteen r3-vintage fixture keys were all displaced by the
     # thirteen r6 additions; they read in-repo fixtures the driver
