@@ -1026,6 +1026,106 @@ GROUP BY 1, 2
 """
 
 
+def ts_resample_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly OHLC downsample per event type — the timeseries
+    resampling op (gapfill's complement: many→one instead of
+    filling): open/close are the first/last value in the bucket under
+    the TOTAL order (ts, event_id) — the explicit tiebreak makes both
+    engines pick the same row when timestamps collide. One shuffle
+    for the rank windows (WindowGroupLimit prunes map-side), the
+    high/low/count ride the same aggregate."""
+    ev = table(spark, sf, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy("event_type", bucket).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("event_type", bucket).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "event_type",
+        bucket.alias("bucket"),
+        "value",
+        F.row_number().over(wa).alias("_ra"),
+        F.row_number().over(wd).alias("_rd"),
+    )
+    return ranked.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("_ra") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("_rd") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_OHLC_SQL = """
+WITH r AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts ASC, event_id ASC) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events)
+SELECT event_type, bucket,
+       MAX(CASE WHEN ra = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rd = 1 THEN value END) AS close,
+       COUNT(*) AS n_events
+FROM r
+GROUP BY 1, 2
+"""
+
+
+def events_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-window anomaly flags: each event's z-score against
+    its event-type stream's trailing 1-hour value distribution
+    (population stddev, window includes the current row). Keyed by
+    event_type, not user: per-user windows hold n ≤ 2 events at test
+    density, and with n = 2 the population z-score is ±1 by identity
+    — the flag could NEVER fire (the trivially-empty-result trap,
+    same as mm_dedup_binary's first draft). Zero-variance windows
+    yield a NULL z (explicit NULLIF guard — bare division gives
+    NaN/Inf with engine-specific canonicalization). Emits only the
+    flagged rows (|z| > 2): at 100 TB the output is the anomaly set,
+    not a per-event rewrite. One shuffle on event_type (5 keys —
+    exactly the skew agg_salted_skew handles; windows need the full
+    per-key order, so salting doesn't apply and AQE cannot split a
+    window partition: the documented scale limit of trailing-window
+    ops on low-cardinality keys)."""
+    ev = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    mean = F.avg("value").over(w)
+    std = F.stddev_pop("value").over(w)
+    z = F.when(std != 0, (F.col("value") - mean) / std)
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(z + 1e-9, 4).alias("zscore"),
+    )
+    return scored.where(F.abs(F.col("zscore")) > 2)
+
+
+_ANOMALY_SQL = """
+WITH s AS (
+  SELECT event_id, user_id, value,
+         AVG(value) OVER w AS m,
+         STDDEV_POP(value) OVER w AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, value,
+       ROUND((value - m) / NULLIF(sd, 0) + 1e-9, 4) AS zscore
+FROM s
+WHERE ABS(ROUND((value - m) / NULLIF(sd, 0) + 1e-9, 4)) > 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec("events_tumbling", events_tumbling, _TUMBLING_SQL),
     "events_sliding": QuerySpec("events_sliding", events_sliding, _SLIDING_SQL),
@@ -1085,5 +1185,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "agg_value_histogram": QuerySpec(
         "agg_value_histogram", agg_value_histogram, _VALUE_HIST_SQL
+    ),
+    "ts_resample_ohlc": QuerySpec(
+        "ts_resample_ohlc", ts_resample_ohlc, _OHLC_SQL
+    ),
+    "events_anomaly_zscore": QuerySpec(
+        "events_anomaly_zscore", events_anomaly_zscore, _ANOMALY_SQL
     ),
 }

@@ -109,7 +109,7 @@ _ROUND6_FRONT = [
     # source mixing, HLL sketches (rows-only), five TPC-H shapes,
     # deterministic mode, salted skew agg, v3 corpus pipeline,
     # binary media dedup, copied-passage pairs, top paths, value
-    # histogram (16)
+    # histogram, OHLC resample, trailing-window anomaly flags (18)
     "join_range_interval",
     "text_chunk_stride",
     "sample_source_mix",
@@ -126,6 +126,8 @@ _ROUND6_FRONT = [
     "dedup_shared_ngram_pairs",
     "events_top_paths",
     "agg_value_histogram",
+    "ts_resample_ohlc",
+    "events_anomaly_zscore",
     # never driver-checked, added late in r5 (11)
     "pivot_event_counts",
     "unpivot_event_counts",
@@ -139,11 +141,10 @@ _ROUND6_FRONT = [
     "profile_table",
     "text_pii_scrub",
     # r1-vintage, testdata-reading, never re-checked since either
-    # regeneration (22 — three rows-only keys, dedup_simhash /
-    # ext_dedup_near / sim_ivf_topk, displaced by the late-r6
-    # additions: a rows-only driver row certifies least, and all
-    # three stay run-checked in the local suite)
-    "agg_approx",
+    # regeneration (20 — four rows-only keys (dedup_simhash,
+    # ext_dedup_near, sim_ivf_topk, agg_approx) and proj_math_funcs
+    # displaced by the late-r6 additions: a rows-only driver row
+    # certifies least, and all stay covered in the local suite)
     "agg_conditional",
     "agg_group_stats",
     "agg_having",
@@ -160,7 +161,6 @@ _ROUND6_FRONT = [
     "filt_predicates",
     "proj_case_when",
     "proj_date_parts",
-    "proj_math_funcs",
     "proj_string_funcs",
     "setop_except",
     "setop_intersect",
