@@ -911,9 +911,12 @@ def llm_data_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
     from .augment import _mix_threshold, _mult_hash_key
     from .text import (
         CONTAM_N,
-        _EMAIL_RE,
         _EVAL_PRED,
+        TOKENS,
         _word_ngrams,
+        chunk_explode,
+        doctored_text,
+        pii_scrubbed,
         text_quality,
         text_repetition,
     )
@@ -961,19 +964,10 @@ def llm_data_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
     )
     clean = base.join(contaminated, "doc_id", "left_anti")
 
-    doctored = F.when(
-        F.col("doc_id") % 7 == 0,
-        F.concat(
-            F.col("text"),
-            F.lit(" contact: user"),
-            F.col("doc_id"),
-            F.lit("@example.com"),
-        ),
-    ).otherwise(F.col("text"))
     scrubbed = clean.select(
         "doc_id",
         "source",
-        F.regexp_replace(doctored, _EMAIL_RE, "[EMAIL]").alias("t"),
+        pii_scrubbed(doctored_text()).alias("t"),
     )
 
     mixed = (
@@ -987,23 +981,9 @@ def llm_data_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
     )
     final = mixed.join(keep.select("doc_id"), "doc_id")
 
-    toks = F.split(F.trim(F.lower(F.col("t"))), r"\s+")
-    from .text import _CHUNK_S, _CHUNK_W
-
-    chunked = final.select(
-        "doc_id", "source", toks.alias("toks")
-    ).select(
-        "doc_id",
-        "source",
-        "toks",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.ceil(F.size("toks") / F.lit(_CHUNK_S)).cast("int") - 1,
-            )
-        ).alias("ci"),
+    chunked, piece = chunk_explode(
+        final.select("doc_id", "source", TOKENS("t").alias("toks"))
     )
-    piece = F.slice("toks", F.col("ci") * _CHUNK_S + 1, _CHUNK_W)
     return chunked.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_chunks"),

@@ -18,9 +18,9 @@ from pyspark.storagelevel import StorageLevel
 from ..registry import QuerySpec
 from ..sources.tables import table
 
-def TOKENS():
+def TOKENS(col: str = "text"):
     # lazy: classic PySpark needs an active session for Column exprs
-    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return F.split(F.trim(F.lower(F.col(col))), r"\s+")
 
 
 _TOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -530,6 +530,29 @@ FROM m JOIN top ON m.doc_id = top.doc_id
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
 
+def doctored_text():
+    """`text` with the deterministic test email appended to every 7th
+    doc — shared between text_pii_scrub and the v3 pipeline's scrub
+    stage (and their oracles) so the PII positives are IDENTICAL
+    everywhere; drift here would silently decouple the two
+    operators."""
+    return F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.col("text"))
+
+
+def pii_scrubbed(col):
+    """Email redaction over any text Column (the Java-regex/RE2-common
+    pattern _EMAIL_RE)."""
+    return F.regexp_replace(col, _EMAIL_RE, "[EMAIL]")
+
+
 def text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     """PII scrubbing (the release-gate redaction pass): emails located
     and replaced with a [EMAIL] placeholder, with per-doc counts and a
@@ -539,16 +562,8 @@ def text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     on both sides — the scrub then has real positives to find, and a
     regex-dialect divergence (Java vs RE2) breaks the hash."""
     docs = table(spark, sf, "documents")
-    doctored = F.when(
-        F.col("doc_id") % 7 == 0,
-        F.concat(
-            F.col("text"),
-            F.lit(" contact: user"),
-            F.col("doc_id"),
-            F.lit("@example.com"),
-        ),
-    ).otherwise(F.col("text"))
-    scrubbed = F.regexp_replace(doctored, _EMAIL_RE, "[EMAIL]")
+    doctored = doctored_text()
+    scrubbed = pii_scrubbed(doctored)
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all(doctored, F.lit(_EMAIL_RE), 0)).alias(
@@ -622,6 +637,26 @@ GROUP BY source
 _CHUNK_W, _CHUNK_S = 16, 8
 
 
+def chunk_explode(frame: DataFrame, toks_col: str = "toks"):
+    """Shared chunk construction (text_chunk_stride and the v3
+    pipeline must slice identically or their oracles drift): explode
+    one row per W=16/S=8 window start, return the exploded frame plus
+    the JVM `slice` Column for the chunk's tokens."""
+    exploded = frame.withColumn(
+        "chunk_idx",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(toks_col) / F.lit(_CHUNK_S)).cast("int") - 1,
+            )
+        ),
+    )
+    piece = F.slice(
+        toks_col, F.col("chunk_idx") * _CHUNK_S + 1, _CHUNK_W
+    )
+    return exploded, piece
+
+
 def text_chunk_stride(spark: SparkSession, sf: str) -> DataFrame:
     """Overlapping sliding-window chunking — the training-data
     complement of pack_chunks: split each document's token sequence
@@ -637,13 +672,7 @@ def text_chunk_stride(spark: SparkSession, sf: str) -> DataFrame:
     Python)."""
     docs = table(spark, sf, "documents")
     base = docs.select("doc_id", TOKENS().alias("toks"))
-    n_chunks = F.ceil(F.size("toks") / F.lit(_CHUNK_S)).cast("int")
-    exploded = base.select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
-    )
-    piece = F.slice("toks", F.col("chunk_idx") * _CHUNK_S + 1, _CHUNK_W)
+    exploded, piece = chunk_explode(base)
     return exploded.select(
         "doc_id",
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
