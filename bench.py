@@ -71,6 +71,9 @@ HEADLINE = [
     "agg_salted_skew",
     "q9_profit_by_nation",
     "llm_data_pipeline_v3",
+    "dedup_shared_ngram_pairs",
+    "events_top_paths",
+    "ts_resample_ohlc",
 ]
 
 
