@@ -1132,6 +1132,126 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
 """
 
 
+def setop_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    """MULTISET difference (EXCEPT ALL): per-row cardinality
+    subtraction, not the set form setop_except covers — a nationkey
+    appearing 40× among customers and 3× among suppliers survives 37
+    times. Spark plans exceptAll as a counted anti-form (generate +
+    aggregate), one shuffle."""
+    c = table(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    # aggregate to counts: multiset results are order-free but the
+    # driver hash needs a deterministic surface
+    return c.exceptAll(s).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_surviving")
+    )
+
+
+_EXCEPT_ALL_SQL = """
+SELECT nationkey, COUNT(*) AS n_surviving FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey AS nationkey FROM supplier)
+GROUP BY nationkey
+"""
+
+
+def setop_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    """MULTISET intersection (INTERSECT ALL): min-of-multiplicities
+    semantics — the multiset complement of setop_intersect."""
+    c = table(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+
+
+_INTERSECT_ALL_SQL = """
+SELECT nationkey, COUNT(*) AS n_common FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey AS nationkey FROM supplier)
+GROUP BY nationkey
+"""
+
+
+def window_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    """first_value / last_value / nth_value window coverage: per
+    user, the first, second, and latest event type in event-time
+    order (total order tiebreak on event_id; last_value over the FULL
+    frame — the default running frame is the classic
+    last_value-looks-truncated trap)."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first_value("event_type").over(wfull).alias("first_type"),
+            F.nth_value("event_type", 2).over(wfull).alias("second_type"),
+            F.last_value("event_type").over(wfull).alias("last_type"),
+        )
+        .distinct()
+    )
+
+
+_FIRST_LAST_SQL = """
+SELECT DISTINCT user_id,
+       FIRST_VALUE(event_type) OVER w AS first_type,
+       NTH_VALUE(event_type, 2) OVER w AS second_type,
+       LAST_VALUE(event_type) OVER w AS last_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q16_supplier_variety(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier variety per part category. No
+    partsupp table here, so the part↔supplier relation is mined from
+    lineitem's (l_partkey, l_suppkey) pairs; negative-balance
+    suppliers are excluded the way Q16 excludes complaint suppliers.
+    The distinct-supplier count shuffles once on the category key
+    after a distinct pair projection."""
+    li = table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    p = table(spark, sf, "part").where(F.col("p_size") <= 20)
+    bad = table(spark, sf, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_sk")
+    )
+    pairs = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(
+            F.broadcast(bad), li["l_suppkey"] == F.col("bad_sk"), "left_anti"
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 20
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
 def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_2's share of ASIA-market revenue by
     order year. The fact-fact lineitem⋈orders shuffle join carries two
@@ -1430,5 +1550,17 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q8_market_share": QuerySpec(
         "q8_market_share", q8_market_share, _Q8_SQL
+    ),
+    "setop_except_all": QuerySpec(
+        "setop_except_all", setop_except_all, _EXCEPT_ALL_SQL
+    ),
+    "setop_intersect_all": QuerySpec(
+        "setop_intersect_all", setop_intersect_all, _INTERSECT_ALL_SQL
+    ),
+    "window_first_last": QuerySpec(
+        "window_first_last", window_first_last, _FIRST_LAST_SQL
+    ),
+    "q16_supplier_variety": QuerySpec(
+        "q16_supplier_variety", q16_supplier_variety, _Q16_SQL
     ),
 }

@@ -109,7 +109,8 @@ _ROUND6_FRONT = [
     # source mixing, HLL sketches (rows-only), five TPC-H shapes,
     # deterministic mode, salted skew agg, v3 corpus pipeline,
     # binary media dedup, copied-passage pairs, top paths, value
-    # histogram, OHLC resample, trailing-window anomaly flags (18)
+    # histogram, OHLC resample, trailing-window anomaly flags,
+    # multiset set-ops, first/last/nth window, q16 shape (22)
     "join_range_interval",
     "text_chunk_stride",
     "sample_source_mix",
@@ -128,6 +129,10 @@ _ROUND6_FRONT = [
     "agg_value_histogram",
     "ts_resample_ohlc",
     "events_anomaly_zscore",
+    "setop_except_all",
+    "setop_intersect_all",
+    "window_first_last",
+    "q16_supplier_variety",
     # never driver-checked, added late in r5 (11)
     "pivot_event_counts",
     "unpivot_event_counts",
@@ -141,10 +146,13 @@ _ROUND6_FRONT = [
     "profile_table",
     "text_pii_scrub",
     # r1-vintage, testdata-reading, never re-checked since either
-    # regeneration (20 — four rows-only keys (dedup_simhash,
-    # ext_dedup_near, sim_ivf_topk, agg_approx) and proj_math_funcs
-    # displaced by the late-r6 additions: a rows-only driver row
-    # certifies least, and all stay covered in the local suite)
+    # regeneration (16 — displaced by late-r6 additions, lowest-value
+    # first: the four rows-only keys (dedup_simhash, ext_dedup_near,
+    # sim_ivf_topk, agg_approx — a rows-only driver row certifies
+    # least), then trivial-projection/setop kin of keys already in the
+    # window (proj_math_funcs, proj_date_parts, proj_string_funcs,
+    # distinct_proj, setop_intersect); all stay covered in the local
+    # parity suite)
     "agg_conditional",
     "agg_group_stats",
     "agg_having",
@@ -152,7 +160,6 @@ _ROUND6_FRONT = [
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "dedup_normalized",
-    "distinct_proj",
     "events_dedup_first",
     "events_json_extract",
     "events_rate_per_user",
@@ -160,10 +167,7 @@ _ROUND6_FRONT = [
     "ext_sim_search",
     "filt_predicates",
     "proj_case_when",
-    "proj_date_parts",
-    "proj_string_funcs",
     "setop_except",
-    "setop_intersect",
     "sim_lsh_buckets",
     # (the thirteen r3-vintage fixture keys were all displaced by the
     # thirteen r6 additions; they read in-repo fixtures the driver
