@@ -84,3 +84,37 @@ def test_scalar_zero_dim_tensor():
     arr = np.array(42.5, dtype=np.float64)
     got = _roundtrip(arr)
     assert got.shape == () and float(got) == 42.5
+
+
+def test_rejects_out_of_bounds_geometry():
+    """Crafted tensor geometry must raise UnsupportedPtError BEFORE
+    any strided view is built: pickle-supplied shape/stride/offset is
+    attacker-controlled and as_strided reads whatever the arithmetic
+    reaches."""
+    from landsat_tair_data_pipeline_spark.sources.torch_pt import (
+        UnsupportedPtError,
+        _rebuild_tensor_v2,
+    )
+
+    storage = np.zeros(16, dtype=np.int32)
+    # reaches element 19 of a 16-element storage
+    with pytest.raises(UnsupportedPtError):
+        _rebuild_tensor_v2(storage, 4, (4, 4), (4, 1))
+    # offset alone out of range (scalar read at index 16)
+    with pytest.raises(UnsupportedPtError):
+        _rebuild_tensor_v2(storage, 16, (), ())
+    # int64-wrapping element count must NOT bypass the check
+    with pytest.raises(UnsupportedPtError):
+        _rebuild_tensor_v2(storage, 0, (2**32, 2**32), (1, 0))
+    # negative strides rejected (torch.save never emits them dense)
+    with pytest.raises(UnsupportedPtError):
+        _rebuild_tensor_v2(storage, 8, (4,), (-1,))
+    # mismatched shape/stride rank
+    with pytest.raises(UnsupportedPtError):
+        _rebuild_tensor_v2(storage, 0, (4, 4), (4,))
+    # and the boundary case that must STILL WORK: exactly-fitting view
+    out = _rebuild_tensor_v2(storage, 0, (4, 4), (4, 1))
+    assert out.shape == (4, 4)
+    # zero-size tensors are fine regardless of strides
+    out0 = _rebuild_tensor_v2(storage, 0, (0, 7), (7, 1))
+    assert out0.shape == (0, 7)
