@@ -286,3 +286,37 @@ def test_q8_hints_only_bounded_dims(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_layout_gets_dynamic_partition_pruning(spark, tmp_path):
+    """The 100 TB time-range pattern end to end: joining the
+    date-partitioned fact layout against a filtered dimension must
+    prune fact partitions via DYNAMIC partition pruning (a
+    dynamicpruningexpression on the partition column at the scan) —
+    the runtime companion of the static PartitionFilters pin in
+    test_partitioned_sink_readback_prunes_partitions. Catalyst also
+    propagates the dim constraint as a static partition filter; both
+    mechanisms are asserted."""
+    from pyspark.sql import functions as F
+
+    from landsat_tair_data_pipeline_spark.sources.tables import table
+
+    out = str(tmp_path / "ev_by_date")
+    ev = table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.partitionBy("event_date").parquet(out, mode="overwrite")
+    fact = spark.read.parquet(out)
+    dim = (
+        ev.select("event_date").distinct()
+        .where(F.dayofmonth("event_date") <= 2)
+    )
+    j = (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy("event_date")
+        .count()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert re.search(r"PartitionFilters: \[[^\]]*dayofmonth[^\]]*\]", plan)
+    assert j.count() == 2
