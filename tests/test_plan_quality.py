@@ -320,3 +320,50 @@ def test_partitioned_layout_gets_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert re.search(r"PartitionFilters: \[[^\]]*dayofmonth[^\]]*\]", plan)
     assert j.count() == 2
+
+
+def test_shuffle_join_gets_runtime_bloom_filter(spark):
+    """The 100 TB shuffle-join regime (dims too big to broadcast):
+    Catalyst must inject a runtime Bloom filter from the selective
+    orders side into the lineitem scan side — rows that can't join
+    are dropped before the shuffle. Invisible at test scale because
+    AQE broadcasts everything, so broadcast is disabled for this plan
+    only (confs restored after)."""
+    from pyspark.sql import functions as F
+
+    from landsat_tair_data_pipeline_spark.sources.tables import table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = table(spark, SF, "lineitem")
+        o = table(spark, SF, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+        assert "SortMergeJoin" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
