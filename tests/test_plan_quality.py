@@ -367,3 +367,51 @@ def test_shuffle_join_gets_runtime_bloom_filter(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """The co-located join pattern for repeated fact-fact joins at
+    100 TB: both sides bucketed (and sorted) on the join key join as
+    a SortMergeJoin with ZERO join-side exchanges — the only shuffle
+    in the plan is the final aggregation. This is the layout answer
+    when lineitem⋈orders runs hourly and the shuffle dominates."""
+    from pyspark.sql import functions as F
+
+    from landsat_tair_data_pipeline_spark.sources.tables import table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        li = table(spark, "/root/testdata/sf0.001", "lineitem")
+        o = table(spark, "/root/testdata/sf0.001", "orders")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("pq_li_bucketed")
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("pq_o_bucketed")
+        lb, ob = spark.table("pq_li_bucketed"), spark.table("pq_o_bucketed")
+        j = (
+            lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert _shuffles(plan) == 1, plan[:2000]
+        assert j.count() == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pq_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS pq_o_bucketed")
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
