@@ -1356,6 +1356,29 @@ GROUP BY c_mktsegment
 """
 
 
+_LATERAL_SQL_BODY = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+"""
+
+
+def sql_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery through the spark.sql() entry path:
+    each customer's top-2 orders by price — the per-row-subquery
+    idiom SQL users reach for before discovering window functions.
+    Catalyst decorrelates it into a ranked window join, so it plans
+    like ext_topk rather than running a subquery per row; the total
+    order (price desc, orderkey asc) makes the LIMIT deterministic.
+    The oracle is the identical SQL in DuckDB (which also supports
+    LATERAL)."""
+    for t in ("customer", "orders"):
+        table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL_BODY)
+
+
 def sql_q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """The same Q1 pricing summary through the spark.sql() ENTRY PATH:
     tables registered as temp views, query expressed as one SQL string
@@ -1562,5 +1585,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q16_supplier_variety": QuerySpec(
         "q16_supplier_variety", q16_supplier_variety, _Q16_SQL
+    ),
+    "sql_lateral_topk": QuerySpec(
+        "sql_lateral_topk", sql_lateral_topk, _LATERAL_SQL_BODY
     ),
 }

@@ -110,7 +110,8 @@ _ROUND6_FRONT = [
     # deterministic mode, salted skew agg, v3 corpus pipeline,
     # binary media dedup, copied-passage pairs, top paths, value
     # histogram, OHLC resample, trailing-window anomaly flags,
-    # multiset set-ops, first/last/nth window, q16 shape (22)
+    # multiset set-ops, first/last/nth window, q16 shape, LATERAL
+    # subquery via spark.sql (23)
     "join_range_interval",
     "text_chunk_stride",
     "sample_source_mix",
@@ -133,6 +134,7 @@ _ROUND6_FRONT = [
     "setop_intersect_all",
     "window_first_last",
     "q16_supplier_variety",
+    "sql_lateral_topk",
     # never driver-checked, added late in r5 (11)
     "pivot_event_counts",
     "unpivot_event_counts",
@@ -146,13 +148,13 @@ _ROUND6_FRONT = [
     "profile_table",
     "text_pii_scrub",
     # r1-vintage, testdata-reading, never re-checked since either
-    # regeneration (16 — displaced by late-r6 additions, lowest-value
+    # regeneration (15 — displaced by late-r6 additions, lowest-value
     # first: the four rows-only keys (dedup_simhash, ext_dedup_near,
     # sim_ivf_topk, agg_approx — a rows-only driver row certifies
     # least), then trivial-projection/setop kin of keys already in the
     # window (proj_math_funcs, proj_date_parts, proj_string_funcs,
-    # distinct_proj, setop_intersect); all stay covered in the local
-    # parity suite)
+    # distinct_proj, setop_intersect, setop_except); all stay covered
+    # in the local parity suite)
     "agg_conditional",
     "agg_group_stats",
     "agg_having",
@@ -167,7 +169,6 @@ _ROUND6_FRONT = [
     "ext_sim_search",
     "filt_predicates",
     "proj_case_when",
-    "setop_except",
     "sim_lsh_buckets",
     # (the thirteen r3-vintage fixture keys were all displaced by the
     # thirteen r6 additions; they read in-repo fixtures the driver
