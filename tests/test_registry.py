@@ -38,3 +38,19 @@ def test_every_front_key_runs_under_driver_entrypoint():
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
     assert set(q) == set(all_queries())
+
+
+def test_run_query_cli_lists_every_key():
+    """The CLI surface stays in sync with the registry."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/run_query.py", "--list"],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd="/root/repo",
+    ).stdout
+    listed = {ln.split()[0] for ln in out.strip().splitlines() if ln.strip()}
+    assert listed == set(all_queries())
