@@ -54,3 +54,15 @@ def test_run_query_cli_lists_every_key():
     ).stdout
     listed = {ln.split()[0] for ln in out.strip().splitlines() if ln.strip()}
     assert listed == set(all_queries())
+
+
+def test_bench_keys_resolve_and_are_unique():
+    """bench.py's HEADLINE list: every key resolves in the registry,
+    no duplicates (the append-only contract means deletions/renames
+    would silently break round-over-round comparability)."""
+    import bench
+
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    qs = all_queries()
+    missing = [k for k in bench.HEADLINE if k not in qs]
+    assert not missing, missing
