@@ -848,6 +848,50 @@ def agg_sketch_hll(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def agg_hll_vs_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL sketch error bound asserted against LIVE data, hash-checked
+    (VERDICT r6 item 7): per event_type, the exact distinct-user count
+    plus two booleans the oracle pins to TRUE — the direct sketch
+    estimate lands within 5% of exact, and the per-day-merged estimate
+    equals the direct one (register-max union is lossless at equal
+    precision). DataSketches HLL is deterministic (fixed hash, no
+    seed), so the booleans are stable; if a Spark upgrade or a data
+    regeneration ever pushes the sketch outside its bound, the driver
+    hash goes red instead of a unit test silently aging. The estimates
+    themselves stay out of the surface — they are engine-specific
+    (that's agg_sketch_hll's rows-only row)."""
+    ev = table(spark, sf, "events")
+    per_day = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_day.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    return direct.join(merged, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("direct_est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_5pct"),
+        (F.col("merged_est") == F.col("direct_est")).alias("merge_lossless"),
+    )
+
+
+_HLL_VS_EXACT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_distinct,
+       TRUE AS within_5pct,
+       TRUE AS merge_lossless
+FROM events
+GROUP BY 1
+"""
+
+
 def agg_mode_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic per-group MODE: each user's most frequent event
     type, ties broken by the lexicographically smallest type (native
@@ -1191,5 +1235,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_anomaly_zscore": QuerySpec(
         "events_anomaly_zscore", events_anomaly_zscore, _ANOMALY_SQL
+    ),
+    "agg_hll_vs_exact": QuerySpec(
+        "agg_hll_vs_exact", agg_hll_vs_exact, _HLL_VS_EXACT_SQL
     ),
 }

@@ -325,6 +325,60 @@ GROUP BY d
 """
 
 
+def emb_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact k-per-label sampling over the embedding corpus — the
+    eval-set / probe-set carve-out every vector store needs (fixed
+    per-class budget, reproducible anywhere). Same declared
+    multiplicative-hash permutation as the documents sampler
+    (augment._mult_hash_key, Knuth 2654435761 mod 2^32) keyed on
+    vec_id, so the oracle checks the SELECTED ROWS, not just counts;
+    the rounded L2 norm of each selected vector rides along so the
+    check also touches the embedding payload.
+
+    Scale shape: one shuffle on `label` for the window rank; k is
+    small so WindowGroupLimit bounds the per-label sort map-side. The
+    norm is a JVM higher-order reduce over the already-selected k·L
+    rows only (filter first, then the expensive column)."""
+    from .augment import _mult_hash_key
+
+    k = 25
+    emb = _emb(spark, sf)
+    key = _mult_hash_key("vec_id")
+    w = Window.partitionBy("label").orderBy(key.asc(), F.col("vec_id").asc())
+    picked = (
+        emb.select("vec_id", "label", "v", key.alias("sample_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+    return picked.select(
+        "label",
+        "vec_id",
+        "sample_key",
+        "rk",
+        F.round(F.sqrt(_dot(F.col("v"), F.col("v"))) + 1e-9, 6).alias("norm"),
+    )
+
+
+_EMB_STRATIFIED_SQL = """
+WITH keyed AS (
+  SELECT label, vec_id, embedding,
+         (((a % 65536) * 2654435761 % 4294967296
+           + (a // 65536 % 65536) * 2041643008) % 4294967296) AS sample_key
+  FROM (SELECT label, vec_id, embedding,
+               ((vec_id % 4294967296) + 4294967296) % 4294967296 AS a
+        FROM embeddings)),
+ranked AS (
+  SELECT label, vec_id, sample_key, embedding,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY sample_key ASC, vec_id ASC) AS rk
+  FROM keyed)
+SELECT label, vec_id, sample_key, rk,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             + 1e-9, 6) AS norm
+FROM ranked WHERE rk <= 25
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "emb_quantize_int8": QuerySpec(
         "emb_quantize_int8", emb_quantize_int8, _QUANTIZE_SQL
@@ -334,4 +388,7 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_lsh_buckets": QuerySpec("sim_lsh_buckets", sim_lsh_buckets, _LSH_BUCKETS_SQL),
     "sim_lsh_topk": QuerySpec("sim_lsh_topk", sim_lsh_topk, _LSH_TOPK_SQL),
     "emb_label_stats": QuerySpec("emb_label_stats", emb_label_stats, _LABEL_STATS_SQL),
+    "emb_sample_stratified": QuerySpec(
+        "emb_sample_stratified", emb_sample_stratified, _EMB_STRATIFIED_SQL
+    ),
 }

@@ -85,8 +85,8 @@ def all_queries() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query id {name!r}")
             merged[name] = spec
 
-    front = [k for k in _ROUND6_FRONT if k in merged]
-    missing = [k for k in _ROUND6_FRONT if k not in merged]
+    front = [k for k in _ROUND7_FRONT if k in merged]
+    missing = [k for k in _ROUND7_FRONT if k not in merged]
     if missing:
         raise ValueError(f"front-ordered keys missing from registry: {missing}")
     ordered = {k: merged[k] for k in front}
@@ -94,7 +94,82 @@ def all_queries() -> dict[str, QuerySpec]:
     return ordered
 
 
-# First 50 slots of the driver's correctness window for round 6:
+# First 50 slots of the driver's correctness window for round 7 —
+# evidence ROTATION, not new surface (VERDICT r6 item 1). Ordering:
+# (1) the 13 r3-vintage fixture keys displaced by the r6 additions —
+# their driver evidence predates two testdata regenerations; (2)
+# mm_decode_stats, upgraded rows-only → oracled in-repo but last
+# driver-seen r4 as rows-only — front it so the stronger check is
+# driver-certified; (3) ext_dedup_near, whose only driver row is r1;
+# (4) the six r1-vintage oracled projection/setop keys (oldest hash
+# evidence in the registry); (5) two keys new in r7
+# (emb_sample_stratified, agg_hll_vs_exact — never driver-checked);
+# (6) 27 r4-vintage keys, most-data-sensitive first (testdata-reading
+# TPC-H/events/window/dedup/text blocks — testdata has been
+# regenerated twice since their last row). The 19 remaining r4-vintage
+# keys (agg_rollup/cube family, join_semi/anti/outer, mm_* summaries,
+# fixture-backed aug_* block, sort/limit/setop_union,
+# window_range_frame) rotate in r8.
+_ROUND7_FRONT = [
+    # r3-vintage fixture/radiometry block (13)
+    "map_cast_double",
+    "map_str_to_float",
+    "map_dn_to_radiance",
+    "map_bt_l5",
+    "map_bt_l89",
+    "map_band_remap_l8",
+    "map_coeff_vector",
+    "map_k_coeffs",
+    "map_flatten",
+    "agg_ratio",
+    "join_zip_positional",
+    "src_csv_ground_truths",
+    "sink_csv_stations",
+    # upgraded rows-only → oracled in-repo; driver-certify it (1)
+    "mm_decode_stats",
+    # r1-vintage rows-only near-dedup — rotate its evidence (1)
+    "ext_dedup_near",
+    # r1-vintage oracled keys, oldest hash evidence (6)
+    "proj_math_funcs",
+    "proj_string_funcs",
+    "proj_date_parts",
+    "distinct_proj",
+    "setop_intersect",
+    "setop_except",
+    # new in r7, never driver-checked (2)
+    "emb_sample_stratified",
+    "agg_hll_vs_exact",
+    # r4-vintage, testdata-reading (27)
+    "stream_stateful_user_totals",
+    "ext_dedup_exact",
+    "dedup_jaccard_pairs",
+    "pack_chunks",
+    "llm_data_pipeline",
+    "text_bigram_lm_score",
+    "events_tumbling",
+    "events_session",
+    "events_funnel",
+    "sim_lsh_topk",
+    "emb_label_stats",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_order_histogram",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "sql_q1_pricing_summary",
+    "window_rank",
+    "window_lag_lead",
+    "window_running_sum",
+    "agg_summary_stats",
+]
+
+# Historical r6 order kept for reference (drove CORRECTNESS_r06):
 # (1) the r5 red, now fixed (BIGINT-cast oracle) — prove it; (2) the
 # 11 keys added after the r5 window filled, never driver-checked;
 # (3) the r1-vintage testdata-reading keys whose last driver row

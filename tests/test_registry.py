@@ -7,13 +7,15 @@ driver evidence. Pin it.
 
 from __future__ import annotations
 
-from landsat_tair_data_pipeline_spark.registry import _ROUND6_FRONT, all_queries
+import os
+
+from landsat_tair_data_pipeline_spark.registry import _ROUND7_FRONT, all_queries
 
 
 def test_front_window_is_exactly_the_declared_50():
     qs = all_queries()
-    assert list(qs)[:50] == list(_ROUND6_FRONT)
-    assert len(_ROUND6_FRONT) == len(set(_ROUND6_FRONT)) == 50
+    assert list(qs)[:50] == list(_ROUND7_FRONT)
+    assert len(_ROUND7_FRONT) == len(set(_ROUND7_FRONT)) == 50
 
 
 def test_spec_names_match_keys():
@@ -50,7 +52,7 @@ def test_run_query_cli_lists_every_key():
         capture_output=True,
         text=True,
         check=True,
-        cwd="/root/repo",
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ).stdout
     listed = {ln.split()[0] for ln in out.strip().splitlines() if ln.strip()}
     assert listed == set(all_queries())
