@@ -516,14 +516,34 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
+    labels, converged = _min_label_prop(edges, max_rounds=25)
+    if not converged:
+        # the overflow path: alternating large-star/small-star contracts
+        # any diameter in O(log² n) edge-set rounds — see the helper
+        labels = _alternating_star_cc(edges, max_rounds=40)
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("doc").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+def _min_label_prop(
+    edges: DataFrame, max_rounds: int
+) -> tuple[DataFrame, bool]:
+    """Min-label propagation with pointer jumping over a SYMMETRIC
+    edge list ``(doc_a, doc_b)``. Returns ``(labels, converged)``
+    where labels has columns ``doc, lbl``; the caller decides what a
+    blown round budget means (dedup_clusters falls back to
+    large-star/small-star rather than raising)."""
     labels = (
         edges.select(F.col("doc_a").alias("doc"))
         .distinct()
         .withColumn("lbl", F.col("doc"))
         .localCheckpoint()
     )
-    changed = -1
-    for _ in range(25):
+    for _ in range(max_rounds):
         nbr = edges.join(
             labels.withColumnRenamed("doc", "nbr_doc"),
             edges.doc_b == F.col("nbr_doc"),
@@ -564,23 +584,118 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         changed = new.where(F.col("lbl") != F.col("_old")).count()
         labels = new.select("doc", "lbl")
         if changed == 0:
-            break
-    if changed != 0:
-        # Partial labels are silent wrongness: a pair chain with graph
-        # diameter > 25 would get split into fake clusters and the
-        # caller couldn't tell. Fail loudly instead; large-star/
-        # small-star (doubling rounds) is the fix if this ever fires.
-        raise RuntimeError(
-            "dedup_clusters: min-label propagation did not converge "
-            f"in 25 rounds ({changed} labels still changing); "
-            "component diameter exceeds the round budget"
+            return labels, True
+    return labels, False
+
+
+def _alternating_star_cc(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the overflow path
+    when min-label propagation exhausts its round budget. Works on
+    the EDGE set alone (no label table); each round is two
+    half-steps, each one shuffle-join + hash-aggregate:
+
+    - large-star: every node u links each strictly-LARGER neighbor to
+      m = min(Γ(u) ∪ {u}) — long tails collapse toward small ids
+      without ever splitting a component;
+    - small-star: every node u (processed with its smaller neighbors
+      N) links N ∪ {u} to min(N ∪ {u}) — contracts the short paths
+      large-star leaves behind.
+
+    Each half-step emits at most one edge per input edge, so shuffle
+    volume never grows; the paper proves O(log² n) rounds to the
+    fixed point, a star forest rooted at each component's minimum id
+    — at which point every canonical edge (a, b) with a < b IS the
+    label assignment b → a. Convergence detection: the canonical edge
+    set's (count, xxhash64-sum) signature repeating means the set is
+    a fixed point (a hash collision would need two distinct edge sets
+    with equal count and colliding 64-bit sums — negligible against
+    the silent-wrongness it guards).
+
+    Input: symmetric ``(doc_a, doc_b)`` edges. Output: ``doc, lbl``
+    labels (roots label themselves), same shape as _min_label_prop.
+    """
+    e = (
+        edges.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
         )
-    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labels.join(sizes, "lbl").select(
-        F.col("doc").alias("doc_id"),
-        F.col("lbl").alias("cluster_id"),
-        "cluster_size",
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
     )
+    prev_sig = None
+    converged = False
+    for _ in range(max_rounds):
+        # large-star over both orientations of every canonical edge
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("m"))
+        ls = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        )
+        e = (
+            ls.select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: orient to the larger endpoint; m < u always here
+        sm = e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        m2 = sm.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            sm.join(m2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .union(m2.select(F.col("u").alias("x"), F.col("m").alias("y")))
+        )
+        e = (
+            ss.select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = tuple(
+            e.agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal(38,0) sum: int64 hash sums overflow BIGINT
+                # (ANSI mode raises) after ~2^32 rows-worth of mass
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+            ).first()
+        )
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        # Partial labels are silent wrongness — a split component
+        # would dedup as two fake clusters and the caller couldn't
+        # tell. O(log² n) rounds cover any real graph; not converging
+        # in 40 means something is structurally wrong. Fail loudly.
+        raise RuntimeError(
+            "dedup_clusters: alternating star contraction did not "
+            f"converge in {max_rounds} rounds"
+        )
+    # fixed point = star forest: each edge (a, b), a < b, reads
+    # "b's component min is a"; roots (and any singleton that lost
+    # all edges to contraction — impossible for pair inputs, but
+    # cheap to cover) label themselves
+    children = e.select(F.col("b").alias("doc"), F.col("a").alias("lbl"))
+    nodes = (
+        edges.select(F.col("doc_a").alias("doc")).distinct()
+    )
+    roots = nodes.join(children.select("doc"), "doc", "left_anti").select(
+        "doc", F.col("doc").alias("lbl")
+    )
+    return children.unionByName(roots)
 
 
 # the jaccard-pair CTEs (t, p) shared with _JACCARD_SQL
