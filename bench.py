@@ -74,7 +74,66 @@ HEADLINE = [
     "dedup_shared_ngram_pairs",
     "events_top_paths",
     "ts_resample_ohlc",
+    # r7 additions (append-only): the remaining plausibly-heavy keys
+    # VERDICT r6 flagged as never-benched
+    "mm_dedup_binary",
+    "events_anomaly_zscore",
+    "agg_value_histogram",
+    "sql_lateral_topk",
+    "q8_market_share",
 ]
+
+# Round each key FIRST appeared in HEADLINE. The total grows whenever
+# a round appends keys, so a naive round-over-round 2x gate on `value`
+# would misread added coverage as a regression; the JSON therefore
+# also carries `value_common_r{N-1}` — the subtotal over keys already
+# benched last round — which IS comparable like-for-like (VERDICT r6
+# item 3).
+FIRST_BENCHED = {
+    **{k: 1 for k in HEADLINE[:21]},
+    "join_asof": 2,
+    "pack_chunks": 2,
+    **{
+        k: 5
+        for k in (
+            "src_pt_real",
+            "text_contamination",
+            "text_repetition",
+            "sample_stratified",
+            "sink_parquet_partitioned",
+            "src_jsonl_documents",
+        )
+    },
+    **{
+        k: 6
+        for k in (
+            "dedup_clusters",
+            "dedup_ngram_jaccard",
+            "llm_data_pipeline_v2",
+            "ts_gapfill",
+            "join_range_interval",
+            "text_chunk_stride",
+            "agg_salted_skew",
+            "q9_profit_by_nation",
+            "llm_data_pipeline_v3",
+            "dedup_shared_ngram_pairs",
+            "events_top_paths",
+            "ts_resample_ohlc",
+        )
+    },
+    **{
+        k: 7
+        for k in (
+            "mm_dedup_binary",
+            "events_anomaly_zscore",
+            "agg_value_histogram",
+            "sql_lateral_topk",
+            "q8_market_share",
+        )
+    },
+}
+
+THIS_ROUND = max(FIRST_BENCHED.values())
 
 
 def main() -> None:
@@ -162,12 +221,25 @@ def main() -> None:
             times[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    common = round(
+        sum(
+            t
+            for k, t in times.items()
+            if FIRST_BENCHED.get(k, THIS_ROUND) < THIS_ROUND
+        ),
+        3,
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
+                # like-for-like subtotal: keys already benched before
+                # this round (compare THIS against the previous
+                # round's same subtotal / total, never the new keys)
+                f"value_common_r{THIS_ROUND - 1}": common,
+                "first_benched": FIRST_BENCHED,
                 "queries": times,
                 "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -19,10 +19,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..registry import QuerySpec
 from ..sources.tables import table
+from ..util import persist_tracked
 
 # Shared tokenization: lowercase, split on whitespace runs. The oracle
 # uses the byte-identical duckdb form (string_split_regex + 'g' flag
@@ -124,7 +124,7 @@ def _prefix_filter_pairs(
     # instead of failing the job — localCheckpoint blocks are
     # unreplicated) and memory pressure spills instead of pinning
     # executor storage, which is the 100 TB-safe behavior.
-    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    docs = persist_tracked(docs)
     tok = docs.select("doc_id", "source", "sz", F.explode("toks").alias("tok"))
     # Global token order = (corpus frequency of the TOP-K tokens, token
     # value); tokens outside the top-K order as frequency 1 (they are
@@ -1063,7 +1063,7 @@ def llm_data_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
         .join(non_repetitive, "doc_id")
         .select("doc_id", "source", "text")
         .repartition(spark.sparkContext.defaultParallelism)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_tracked)
     )
 
     eval_grams = (
@@ -1088,7 +1088,7 @@ def llm_data_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
     mixed = (
         scrubbed.where(_mult_hash_key() < _mix_threshold())
         .repartition(spark.sparkContext.defaultParallelism)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_tracked)
     )
 
     keep = mixed.groupBy(F.md5("t").alias("_h")).agg(
@@ -1136,7 +1136,7 @@ def dedup_shared_ngram_pairs(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id", F.explode(_word_ngrams(_SHARED_N)).alias("gram")
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_tracked)
     )
     keep = (
         g.groupBy("gram")

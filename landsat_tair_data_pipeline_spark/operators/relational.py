@@ -1247,7 +1247,12 @@ SELECT p_brand, p_type, p_size,
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_size <= 20
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  -- NOT EXISTS, not NOT IN: the Spark side is a left_anti join, which
+  -- keeps a row whose l_suppkey is NULL; NOT IN would drop ALL rows
+  -- whenever the subquery is non-empty and a key is NULL (three-valued
+  -- logic). Keys are non-null today — this pins the parity anyway.
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
 GROUP BY 1, 2, 3
 """
 

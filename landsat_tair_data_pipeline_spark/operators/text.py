@@ -13,10 +13,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..registry import QuerySpec
 from ..sources.tables import table
+from ..util import persist_tracked
 
 def TOKENS(col: str = "text"):
     # lazy: classic PySpark needs an active session for Column exprs
@@ -390,7 +390,7 @@ def text_contamination(spark: SparkSession, sf: str) -> DataFrame:
     # dedup._prefix_filter_pairs; spill-safe, lineage kept)
     grams = docs.select(
         "doc_id", F.explode(_word_ngrams(CONTAM_N)).alias("gram")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(persist_tracked)
     eval_g = grams.where(F.expr(_EVAL_PRED)).distinct()
     train_g = (
         grams.where(~F.expr(_EVAL_PRED)).select("gram").distinct()
@@ -647,7 +647,16 @@ def chunk_explode(frame: DataFrame, toks_col: str = "toks"):
         F.explode(
             F.sequence(
                 F.lit(0),
-                F.ceil(F.size(toks_col) / F.lit(_CHUNK_S)).cast("int") - 1,
+                # greatest(0, …): F.sequence auto-steps -1 when the
+                # bound goes negative, so a zero-length token array
+                # would emit chunk_idx [0, -1]; clamp to one empty
+                # chunk instead. Unreachable today (split('') yields
+                # ['']) but cheap armor against a tokenizer change.
+                F.greatest(
+                    F.lit(0),
+                    F.ceil(F.size(toks_col) / F.lit(_CHUNK_S)).cast("int")
+                    - 1,
+                ),
             )
         ),
     )

@@ -31,9 +31,16 @@ class QuerySpec:
     doc: str = ""
 
 
-def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+def _wrap(name: str, fn: Callable[[SparkSession, str], DataFrame]):
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .util import release_other_scopes, set_cache_scope
+
         tune(spark)
+        # drop the PREVIOUS query's scope-tracked caches (util.py:
+        # CacheManager holds them until unpersist); same-key reruns
+        # keep their warm cache so bench reps stay comparable
+        release_other_scopes(name)
+        set_cache_scope(name)
         return fn(spark, sf_dir)
 
     return runner
@@ -377,7 +384,7 @@ _ROUND4_FRONT = [
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _wrap(spec.fn) for name, spec in all_queries().items()}
+    return {name: _wrap(name, spec.fn) for name, spec in all_queries().items()}
 
 
 def oracle_sqls() -> dict[str, str]:

@@ -22,12 +22,11 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Data-vintage robustness: older driver testdata stored events.ts as
-    # TIMESTAMP(NANOS) (Spark has no ns timestamp → read as long; kept
-    # harmless for current timestamp[us] data); current data reads as
-    # TIMESTAMP_NTZ. Both are normalized to TIMESTAMP in
-    # sources.tables._normalize_event_ts.
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # NOTE: spark.sql.legacy.parquet.nanosAsLong (the events.ts
+    # data-vintage shim) deliberately does NOT live here — a global
+    # legacy flag changes how ANY nanos parquet reads. It is set
+    # per-need by sources.tables.ensure_nanos_readable, which probes
+    # the events footer first.
 }
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..registry import QuerySpec
-from ..sources.tables import _normalize_event_ts, table
+from ..sources.tables import _normalize_event_ts, ensure_nanos_readable, table
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,6 +41,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch footer read (file streams require an explicit schema); the
     ts normalization (NTZ → TIMESTAMP, or nanos-long → TIMESTAMP)
     mirrors sources.tables.table so watermarks always see TIMESTAMP."""
+    ensure_nanos_readable(spark, f"{sf_dir}/events.parquet")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(schema)

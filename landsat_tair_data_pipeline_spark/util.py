@@ -21,6 +21,47 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRATCH_DIR = os.path.join(REPO_ROOT, ".scratch")
 
 
+# --- scope-tracked DataFrame caches ----------------------------------------
+# Spark's CacheManager holds persisted plans until an explicit
+# unpersist or session end, so multi-branch queries that persist()
+# intermediates (the jaccard corpus, the v3 pipeline stages) would
+# accumulate blocks across queries in a long-lived driver/bench
+# session (ADVICE r6). The registry wrapper scopes every tracked
+# persist to its query key and releases all OTHER keys' frames when a
+# different query starts — bench reps of the SAME key keep their warm
+# cache (round-over-round numbers stay comparable), while the session
+# holds at most one query's cached blocks at a time. Release happens
+# at the next query's BUILD time, which is safe because both the
+# driver gate and bench fully execute one query before building the
+# next.
+
+_CACHE_SCOPE: list[str] = ["_unscoped"]
+_TRACKED: dict[str, list] = {}
+
+
+def set_cache_scope(name: str) -> None:
+    _CACHE_SCOPE[0] = name
+
+
+def persist_tracked(df, level=None):
+    """persist(MEMORY_AND_DISK) registered under the current query
+    scope for deterministic release (see module comment above)."""
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(level or StorageLevel.MEMORY_AND_DISK)
+    _TRACKED.setdefault(_CACHE_SCOPE[0], []).append(df)
+    return df
+
+
+def release_other_scopes(current: str) -> None:
+    for key in [k for k in _TRACKED if k != current]:
+        for df in _TRACKED.pop(key):
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already gone; nothing to free
+
+
 def content_tag(src_path: str) -> str:
     """Cheap data-vintage fingerprint of a source file (path + size +
     mtime): regenerated testdata gets a fresh scratch dir instead of
@@ -60,9 +101,14 @@ def assert_readback_complete(src, back, label: str) -> None:
     only as a silent value-hash mismatch at the driver (the failure
     class content-addressing defends against but cannot prove
     absent); this converts it into a named error at the query itself.
-    Call only when scratch_is_reused() — a fresh write needs no
-    proof, and skipping keeps the two count jobs off the write
-    path."""
+    Call only when the ``reused`` flag returned by
+    ``prepare_scratch_dir`` is True — a fresh write this run is
+    trusted-complete, and skipping keeps the two count jobs off the
+    write path. Count equality is a deliberate cheap proxy: it cannot
+    catch equal-count content drift, but content-addressing (path =
+    source digest) already ties the dir to the source bytes, so the
+    residual risk is a partial write that happens to hit the same
+    count — accepted."""
     n_src, n_back = src.count(), back.count()
     if n_src != n_back:
         raise RuntimeError(

@@ -68,3 +68,7 @@ def test_bench_keys_resolve_and_are_unique():
     qs = all_queries()
     missing = [k for k in bench.HEADLINE if k not in qs]
     assert not missing, missing
+    # the like-for-like subtotal depends on every key carrying its
+    # first-benched round — an untagged append would silently land in
+    # the "new this round" bucket next round too
+    assert set(bench.FIRST_BENCHED) == set(bench.HEADLINE)
