@@ -1496,6 +1496,275 @@ FROM lineitem"""
 )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape: the minimum-cost supplier per part, EUROPE
+    market. No partsupp table, so "supply cost" is the supplier's
+    average realized unit price of that part in lineitem. The
+    correlated MIN subquery decorrelates into ONE pass: aggregate to
+    the (part, supplier) grain, then a per-part window rank — the
+    fact table is scanned once and never self-joined. Rank compares
+    the ROUNDED cost (with s_suppkey tiebreak) so sub-rounding float
+    noise can never flip the winner between engines. Supplier→nation→
+    region is the broadcast dim chain; the p_size filter prunes the
+    part probe side before the join."""
+    li = table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    p = table(spark, sf, "part").where(F.col("p_size") <= 5)
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    sup_eu = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(sup_eu), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "n_name")
+        .agg(
+            F.round(
+                F.sum("l_extendedprice") / F.sum("l_quantity") + 1e-9, 4
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("unit_cost"), F.asc("s_suppkey")
+    )
+    return (
+        cost.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+    )
+
+
+_Q2_SQL = """
+WITH cost AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+         ROUND(SUM(l_extendedprice) / SUM(l_quantity) + 1e-9, 4)
+             AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size <= 5 AND r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4, 5),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+                               ORDER BY unit_cost ASC, s_suppkey ASC) AS rk
+  FROM cost)
+SELECT p_partkey, p_name, s_name, n_name, unit_cost
+FROM ranked WHERE rk = 1
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose ASIA-supplied inventory value
+    exceeds a fraction of the TOTAL — the HAVING > scalar-subquery
+    pattern. The scalar total is a second aggregate over the SAME
+    per-part frame (not a rescan of the fact table) combined via a
+    broadcast-singleton crossJoin: at 100 TB the fact is read once,
+    and only the 1-row total crosses the plan."""
+    li = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    sup_asia = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey")
+    )
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        li.join(F.broadcast(sup_asia), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(value).alias("_v"))
+    )
+    total = per_part.agg(F.sum("_v").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("_v") > 0.001 * F.col("_total"))
+        .select(
+            "p_partkey", F.round(F.col("_v") + 1e-9, 2).alias("part_value")
+        )
+    )
+
+
+_Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(l_extendedprice * (1 - l_discount)) AS _v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY 1)
+SELECT p_partkey, ROUND(_v + 1e-9, 2) AS part_value
+FROM per_part
+WHERE _v > 0.001 * (SELECT SUM(_v) FROM per_part)
+"""
+
+
+def q12_ship_delay_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: order-priority mix by shipping punctuality.
+    No l_shipmode/commit/receipt dates in this schema, so lines
+    bucket by ship delay (days from order to ship date) and the
+    CASE-sums count urgent-vs-other priorities per bucket — the
+    fact⋈fact orders join shuffles on the order key; the CASE
+    aggregation is map-side combinable."""
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    d = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(d >= 60, F.lit("late"))
+        .when(d >= 30, F.lit("slow"))
+        .otherwise(F.lit("on_time"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(bucket.alias("ship_bucket")).agg(
+        F.sum(F.when(urgent, 1).otherwise(0))
+        .cast("long")
+        .alias("high_line_count"),
+        F.sum(F.when(~urgent, 1).otherwise(0))
+        .cast("long")
+        .alias("low_line_count"),
+    )
+
+
+_Q12_SQL = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) >= 60 THEN 'late'
+            WHEN datediff('day', o_orderdate, l_shipdate) >= 30 THEN 'slow'
+            ELSE 'on_time' END AS ship_bucket,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q20_dominant_share_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding a DOMINANT share of some
+    part's supply — the nested-IN-subqueries pattern (suppliers ⊇
+    partsupp ⊇ half-of-shipped-quantity) decorrelated into two
+    aggregates joined at the part grain. 'small %' parts gate the
+    probe; a supplier qualifies for a part when its shipped quantity
+    exceeds TWICE the part's fair share (part total / supplier count
+    for the part) — a relative threshold, because an absolute share
+    cut thins out as scale grows supplier counts (an empty result at
+    the driver's sf would be a trivially-green correctness slot).
+    Per-supplier the dominated-part
+    count keeps the output an auditable aggregate. Both aggregates
+    come from ONE scan grain ((part, supplier) → part rollup), and
+    the supplier/nation names arrive by broadcast at the end."""
+    li = table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    p = table(spark, sf, "part").where(F.col("p_name").like("small %"))
+    ps = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    tot = ps.groupBy("p_partkey").agg(
+        F.sum("supp_qty").alias("part_qty"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    dominant = ps.join(tot, "p_partkey").where(
+        F.col("supp_qty") * F.col("n_supp") > 2 * F.col("part_qty")
+    )
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    sup = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", "s_name", "n_name"
+    )
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_name", "n_dominated_parts")
+    )
+
+
+_Q20_SQL = """
+WITH ps AS (
+  SELECT p_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small %'
+  GROUP BY 1, 2),
+tot AS (SELECT p_partkey, SUM(supp_qty) AS part_qty,
+               COUNT(*) AS n_supp FROM ps GROUP BY 1),
+dom AS (
+  SELECT l_suppkey, COUNT(*) AS n_dominated_parts
+  FROM ps JOIN tot USING (p_partkey)
+  WHERE supp_qty * n_supp > 2 * part_qty
+  GROUP BY 1)
+SELECT s_suppkey, s_name, n_name, n_dominated_parts
+FROM dom
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone held up a multi-supplier
+    order. The original's EXISTS (another supplier in the order) AND
+    NOT EXISTS (another LATE supplier) pair decorrelates into one
+    per-order aggregate: distinct-supplier count ≥ 2, late-supplier
+    count == 1, and (valid because exactly one) MIN picks the culprit
+    — the fact⋈fact join shuffles once on the order key and the
+    whole exists-logic runs as map-side-combinable aggregates, no
+    double correlated scan. 'Late' = shipped > 60 days after order
+    (no receipt/commit dates in this schema)."""
+    o = table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+        F.min(F.when(late, F.col("l_suppkey"))).alias("culprit"),
+    )
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy("culprit")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("culprit") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+_Q21_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                             THEN l_suppkey END) AS n_late,
+         MIN(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN l_suppkey END) AS culprit
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM per_order
+JOIN supplier ON culprit = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "profile_table": QuerySpec("profile_table", profile_table, _PROFILE_SQL),
     "agg_approx": QuerySpec("agg_approx", agg_approx, None),
@@ -1593,5 +1862,23 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sql_lateral_topk": QuerySpec(
         "sql_lateral_topk", sql_lateral_topk, _LATERAL_SQL_BODY
+    ),
+    # r7 additions: the last five TPC-H shapes, completing q1-q22
+    # (appended at the END so the driver's front-50 window is
+    # untouched; they get driver rows when the r8 front rotates)
+    "q2_min_cost_supplier": QuerySpec(
+        "q2_min_cost_supplier", q2_min_cost_supplier, _Q2_SQL
+    ),
+    "q11_important_parts": QuerySpec(
+        "q11_important_parts", q11_important_parts, _Q11_SQL
+    ),
+    "q12_ship_delay_priority": QuerySpec(
+        "q12_ship_delay_priority", q12_ship_delay_priority, _Q12_SQL
+    ),
+    "q20_dominant_share_suppliers": QuerySpec(
+        "q20_dominant_share_suppliers", q20_dominant_share_suppliers, _Q20_SQL
+    ),
+    "q21_waiting_suppliers": QuerySpec(
+        "q21_waiting_suppliers", q21_waiting_suppliers, _Q21_SQL
     ),
 }
