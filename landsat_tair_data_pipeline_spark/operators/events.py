@@ -892,6 +892,101 @@ GROUP BY 1
 """
 
 
+_JOIN_SALTS = 16
+_TYPE_WEIGHTS = {
+    "click": 1.0,
+    "view": 0.5,
+    "purchase": 5.0,
+    "signup": 3.0,
+    "error": 0.0,
+}
+
+
+def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted replication JOIN — the skewed-JOIN recipe that completes
+    the skew toolkit (agg_salted_skew covers aggregation; AQE's
+    skew-join split only rebalances partitions it can subdivide, and
+    does nothing when the join KEY itself has 5 values): the fact side
+    salts each row with a deterministic xxhash64-derived salt in
+    [0, 16); the dim side explodes 16 replicas; joining on
+    (key, salt) spreads every hot key over 16 reduce tasks instead of
+    funneling the whole fact through 5. The shuffle_hash hint keeps
+    the demo honest — a 5-row dim would otherwise broadcast and make
+    the salt moot, but at real scale the dim is the few-GB table that
+    exceeds the broadcast threshold. Replication cost = |dim| × 16
+    rows, negligible by construction. The oracle is the plain
+    equi-join: salting must be answer-invariant."""
+    ev = table(spark, sf, "events")
+    dim = spark.createDataFrame(
+        sorted(_TYPE_WEIGHTS.items()), "event_type string, weight double"
+    )
+    rep = dim.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(_JOIN_SALTS)])),
+    )
+    salted = ev.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("event_id"), F.lit(_JOIN_SALTS)).cast("int"),
+    )
+    j = salted.join(rep.hint("shuffle_hash"), ["event_type", "_salt"])
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("weight")) + 1e-9, 2).alias(
+            "weighted_value"
+        ),
+    )
+
+
+_JOIN_SALTED_SQL = """
+WITH dim(event_type, weight) AS (
+  VALUES ('click', 1.0), ('error', 0.0), ('purchase', 5.0),
+         ('signup', 3.0), ('view', 0.5))
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value * d.weight) + 1e-9, 2) AS weighted_value
+FROM events e
+JOIN dim d ON e.event_type = d.event_type
+GROUP BY 1
+"""
+
+
+def agg_quantile_vs_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_percentile's rank-error bound asserted against LIVE
+    data, hash-checked (the quantile companion of agg_hll_vs_exact):
+    per event_type, the exact interpolated p50/p90 plus two booleans
+    the oracle pins TRUE — the KLL/GK-style sketch estimate at
+    accuracy=10000 (rank error ≤ 1e-4) must land between the exact
+    0.49/0.51 and 0.89/0.91 quantiles (a ±0.01 rank margin, 100× the
+    guarantee). approx_percentile returns an actual data element and
+    is deterministic for a given input, so the booleans are stable;
+    a Spark upgrade or data regeneration that pushed the sketch out
+    of bound flips the driver hash red instead of aging silently."""
+    ev = table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)") + 1e-9, 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)") + 1e-9, 4).alias("p90"),
+        F.expr(
+            "approx_percentile(value, 0.5, 10000) "
+            "BETWEEN percentile(value, 0.49) AND percentile(value, 0.51)"
+        ).alias("p50_within_bound"),
+        F.expr(
+            "approx_percentile(value, 0.9, 10000) "
+            "BETWEEN percentile(value, 0.89) AND percentile(value, 0.91)"
+        ).alias("p90_within_bound"),
+    )
+
+
+_QUANTILE_VS_EXACT_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,
+       ROUND(quantile_cont(value, 0.9) + 1e-9, 4) AS p90,
+       TRUE AS p50_within_bound,
+       TRUE AS p90_within_bound
+FROM events
+GROUP BY event_type
+"""
+
+
 def agg_mode_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic per-group MODE: each user's most frequent event
     type, ties broken by the lexicographically smallest type (native
@@ -1238,5 +1333,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "agg_hll_vs_exact": QuerySpec(
         "agg_hll_vs_exact", agg_hll_vs_exact, _HLL_VS_EXACT_SQL
+    ),
+    "join_salted_skew": QuerySpec(
+        "join_salted_skew", join_salted_skew, _JOIN_SALTED_SQL
+    ),
+    "agg_quantile_vs_exact": QuerySpec(
+        "agg_quantile_vs_exact", agg_quantile_vs_exact, _QUANTILE_VS_EXACT_SQL
     ),
 }

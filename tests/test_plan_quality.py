@@ -266,6 +266,18 @@ def test_salted_skew_is_two_phase(spark):
     assert plan.count("HashAggregate") == 4
 
 
+def test_salted_join_shuffles_on_salt(spark):
+    """The salted replication join must execute as a ShuffledHashJoin
+    whose keys include the salt column — if the 5-row dim were
+    broadcast (or the salt dropped from the keys), each hot
+    event_type would still funnel through one reduce task and the
+    operator would demonstrate nothing."""
+    plan = _plan(spark, "join_salted_skew")
+    assert "ShuffledHashJoin" in plan
+    m = re.search(r"ShuffledHashJoin \[([^\]]*)\]", plan)
+    assert m and "_salt" in m.group(1), m.group(1) if m else plan[:500]
+
+
 def test_mode_rank_prunes_map_side(spark):
     """The per-user mode keeps ≤1 row per user via a rank window that
     must prune map-side (partial WindowGroupLimit before the
