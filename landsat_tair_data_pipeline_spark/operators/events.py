@@ -987,6 +987,44 @@ GROUP BY event_type
 """
 
 
+def scd2_user_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 from an event stream — the
+    dimension-maintenance staple every warehouse pipeline needs: each
+    user's 'signup' events become validity intervals (valid_from =
+    event time, valid_to = the NEXT change's time, NULL while
+    current) with an is_current flag. One window shuffle on user_id;
+    the event_id tiebreak makes interval edges deterministic under
+    equal timestamps. At scale this is the standard lead()-window
+    formulation — no self-join, no per-user collect."""
+    ev = (
+        table(spark, sf, "events")
+        .where(F.col("event_type") == "signup")
+        .select("user_id", "event_id", "ts", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+_SCD2_SQL = """
+SELECT user_id,
+       value AS attr_value,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           AS is_current
+FROM events
+WHERE event_type = 'signup'
+"""
+
+
 def agg_mode_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic per-group MODE: each user's most frequent event
     type, ties broken by the lexicographically smallest type (native
@@ -1339,5 +1377,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "agg_quantile_vs_exact": QuerySpec(
         "agg_quantile_vs_exact", agg_quantile_vs_exact, _QUANTILE_VS_EXACT_SQL
+    ),
+    "scd2_user_history": QuerySpec(
+        "scd2_user_history", scd2_user_history, _SCD2_SQL
     ),
 }

@@ -1765,6 +1765,97 @@ GROUP BY 1, 2
 """
 
 
+_BLOOM_M = 1 << 20  # bit-space size
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_positions(key: str):
+    """k Bloom positions for a bigint key: xxhash64 seeded by the
+    hash index, reduced mod m. Pure Column arithmetic — JVM-side,
+    codegen'd, identical on build and probe sides."""
+    return [
+        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(_BLOOM_M))
+        for i in range(_BLOOM_K)
+    ]
+
+
+def join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit Bloom semi-join prefilter, built from public
+    primitives (Spark's BloomFilterAggregate is runtime-internal —
+    Catalyst injects it in the shuffle-join regime, plan-pinned in
+    test_plan_quality — but is not a public function): the build side
+    (priority-filtered orders) emits its k=3 xxhash64 positions in a
+    2^20 bit-space as a DISTINCT position set; a probe row survives
+    only if ALL k of its positions hit, computed as one explode +
+    position hash-join + count==k — every stage a linear JVM-side
+    shuffle, the classic formulation for persisting a prefilter
+    ACROSS jobs (build once, prune many scans) where the runtime
+    filter lives and dies with one query.
+
+    The checkable surface pins the two Bloom guarantees against live
+    data (pattern of agg_hll_vs_exact): no false negatives (probed ≥
+    exact semi-join count) and bounded false-positive mass (probed ≤
+    exact + 5% of non-matching rows — generous: with n·k ≪ m the
+    expected fp rate here is < 0.1%)."""
+    o = table(spark, sf, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = table(spark, sf, "lineitem").select("l_orderkey")
+    build = (
+        o.select(
+            F.explode(F.array(*_bloom_positions("o_orderkey"))).alias("pos")
+        )
+        .distinct()
+    )
+    # stamp the row id in its OWN projection: a nondeterministic
+    # expression in the same select as a generator is evaluated per
+    # OUTPUT row (after Generate), which would give each exploded
+    # position a fresh id and make the k-hit count unreachable
+    probe = li.select(
+        "l_orderkey", F.monotonically_increasing_id().alias("_rid")
+    ).select(
+        "_rid",
+        F.explode(F.array(*_bloom_positions("l_orderkey"))).alias("pos"),
+    )
+    passed = (
+        probe.join(build, "pos", "left_semi")
+        .groupBy("_rid")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .where(F.col("_hits") == _BLOOM_K)
+        .agg(F.count(F.lit(1)).alias("bloom_rows"))
+    )
+    exact = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("exact_rows"))
+    total = li.agg(F.count(F.lit(1)).alias("total_rows"))
+    return (
+        passed.join(F.broadcast(exact))
+        .join(F.broadcast(total))
+        .select(
+            "exact_rows",
+            (F.col("bloom_rows") >= F.col("exact_rows")).alias(
+                "no_false_negatives"
+            ),
+            (
+                F.col("bloom_rows")
+                <= F.col("exact_rows")
+                + 0.05 * (F.col("total_rows") - F.col("exact_rows"))
+            ).alias("fp_bounded"),
+        )
+    )
+
+
+_BLOOM_PREFILTER_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS exact_rows,
+       TRUE AS no_false_negatives,
+       TRUE AS fp_bounded
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l_orderkey
+                AND o_orderpriority = '1-URGENT')
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "profile_table": QuerySpec("profile_table", profile_table, _PROFILE_SQL),
     "agg_approx": QuerySpec("agg_approx", agg_approx, None),
@@ -1880,5 +1971,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q21_waiting_suppliers": QuerySpec(
         "q21_waiting_suppliers", q21_waiting_suppliers, _Q21_SQL
+    ),
+    "join_bloom_prefilter": QuerySpec(
+        "join_bloom_prefilter", join_bloom_prefilter, _BLOOM_PREFILTER_SQL
     ),
 }
