@@ -81,6 +81,12 @@ HEADLINE = [
     "agg_value_histogram",
     "sql_lateral_topk",
     "q8_market_share",
+    # r7 new-operator keys (append-only)
+    "join_salted_skew",
+    "join_bloom_prefilter",
+    "scd2_user_history",
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
 ]
 
 # Round each key FIRST appeared in HEADLINE. The total grows whenever
@@ -129,6 +135,11 @@ FIRST_BENCHED = {
             "agg_value_histogram",
             "sql_lateral_topk",
             "q8_market_share",
+            "join_salted_skew",
+            "join_bloom_prefilter",
+            "scd2_user_history",
+            "q2_min_cost_supplier",
+            "q21_waiting_suppliers",
         )
     },
 }
