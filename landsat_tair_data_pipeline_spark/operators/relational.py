@@ -1330,13 +1330,20 @@ GROUP BY 1
 
 
 def q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q22 shape: well-funded customers who never ordered —
-    a scalar aggregate threshold (avg positive balance) applied via a
-    1-row broadcast cross join, then an anti join against orders.
-    At 100 TB the anti join shuffles on custkey; the scalar side is a
-    full-reduce to one row (map-side combinable)."""
+    """TPC-H Q22 shape: well-funded customers gone IDLE — a scalar
+    aggregate threshold (avg positive balance) applied via a 1-row
+    broadcast cross join, then an anti join against RECENT orders
+    (none since 2000-01-01; the original's never-ordered predicate is
+    empty at every driver SF in this synthetic data — a hash-green on
+    a 0-row result certifies nothing, the q20/mm_dedup_binary lesson,
+    found again by the r7 code-review pass). At 100 TB the anti join
+    shuffles on custkey with the date filter pushed to the orders
+    scan; the scalar side is a full-reduce to one row (map-side
+    combinable)."""
     c = table(spark, sf, "customer")
-    o = table(spark, sf, "orders")
+    o = table(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
     thr = c.where(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("avg_bal")
     )
@@ -1356,7 +1363,9 @@ SELECT c_mktsegment,
        ROUND(SUM(c_acctbal) + 1e-9, 2) AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_mktsegment
 """
 

@@ -111,9 +111,9 @@ def all_queries() -> dict[str, QuerySpec]:
 # (4) the six r1-vintage oracled projection/setop keys (oldest hash
 # evidence in the registry); (5) two keys new in r7
 # (emb_sample_stratified, agg_hll_vs_exact — never driver-checked);
-# (6) 27 r4-vintage keys, most-data-sensitive first (testdata-reading
+# (6) 26 r4-vintage keys, most-data-sensitive first (testdata-reading
 # TPC-H/events/window/dedup/text blocks — testdata has been
-# regenerated twice since their last row). The 19 remaining r4-vintage
+# regenerated twice since their last row). The 20 remaining r4-vintage (emb_label_stats joined the deferred set)
 # keys (agg_rollup/cube family, join_semi/anti/outer, mm_* summaries,
 # fixture-backed aug_* block, sort/limit/setop_union,
 # window_range_frame) rotate in r8.
@@ -143,10 +143,14 @@ _ROUND7_FRONT = [
     "distinct_proj",
     "setop_intersect",
     "setop_except",
-    # new in r7, never driver-checked (2)
+    # new in r7, never driver-checked (2), plus q22 — reshaped in r7
+    # (its r6 green was on a 0-row result, certifying nothing; the
+    # recent-idle form is non-trivial at every SF and needs a fresh
+    # driver row) (1)
     "emb_sample_stratified",
     "agg_hll_vs_exact",
-    # r4-vintage, testdata-reading (27)
+    "q22_idle_customers",
+    # r4-vintage, testdata-reading (26)
     "stream_stateful_user_totals",
     "ext_dedup_exact",
     "dedup_jaccard_pairs",
@@ -157,7 +161,6 @@ _ROUND7_FRONT = [
     "events_session",
     "events_funnel",
     "sim_lsh_topk",
-    "emb_label_stats",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
