@@ -829,6 +829,18 @@ def agg_sketch_hll(spark: SparkSession, sf: str) -> DataFrame:
     tests), and the exact count for error bounding. Rows-only at the
     driver: DuckDB's approx_count_distinct is a different HLL
     implementation, so estimates are not cross-engine comparable."""
+    return _hll_frames(spark, sf).select(
+        "event_type", "direct_est", "merged_est", "exact_distinct"
+    )
+
+
+def _hll_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared sketch construction for agg_sketch_hll (rows-only
+    surface) and agg_hll_vs_exact (hash-checked error bound): per-day
+    HLL sketches union-merged vs the direct sketch vs the exact
+    count, one frame — so a precision/bucketing change cannot make
+    the two surfaces assert different sketches (r7 review finding).
+    Columns: event_type, direct_est, merged_est, exact_distinct."""
     ev = table(spark, sf, "events")
     per_day = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
@@ -842,10 +854,7 @@ def agg_sketch_hll(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.countDistinct("user_id").alias("exact_distinct"),
     )
-    return (
-        direct.join(merged, "event_type")
-        .select("event_type", "direct_est", "merged_est", "exact_distinct")
-    )
+    return direct.join(merged, "event_type")
 
 
 def agg_hll_vs_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -860,18 +869,7 @@ def agg_hll_vs_exact(spark: SparkSession, sf: str) -> DataFrame:
     hash goes red instead of a unit test silently aging. The estimates
     themselves stay out of the surface — they are engine-specific
     (that's agg_sketch_hll's rows-only row)."""
-    ev = table(spark, sf, "events")
-    per_day = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
-    )
-    merged = per_day.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
-    )
-    direct = ev.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
-        F.countDistinct("user_id").alias("exact_distinct"),
-    )
-    return direct.join(merged, "event_type").select(
+    return _hll_frames(spark, sf).select(
         "event_type",
         "exact_distinct",
         (

@@ -1592,9 +1592,16 @@ def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(value).alias("_v"))
     )
     total = per_part.agg(F.sum("_v").alias("_total"))
+    # threshold compares ROUNDED operands (house convention): the raw
+    # sums are accumulation-order-dependent, so a part sitting a few
+    # ulps from 0.001·total could flip membership between engines and
+    # break the row-set oracle (r7 review finding)
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("_v") > 0.001 * F.col("_total"))
+        .where(
+            F.round(F.col("_v") + 1e-9, 2)
+            > 0.001 * F.round(F.col("_total") + 1e-9, 2)
+        )
         .select(
             "p_partkey", F.round(F.col("_v") + 1e-9, 2).alias("part_value")
         )
@@ -1613,7 +1620,8 @@ WITH per_part AS (
   GROUP BY 1)
 SELECT p_partkey, ROUND(_v + 1e-9, 2) AS part_value
 FROM per_part
-WHERE _v > 0.001 * (SELECT SUM(_v) FROM per_part)
+WHERE ROUND(_v + 1e-9, 2)
+      > 0.001 * (SELECT ROUND(SUM(_v) + 1e-9, 2) FROM per_part)
 """
 
 
@@ -1815,9 +1823,14 @@ def join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
 
     The checkable surface pins the two Bloom guarantees against live
     data (pattern of agg_hll_vs_exact): no false negatives (probed ≥
-    exact semi-join count) and bounded false-positive mass (probed ≤
-    exact + 5% of non-matching rows — generous: with n·k ≪ m the
-    expected fp rate here is < 0.1%)."""
+    exact semi-join count) and bounded false-positive mass. The fp
+    bound is derived IN-PLAN from the realized fill factor — a probe
+    row false-positives at rate fill^k under independence, so the
+    margin is 5·fill³ of the non-matching rows plus a 1% variance
+    floor. A fixed margin would silently flip at larger SFs (a
+    2^20 bit-space is ~58% full at sf1, fp ≈ 19% — the r7 review
+    caught the fixed 5% bound red-lining there); the derived bound
+    tracks any build cardinality while staying a real guarantee."""
     o = table(spark, sf, "orders").where(
         F.col("o_orderpriority") == "1-URGENT"
     )
@@ -1827,6 +1840,9 @@ def join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
             F.explode(F.array(*_bloom_positions("o_orderkey"))).alias("pos")
         )
         .distinct()
+    )
+    fill = build.agg(
+        (F.count(F.lit(1)) / F.lit(float(_BLOOM_M))).alias("_fill")
     )
     # stamp the row id in its OWN projection: a nondeterministic
     # expression in the same select as a generator is evaluated per
@@ -1852,6 +1868,7 @@ def join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
     return (
         passed.join(F.broadcast(exact))
         .join(F.broadcast(total))
+        .join(F.broadcast(fill))
         .select(
             "exact_rows",
             (F.col("bloom_rows") >= F.col("exact_rows")).alias(
@@ -1860,7 +1877,8 @@ def join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
             (
                 F.col("bloom_rows")
                 <= F.col("exact_rows")
-                + 0.05 * (F.col("total_rows") - F.col("exact_rows"))
+                + (5 * F.pow("_fill", F.lit(_BLOOM_K)) + 0.01)
+                * (F.col("total_rows") - F.col("exact_rows"))
             ).alias("fp_bounded"),
         )
     )

@@ -359,11 +359,11 @@ def emb_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# composed from augment's canonical DuckDB hash twin — a hand-typed
+# copy here would be the one missed by the next hash fix (r7 review)
 _EMB_STRATIFIED_SQL = """
 WITH keyed AS (
-  SELECT label, vec_id, embedding,
-         (((a % 65536) * 2654435761 % 4294967296
-           + (a // 65536 % 65536) * 2041643008) % 4294967296) AS sample_key
+  SELECT label, vec_id, embedding, {hash} AS sample_key
   FROM (SELECT label, vec_id, embedding,
                ((vec_id % 4294967296) + 4294967296) % 4294967296 AS a
         FROM embeddings)),
@@ -379,6 +379,12 @@ FROM ranked WHERE rk <= 25
 """
 
 
+def _compose_emb_stratified_sql() -> str:
+    from .augment import _MULT_HASH_SQL
+
+    return _EMB_STRATIFIED_SQL.format(hash=_MULT_HASH_SQL)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "emb_quantize_int8": QuerySpec(
         "emb_quantize_int8", emb_quantize_int8, _QUANTIZE_SQL
@@ -389,6 +395,8 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_lsh_topk": QuerySpec("sim_lsh_topk", sim_lsh_topk, _LSH_TOPK_SQL),
     "emb_label_stats": QuerySpec("emb_label_stats", emb_label_stats, _LABEL_STATS_SQL),
     "emb_sample_stratified": QuerySpec(
-        "emb_sample_stratified", emb_sample_stratified, _EMB_STRATIFIED_SQL
+        "emb_sample_stratified",
+        emb_sample_stratified,
+        _compose_emb_stratified_sql(),
     ),
 }

@@ -68,12 +68,32 @@ def ensure_nanos_readable(spark: SparkSession, path: str) -> None:
             return
         f = cands[0]
     try:
-        t = pq.read_schema(f).field("ts").type
-    except Exception:
-        # missing file/column: let the Spark read surface the real error
-        return
-    if pa.types.is_timestamp(t) and t.unit == "ns":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        stamp = (f, os.stat(f).st_mtime_ns)
+    except OSError:
+        return  # missing file: let the Spark read surface the real error
+    if stamp not in _NANOS_PROBE_CACHE:
+        try:
+            t = pq.read_schema(f).field("ts").type
+        except Exception:
+            return  # missing column/unreadable: same — Spark reports it
+        _NANOS_PROBE_CACHE[stamp] = bool(
+            pa.types.is_timestamp(t) and t.unit == "ns"
+        )
+    # set the flag to match THIS file's vintage — including back to
+    # "false" for µs data, otherwise one ns-vintage read would leave
+    # the legacy flag on session-global (the un-scoping this helper
+    # exists to prevent; r7 review finding)
+    spark.conf.set(
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "true" if _NANOS_PROBE_CACHE[stamp] else "false",
+    )
+
+
+# vintage probe memo: the footer of a given (path, mtime) cannot
+# change within a run, and the probe would otherwise pay a driver-side
+# file open on EVERY events read — including inside bench's timed
+# region
+_NANOS_PROBE_CACHE: dict[tuple[str, int], bool] = {}
 
 
 def _normalize_event_ts(df: DataFrame) -> DataFrame:
