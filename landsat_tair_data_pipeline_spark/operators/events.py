@@ -985,6 +985,224 @@ GROUP BY event_type
 """
 
 
+def ts_asof_interp(spark: SparkSession, sf: str) -> DataFrame:
+    """AS-OF with LINEAR INTERPOLATION — the timeseries-engine staple
+    (Timescale interpolate / QuestDB FILL(LINEAR)) that join_asof's
+    last-value-carry cannot express: each purchase gets the user's
+    click value linearly interpolated between the surrounding clicks
+    at the purchase's event time; edge purchases (no click on one
+    side) fall back to the available neighbor. Same union-merge shape
+    as join_asof — tag sides, ONE window per user ordered (ts, side,
+    id), last(…, ignoreNulls) backward for the previous click and
+    first(…, ignoreNulls) forward for the next — so the cost stays
+    one shuffle + O(n log n) per user, never a click×purchase range
+    join. Weights use microsecond-exact unix_micros arithmetic; the
+    interpolated value is rounded on both sides."""
+    ev = table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("eid"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("value").alias("cv"),
+        F.unix_micros("ts").alias("cus"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("eid"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("double").alias("cv"),
+        F.lit(None).cast("long").alias("cus"),
+    )
+    u = clicks.unionByName(purchases)
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("side"), F.asc("eid"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("side"), F.asc("eid"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    marked = u.select(
+        "user_id",
+        "ts",
+        "side",
+        "purchase_id",
+        F.last("cv", ignorenulls=True).over(back).alias("pv"),
+        F.last("cus", ignorenulls=True).over(back).alias("pus"),
+        F.first("cv", ignorenulls=True).over(fwd).alias("nv"),
+        F.first("cus", ignorenulls=True).over(fwd).alias("nus"),
+    ).where(F.col("side") == 1)
+    us = F.unix_micros("ts")
+    interp = F.when(
+        F.col("pus").isNull(), F.col("nv")
+    ).when(
+        F.col("nus").isNull() | (F.col("nus") == F.col("pus")), F.col("pv")
+    ).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (us - F.col("pus"))
+        / (F.col("nus") - F.col("pus"))
+    )
+    return marked.select(
+        "user_id",
+        "purchase_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round(interp + 1e-9, 4).alias("interp_click_value"),
+    )
+
+
+_ASOF_INTERP_SQL = """
+WITH u AS (
+  SELECT user_id, ts, 0 AS side, event_id AS eid,
+         CAST(NULL AS BIGINT) AS purchase_id,
+         value AS cv, epoch_us(ts) AS cus
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 1 AS side, event_id AS eid,
+         event_id AS purchase_id,
+         NULL AS cv, CAST(NULL AS BIGINT) AS cus
+  FROM events WHERE event_type = 'purchase'),
+marked AS (
+  SELECT user_id, ts, side, purchase_id,
+         LAST_VALUE(cv IGNORE NULLS) OVER w_back AS pv,
+         LAST_VALUE(cus IGNORE NULLS) OVER w_back AS pus,
+         FIRST_VALUE(cv IGNORE NULLS) OVER w_fwd AS nv,
+         FIRST_VALUE(cus IGNORE NULLS) OVER w_fwd AS nus
+  FROM u
+  WINDOW
+    w_back AS (PARTITION BY user_id ORDER BY ts, side, eid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY user_id ORDER BY ts, side, eid
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, purchase_id, ts AS purchase_ts,
+       ROUND(CASE WHEN pus IS NULL THEN nv
+                  WHEN nus IS NULL OR nus = pus THEN pv
+                  ELSE pv + (nv - pv) * (epoch_us(ts) - pus)
+                            / (nus - pus)
+             END + 1e-9, 4) AS interp_click_value
+FROM marked WHERE side = 1
+"""
+
+
+def events_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior — the
+    sequence-analytics rollup (what follows what, with row-normalized
+    probabilities): per user, consecutive event-type pairs via one
+    lag window, then a count + a per-previous-type normalizing window
+    over the 25-row pair matrix. Shuffle cost = one window on user_id
+    + one 5×5 aggregate; the probability divides ROUNDED-stable
+    integer counts, so the surface is engine-exact."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm) + 1e-9, 4).alias("prob"),
+    )
+
+
+_MARKOV_SQL = """
+WITH pairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events),
+c AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2)
+SELECT prev_type, next_type, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY prev_type) + 1e-9, 4) AS prob
+FROM c
+"""
+
+
+_DECAY_TAU_S = 86400.0  # 1-day e-folding
+
+
+def agg_decayed_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially time-decayed aggregate — the feature-store
+    staple (recency-weighted activity score): per user,
+    Σ value·exp(−Δt/τ) with τ = 1 day, Δt measured from the corpus
+    max event time (a 1-row broadcast, so the fact is read once and
+    the decay is a narrow map — no per-user second pass). Rounded to
+    2 decimals: exp() can differ in the last ulp across libm
+    implementations, and the sum is accumulation-order-dependent;
+    both vanish under the house rounding."""
+    ev = table(spark, sf, "events")
+    tmax = ev.agg(F.max(F.unix_micros("ts")).alias("_tmax"))
+    decayed = ev.crossJoin(F.broadcast(tmax)).select(
+        "user_id",
+        (
+            F.col("value")
+            * F.exp(
+                -(F.col("_tmax") - F.unix_micros("ts"))
+                / F.lit(_DECAY_TAU_S * 1e6)
+            )
+        ).alias("dv"),
+    )
+    return decayed.groupBy("user_id").agg(
+        F.round(F.sum("dv") + 1e-9, 2).alias("decayed_sum"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_DECAYED_SUM_SQL = """
+WITH t AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events)
+SELECT user_id,
+       ROUND(SUM(value * exp(-(tmax - epoch_us(ts)) / 86400000000.0))
+             + 1e-9, 2) AS decayed_sum,
+       COUNT(*) AS n_events
+FROM events, t
+GROUP BY user_id
+"""
+
+
+def window_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """percent_rank + cume_dist coverage (the remaining SQL window
+    rank functions after rank/dense_rank/ntile/row_number): each
+    event's value position within its event_type. Both functions are
+    tie-deterministic by definition (equal values share a rank), so
+    the surface needs no artificial tiebreak; fractions are rounded
+    identically on both sides."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.percent_rank().over(w) + 1e-9, 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w) + 1e-9, 6).alias("cume"),
+    )
+
+
+_PERCENT_RANK_SQL = """
+SELECT event_type, event_id,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value)
+             + 1e-9, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY value)
+             + 1e-9, 6) AS cume
+FROM events
+"""
+
+
 def scd2_user_history(spark: SparkSession, sf: str) -> DataFrame:
     """Slowly-Changing-Dimension Type 2 from an event stream — the
     dimension-maintenance staple every warehouse pipeline needs: each
@@ -1378,5 +1596,19 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "scd2_user_history": QuerySpec(
         "scd2_user_history", scd2_user_history, _SCD2_SQL
+    ),
+    "ts_asof_interp": QuerySpec(
+        "ts_asof_interp", ts_asof_interp, _ASOF_INTERP_SQL
+    ),
+    "events_markov_transitions": QuerySpec(
+        "events_markov_transitions",
+        events_markov_transitions,
+        _MARKOV_SQL,
+    ),
+    "agg_decayed_sum": QuerySpec(
+        "agg_decayed_sum", agg_decayed_sum, _DECAYED_SUM_SQL
+    ),
+    "window_percent_rank": QuerySpec(
+        "window_percent_rank", window_percent_rank, _PERCENT_RANK_SQL
     ),
 }

@@ -379,6 +379,83 @@ FROM ranked WHERE rk <= 25
 """
 
 
+def emb_nearest_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-centroid classification over the embedding corpus —
+    the kmeans ASSIGNMENT step as a deterministic, oracle-checkable
+    operator (centroids are the label means, not a random init, so
+    unlike sim_ivf_topk this is hash-checked): per-dim centroids via
+    posexplode + avg, every vector scored against all 10 centroids by
+    squared L2 computed as a dim-stream join + hash aggregate —
+    linear shuffles, no vector×centroid array crossing, the shape
+    that survives 10^9 vectors × k centroids. Distances are ROUNDED
+    before the argmin (label tiebreak) so sub-rounding float noise
+    can never flip a winner between engines. Surface: per true
+    label, n / n_correct / accuracy of the prototype classifier."""
+    emb = _emb(spark, sf)
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("v").alias("d0", "x")
+    ).select("vec_id", "label", (F.col("d0") + 1).alias("d"), "x")
+    cent = ex.groupBy(F.col("label").alias("clabel"), "d").agg(
+        F.avg("x").alias("c")
+    )
+    d2 = (
+        ex.join(cent, "d")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+                + 1e-9,
+                6,
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("clabel"))
+    nearest = d2.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    return nearest.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("clabel") == F.col("label"), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+        F.round(
+            F.sum(F.when(F.col("clabel") == F.col("label"), 1).otherwise(0))
+            / F.count(F.lit(1))
+            + 1e-9,
+            4,
+        ).alias("accuracy"),
+    )
+
+
+_NEAREST_CENTROID_SQL = """
+WITH ex AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+cent AS (
+  SELECT label AS clabel, d, AVG(x) AS c FROM ex GROUP BY 1, 2),
+d2 AS (
+  SELECT vec_id, label, clabel,
+         ROUND(SUM((x - c) * (x - c)) + 1e-9, 6) AS dist
+  FROM ex JOIN cent USING (d)
+  GROUP BY 1, 2, 3),
+r AS (
+  SELECT vec_id, label, clabel,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist, clabel) AS rk
+  FROM d2)
+SELECT label,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+       ROUND(SUM(CASE WHEN clabel = label THEN 1 ELSE 0 END)
+             / COUNT(*) + 1e-9, 4) AS accuracy
+FROM r WHERE rk = 1
+GROUP BY label
+"""
+
+
 def _compose_emb_stratified_sql() -> str:
     from .augment import _MULT_HASH_SQL
 
@@ -398,5 +475,8 @@ QUERIES: dict[str, QuerySpec] = {
         "emb_sample_stratified",
         emb_sample_stratified,
         _compose_emb_stratified_sql(),
+    ),
+    "emb_nearest_centroid": QuerySpec(
+        "emb_nearest_centroid", emb_nearest_centroid, _NEAREST_CENTROID_SQL
     ),
 }
