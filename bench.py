@@ -87,6 +87,8 @@ HEADLINE = [
     "scd2_user_history",
     "q2_min_cost_supplier",
     "q21_waiting_suppliers",
+    "ts_asof_interp",
+    "emb_nearest_centroid",
 ]
 
 # Round each key FIRST appeared in HEADLINE. The total grows whenever
@@ -140,6 +142,8 @@ FIRST_BENCHED = {
             "scd2_user_history",
             "q2_min_cost_supplier",
             "q21_waiting_suppliers",
+            "ts_asof_interp",
+            "emb_nearest_centroid",
         )
     },
 }
