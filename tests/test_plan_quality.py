@@ -266,6 +266,30 @@ def test_salted_skew_is_two_phase(spark):
     assert plan.count("HashAggregate") == 4
 
 
+def test_asof_interp_is_single_shuffle(spark):
+    """The union-merge interpolation claim: ONE exchange (user_id) and
+    ONE fused Window operator computing both the backward and forward
+    carries — a regression to a range join (or to two differently-
+    partitioned windows) multiplies the shuffle count."""
+    plan = _plan(spark, "ts_asof_interp")
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_scd2_is_single_shuffle(spark):
+    """SCD2 is one lead() window: one exchange, no join."""
+    plan = _plan(spark, "scd2_user_history")
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+
+
+def test_q21_has_no_expand(spark):
+    """q21's distinct-supplier counts are two-phase pre-aggregation,
+    not multi-countDistinct — an Expand here re-materializes the
+    fact⋈fact join output 3× (the shape the r7 rewrite removed)."""
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "Expand" not in plan
+
+
 def test_salted_join_shuffles_on_salt(spark):
     """The salted replication join must execute as a ShuffledHashJoin
     whose keys include the salt column — if the 5-row dim were
