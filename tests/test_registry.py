@@ -58,6 +58,23 @@ def test_run_query_cli_lists_every_key():
     assert listed == set(all_queries())
 
 
+def test_operators_md_is_fresh():
+    """OPERATORS.md is generated from the registry; a registry change
+    without regenerating it ships a stale user-facing inventory."""
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        import gen_operators_md
+    finally:
+        sys.path.pop(0)
+    with open(os.path.join(root, "OPERATORS.md")) as fh:
+        assert fh.read() == gen_operators_md.render(), (
+            "OPERATORS.md is stale — run: python tools/gen_operators_md.py"
+        )
+
+
 def test_bench_keys_resolve_and_are_unique():
     """bench.py's HEADLINE list: every key resolves in the registry,
     no duplicates (the append-only contract means deletions/renames
