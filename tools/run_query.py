@@ -4,6 +4,7 @@
     python tools/run_query.py q1_pricing_summary
     python tools/run_query.py dedup_jaccard_pairs --sf /root/testdata/sf0.1 \
         --limit 10 --explain
+    python tools/run_query.py q21_waiting_suppliers --check
 
 Lists all keys with --list. The same (spark, sf_dir) contract the
 driver uses; results print as a truncated table, --explain adds the
@@ -29,6 +30,12 @@ def main() -> int:
     )
     ap.add_argument("--limit", type=int, default=20, help="rows to show")
     ap.add_argument("--explain", action="store_true", help="print the plan")
+    ap.add_argument(
+        "--check",
+        action="store_true",
+        help="also run the DuckDB oracle and compare (the driver's gate "
+        "for one key; rows-only keys just run)",
+    )
     ap.add_argument("--list", action="store_true", help="list all keys")
     args = ap.parse_args()
 
@@ -51,11 +58,20 @@ def main() -> int:
 
     spark = get_spark(f"run-{args.query}")
     spark.sparkContext.setLogLevel("ERROR")
-    df = qs[args.query].fn(spark, args.sf)
+    spec = qs[args.query]
+    df = spec.fn(spark, args.sf)
     if args.explain:
         df.explain("formatted")
     df.show(args.limit, truncate=40)
     print(f"[{args.query}] {df.count()} rows @ {args.sf}")
+    if args.check:
+        if spec.oracle is None:
+            print(f"[{args.query}] rows-only key: no oracle to compare")
+        else:
+            from tests.oracle_check import compare
+
+            compare(spark, args.sf, spec.fn, spec.oracle)
+            print(f"[{args.query}] ORACLE MATCH @ {args.sf}")
     return 0
 
 
