@@ -102,11 +102,23 @@ def exact_split(
 
     ``num_ranges`` defaults to the cluster's parallelism; the global
     rank (and hence the split assignment) orders rows by the seeded
-    rand key alone, so the result is partition-count-independent.
+    key alone, so the result is partition-count-independent.
+
+    The permutation key is xxhash64(row, seed), NOT rand(seed):
+    rand is per-partition-seeded and marked nondeterministic, so the
+    two plan branches below (the offsets aggregate and the indexed
+    join) can observe DIFFERENT key values when AQE re-plans the
+    scan between branch executions — offsets computed for one
+    partitioning then applied to another make _gidx a
+    non-permutation and the split counts silently wrong (observed
+    live at sf0.1 under the full-suite session, r7). A content hash
+    is branch-stable, retry-stable, and session-independent.
     """
     if num_ranges is None:
         num_ranges = df.sparkSession.sparkContext.defaultParallelism
-    keyed = df.withColumn("_r", F.rand(seed))
+    keyed = df.withColumn(
+        "_r", F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    )
     ranged = (
         keyed.repartitionByRange(num_ranges, "_r")
         .sortWithinPartitions("_r")

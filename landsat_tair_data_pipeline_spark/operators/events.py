@@ -824,9 +824,9 @@ def agg_sketch_hll(spark: SparkSession, sf: str) -> DataFrame:
     sketches are tiny (≤ 2^12 registers), persistable, and UNION-able
     across any partitioning of the data, so rollups never rescan the
     fact table. Surface: per event_type, the direct sketch estimate,
-    the estimate from unioning per-day sketches (must agree — HLL
-    register-max merge is lossless at equal precision, asserted in
-    tests), and the exact count for error bounding. Rows-only at the
+    the estimate from unioning per-day sketches (must agree within the
+    union error bound — bit-equality holds only in sparse mode,
+    asserted in tests), and the exact count for error bounding. Rows-only at the
     driver: DuckDB's approx_count_distinct is a different HLL
     implementation, so estimates are not cross-engine comparable."""
     return _hll_frames(spark, sf).select(
@@ -876,7 +876,10 @@ def agg_hll_vs_exact(spark: SparkSession, sf: str) -> DataFrame:
             F.abs(F.col("direct_est") - F.col("exact_distinct"))
             <= 0.05 * F.col("exact_distinct")
         ).alias("within_5pct"),
-        (F.col("merged_est") == F.col("direct_est")).alias("merge_lossless"),
+        (
+            F.abs(F.col("merged_est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("merged_within_5pct"),
     )
 
 
@@ -884,7 +887,7 @@ _HLL_VS_EXACT_SQL = """
 SELECT event_type,
        COUNT(DISTINCT user_id) AS exact_distinct,
        TRUE AS within_5pct,
-       TRUE AS merge_lossless
+       TRUE AS merged_within_5pct
 FROM events
 GROUP BY 1
 """

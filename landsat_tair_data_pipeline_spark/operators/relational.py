@@ -888,14 +888,18 @@ def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.round(F.sum(rev) + 1e-9, 2).alias("revenue"))
+        # 1e-6, not the house 1e-9: revenue sums reach ~1e7 at sf0.1,
+        # where double accumulation-order noise (~1e-8 absolute)
+        # straddles .xx5 rounding boundaries — the q8 trap (NOTES r6),
+        # hit live by q7 in the r7 sf0.1 parity sweep
+        .agg(F.round(F.sum(rev) + 1e-6, 2).alias("revenue"))
     )
 
 
 _Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+       ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

@@ -47,18 +47,24 @@ def test_partitioned_layout_prunes(spark, tmp_path):
 
 
 def test_hll_sketch_merge_is_lossless_and_bounded(spark):
-    """HLL register-max merge at equal precision loses nothing: the
-    estimate from unioning per-day sketches must equal the direct
-    whole-table sketch estimate, and both must sit within 5% of the
-    exact distinct count (at this cardinality the sketch is typically
-    still in exact sparse mode, so the bound is generous)."""
+    """Union of per-day sketches vs the direct whole-table sketch:
+    bit-equality holds only while sketches stay in exact sparse mode;
+    in dense mode the DataSketches union gadget can diverge by a few
+    counts (observed at sf0.1 — r7). The honest invariants: merged
+    and direct within 1% of each other, and both within 5% of the
+    exact distinct count."""
     from landsat_tair_data_pipeline_spark.operators.events import agg_sketch_hll
 
     rows = agg_sketch_hll(spark, "/root/testdata/sf0.01").collect()
     assert len(rows) == 5
     for r in rows:
-        assert r["direct_est"] == r["merged_est"], r
+        assert abs(r["direct_est"] - r["merged_est"]) <= (
+            0.01 * r["exact_distinct"]
+        ), r
         assert abs(r["direct_est"] - r["exact_distinct"]) <= (
+            0.05 * r["exact_distinct"]
+        ), r
+        assert abs(r["merged_est"] - r["exact_distinct"]) <= (
             0.05 * r["exact_distinct"]
         ), r
 
