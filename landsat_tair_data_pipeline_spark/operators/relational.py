@@ -43,8 +43,14 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            # +1e-6 on the multi-decimal revenue sums (NOT the exact
+            # 2-dec base-price / integer qty sums): 4-6-decimal exact
+            # rationals at 1e9 magnitude land on .xx5 rounding ties,
+            # where accumulation-order noise flips engines — the q7/q8
+            # magnitude rule applied proactively after the r7 sf0.1
+            # sweep caught q7
+            F.round(F.sum(disc_price) + 1e-6, 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))) + 1e-6, 2).alias("sum_charge"),
             F.round(F.avg("l_quantity") + 1e-9, 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice") + 1e-9, 4).alias("avg_price"),
             F.round(F.avg("l_discount") + 1e-9, 4).alias("avg_disc"),
@@ -57,8 +63,8 @@ _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2)                                          AS sum_qty,
        ROUND(SUM(l_extendedprice), 2)                                     AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2)           AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-6, 2) AS sum_charge,
        ROUND(AVG(l_quantity) + 1e-9, 4)                                          AS avg_qty,
        ROUND(AVG(l_extendedprice) + 1e-9, 4)                                     AS avg_price,
        ROUND(AVG(l_discount) + 1e-9, 4)                                          AS avg_disc,
@@ -248,7 +254,9 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-6,
+                2,
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -258,7 +266,7 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
 
 _Q3_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -296,14 +304,16 @@ def q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-6,
+                2,
             ).alias("revenue")
         )
     )
 
 
 _Q5_SQL = """
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -751,7 +761,7 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(rev + 1e-9, 2).alias("revenue"))
+        .agg(F.round(rev + 1e-6, 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -759,7 +769,7 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
 
 _Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+       ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -845,7 +855,7 @@ def q6_revenue_forecast(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")) + 1e-9, 2
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")) + 1e-6, 2
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
@@ -853,7 +863,7 @@ def q6_revenue_forecast(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _Q6_SQL = """
-SELECT ROUND(SUM(l_extendedprice * l_discount) + 1e-9, 2) AS revenue,
+SELECT ROUND(SUM(l_extendedprice * l_discount) + 1e-6, 2) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
@@ -949,7 +959,7 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                + 1e-9,
+                + 1e-6,
                 2,
             ).alias("total_revenue")
         )
@@ -965,7 +975,7 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
 _Q15_SQL = """
 WITH revenue AS (
   SELECT l_suppkey,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+         ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
            AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
@@ -991,7 +1001,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(avg_q, li.l_partkey == F.col("ap_key"))
         .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0 + 1e-9, 2).alias(
+            F.round(F.sum("l_extendedprice") / 7.0 + 1e-6, 2).alias(
                 "avg_yearly"
             ),
             F.count(F.lit(1)).alias("n_rows"),
@@ -1000,7 +1010,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _Q17_SQL = """
-SELECT ROUND(SUM(l1.l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly,
+SELECT ROUND(SUM(l1.l_extendedprice) / 7.0 + 1e-6, 2) AS avg_yearly,
        COUNT(*) AS n_rows
 FROM lineitem l1
 JOIN part ON l1.l_partkey = p_partkey
@@ -1068,7 +1078,7 @@ def q9_profit_by_nation(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount) + 1e-9, 2).alias("sum_profit"))
+        .agg(F.round(F.sum(amount) + 1e-6, 2).alias("sum_profit"))
     )
 
 
@@ -1076,7 +1086,7 @@ _Q9_SQL = """
 SELECT n_name AS nation,
        CAST(EXTRACT(year FROM l_shipdate) AS INT) AS o_year,
        ROUND(SUM(l_extendedprice * (1 - l_discount)
-                 - 0.8 * p_retailprice * l_quantity) + 1e-9, 2)
+                 - 0.8 * p_retailprice * l_quantity) + 1e-6, 2)
            AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -1116,7 +1126,7 @@ def q19_disjunctive_pushdown(spark: SparkSession, sf: str) -> DataFrame:
     return j.where(cond).agg(
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            + 1e-9,
+            + 1e-6,
             2,
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -1124,7 +1134,7 @@ def q19_disjunctive_pushdown(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _Q19_SQL = """
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
@@ -1410,7 +1420,7 @@ def sql_q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2)                AS sum_qty,
                ROUND(SUM(l_extendedprice), 2)           AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+               ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
                                                         AS sum_disc_price,
                COUNT(*)                                 AS count_order,
                ROUND(AVG(l_quantity) + 1e-9, 4)         AS avg_qty,
@@ -1426,7 +1436,7 @@ _SQL_Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2)                AS sum_qty,
        ROUND(SUM(l_extendedprice), 2)           AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+       ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
                                                 AS sum_disc_price,
        COUNT(*)                                 AS count_order,
        ROUND(AVG(l_quantity) + 1e-9, 4)         AS avg_qty,
