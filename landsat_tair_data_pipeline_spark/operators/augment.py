@@ -108,11 +108,19 @@ def exact_split(
     rand is per-partition-seeded and marked nondeterministic, so the
     two plan branches below (the offsets aggregate and the indexed
     join) can observe DIFFERENT key values when AQE re-plans the
-    scan between branch executions — offsets computed for one
-    partitioning then applied to another make _gidx a
+    scan between branch executions. A content hash is branch-stable,
+    retry-stable, and session-independent.
+
+    The ranked frame is then materialized ONCE (localCheckpoint)
+    before the offsets/join fan-out: repartitionByRange SAMPLES its
+    boundaries with an rdd.id-seeded random, and rdd ids advance per
+    session, so two separate executions of the same range shuffle can
+    place boundary rows in different partitions — offsets computed
+    under one boundary set applied to the other make _gidx a
     non-permutation and the split counts silently wrong (observed
-    live at sf0.1 under the full-suite session, r7). A content hash
-    is branch-stable, retry-stable, and session-independent.
+    live at sf0.1 ONLY under a long session: 4022/5000 train rows;
+    green standalone — r7). Materializing pins one physical
+    partitioning for every consumer; same fix in dedup._chunk_summary.
     """
     if num_ranges is None:
         num_ranges = df.sparkSession.sparkContext.defaultParallelism
@@ -126,7 +134,7 @@ def exact_split(
     )
     local = ranged.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy("_r"))
-    )
+    ).localCheckpoint()
     offsets = (
         local.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_cnt"))
