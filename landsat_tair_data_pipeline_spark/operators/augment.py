@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..registry import QuerySpec
 from ..sources import landsat
+from ..util import persist_tracked
 from ..sources.landsat import FIXTURE_DIR
 from .domain import (
     _GT1,
@@ -132,9 +133,12 @@ def exact_split(
         .sortWithinPartitions("_r")
         .withColumn("_pid", F.spark_partition_id())
     )
-    local = ranged.withColumn(
-        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy("_r"))
-    ).localCheckpoint()
+    local = persist_tracked(
+        ranged.withColumn(
+            "_lrn",
+            F.row_number().over(Window.partitionBy("_pid").orderBy("_r")),
+        )
+    )
     offsets = (
         local.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_cnt"))

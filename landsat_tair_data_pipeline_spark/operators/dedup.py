@@ -843,11 +843,15 @@ def _chunk_summary(docs: DataFrame, capacity: int = 512) -> DataFrame:
         .withColumn("_pid", F.spark_partition_id())
     )
     wloc = Window.partitionBy("_pid").orderBy("doc_id")
-    # localCheckpoint BEFORE the offsets/join fan-out: range-boundary
+    # materialize BEFORE the offsets/join fan-out: range-boundary
     # sampling is rdd.id-seeded, so re-executing the range shuffle in
     # the second branch can move boundary rows across partitions and
-    # desync the offsets (the exact_split bug, augment.py — r7)
-    local = ranged.withColumn("_lcum", F.sum("n_tok").over(wloc)).localCheckpoint()
+    # desync the offsets (the exact_split bug, augment.py — r7).
+    # persist, not localCheckpoint: lineage kept → executor loss
+    # recomputes against the SAME rdd.id/boundaries
+    local = persist_tracked(
+        ranged.withColumn("_lcum", F.sum("n_tok").over(wloc))
+    )
     offsets = (
         local.groupBy("_pid")
         .agg(F.sum("n_tok").alias("_cnt"))

@@ -1145,8 +1145,11 @@ def agg_decayed_sum(spark: SparkSession, sf: str) -> DataFrame:
     """Exponentially time-decayed aggregate — the feature-store
     staple (recency-weighted activity score): per user,
     Σ value·exp(−Δt/τ) with τ = 1 day, Δt measured from the corpus
-    max event time (a 1-row broadcast, so the fact is read once and
-    the decay is a narrow map — no per-user second pass). Rounded to
+    max event time — a 1-row broadcast, so the decay is a narrow map
+    with no per-user second SHUFFLE. The fact is scanned twice (once
+    for the max, once decayed) but the max scan prunes to the ts
+    column; a single-scan form would need a cached materialization
+    that costs more than the pruned re-read. Rounded to
     2 decimals: exp() can differ in the last ulp across libm
     implementations, and the sum is accumulation-order-dependent;
     both vanish under the house rounding."""

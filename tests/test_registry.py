@@ -64,11 +64,15 @@ def test_operators_md_is_fresh():
     import sys
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(0, os.path.join(root, "tools"))
+    tools_dir = os.path.join(root, "tools")
+    sys.path.insert(0, tools_dir)
     try:
         import gen_operators_md
     finally:
-        sys.path.pop(0)
+        # remove by value: gen_operators_md itself inserts repo_root at
+        # index 0 on first import, so pop(0) would evict the wrong entry
+        # and leave tools/ importable for the rest of the session
+        sys.path.remove(tools_dir)
     with open(os.path.join(root, "OPERATORS.md")) as fh:
         assert fh.read() == gen_operators_md.render(), (
             "OPERATORS.md is stale — run: python tools/gen_operators_md.py"

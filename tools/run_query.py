@@ -63,7 +63,8 @@ def main() -> int:
     if args.explain:
         df.explain("formatted")
     df.show(args.limit, truncate=40)
-    print(f"[{args.query}] {df.count()} rows @ {args.sf}")
+    if not args.check:  # compare() re-executes; skip the extra count job
+        print(f"[{args.query}] {df.count()} rows @ {args.sf}")
     if args.check:
         if spec.oracle is None:
             print(f"[{args.query}] rows-only key: no oracle to compare")

@@ -35,12 +35,18 @@ COPY_AS_IS = ("region", "nation", "supplier", "part")
 
 
 def build(spark, factor: int) -> str:
+    import hashlib
+
     from pyspark.sql import functions as F
 
+    # replica dir keyed on (base dir, factor): reusing an sf0.1-derived
+    # replica under a different SPARK_GRAFT_SF_DIR would silently time
+    # the wrong data
+    tag = hashlib.md5(BASE.encode()).hexdigest()[:8]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scratch",
-        f"sf_probe_{factor}x",
+        f"sf_probe_{factor}x_{tag}",
     )
     if os.path.isdir(out) and os.path.exists(os.path.join(out, "_DONE")):
         return out
@@ -76,13 +82,23 @@ def time_key(spark, fn, sf, reps=2) -> float:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     factor = 10
-    for a in sys.argv[1:]:
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--factor"):
-            factor = int(a.split("=", 1)[1] if "=" in a else sys.argv[
-                sys.argv.index(a) + 1
-            ])
+            if "=" in a:
+                factor = int(a.split("=", 1)[1])
+            else:
+                factor = int(argv[i + 1])
+                i += 1  # consume the flag's value, not a query key
+        else:
+            args.append(a)
+        i += 1
+    if not args:
+        raise SystemExit(__doc__)
     from landsat_tair_data_pipeline_spark.registry import spark_queries
     from landsat_tair_data_pipeline_spark.session import get_spark
 
