@@ -112,8 +112,12 @@ def exact_split(
     scan between branch executions. A content hash is branch-stable,
     retry-stable, and session-independent.
 
-    The ranked frame is then materialized ONCE (localCheckpoint)
-    before the offsets/join fan-out: repartitionByRange SAMPLES its
+    The ranked frame is then materialized ONCE (persist_tracked,
+    MEMORY_AND_DISK — deliberately NOT localCheckpoint: persist keeps
+    lineage, so an executor loss recomputes against the SAME
+    rdd.id/boundaries instead of failing the job on an unreplicated
+    block) before the offsets/join fan-out: repartitionByRange
+    SAMPLES its
     boundaries with an rdd.id-seeded random, and rdd ids advance per
     session, so two separate executions of the same range shuffle can
     place boundary rows in different partitions — offsets computed

@@ -862,8 +862,11 @@ def agg_hll_vs_exact(spark: SparkSession, sf: str) -> DataFrame:
     (VERDICT r6 item 7): per event_type, the exact distinct-user count
     plus two booleans the oracle pins to TRUE — the direct sketch
     estimate lands within 5% of exact, and the per-day-merged estimate
-    equals the direct one (register-max union is lossless at equal
-    precision). DataSketches HLL is deterministic (fixed hash, no
+    ALSO lands within 5% of exact. Merged == direct bit-equality holds
+    only in sparse mode; dense-mode union was observed to diverge by a
+    few counts at sf0.1 (r7), so the implemented invariant is the
+    error bound, not equality. DataSketches HLL is deterministic
+    (fixed hash, no
     seed), so the booleans are stable; if a Spark upgrade or a data
     regeneration ever pushes the sketch outside its bound, the driver
     hash goes red instead of a unit test silently aging. The estimates

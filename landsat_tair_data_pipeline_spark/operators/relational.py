@@ -1609,15 +1609,19 @@ def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
     # threshold compares ROUNDED operands (house convention): the raw
     # sums are accumulation-order-dependent, so a part sitting a few
     # ulps from 0.001·total could flip membership between engines and
-    # break the row-set oracle (r7 review finding)
+    # break the row-set oracle (r7 review finding). Guard is 1e-6, not
+    # 1e-9: these are revenue-magnitude sums (_total reaches 1e7-1e9,
+    # where accumulation noise exceeds 1e-9 and a .xx5 tie would
+    # straddle — the q7/q8 magnitude rule), and a flip here changes
+    # threshold MEMBERSHIP, not just a value (r8 ADVICE).
     return (
         per_part.crossJoin(F.broadcast(total))
         .where(
-            F.round(F.col("_v") + 1e-9, 2)
-            > 0.001 * F.round(F.col("_total") + 1e-9, 2)
+            F.round(F.col("_v") + 1e-6, 2)
+            > 0.001 * F.round(F.col("_total") + 1e-6, 2)
         )
         .select(
-            "p_partkey", F.round(F.col("_v") + 1e-9, 2).alias("part_value")
+            "p_partkey", F.round(F.col("_v") + 1e-6, 2).alias("part_value")
         )
     )
 
@@ -1632,10 +1636,10 @@ WITH per_part AS (
   JOIN region ON n_regionkey = r_regionkey
   WHERE r_name = 'ASIA'
   GROUP BY 1)
-SELECT p_partkey, ROUND(_v + 1e-9, 2) AS part_value
+SELECT p_partkey, ROUND(_v + 1e-6, 2) AS part_value
 FROM per_part
-WHERE ROUND(_v + 1e-9, 2)
-      > 0.001 * (SELECT ROUND(SUM(_v) + 1e-9, 2) FROM per_part)
+WHERE ROUND(_v + 1e-6, 2)
+      > 0.001 * (SELECT ROUND(SUM(_v) + 1e-6, 2) FROM per_part)
 """
 
 

@@ -92,8 +92,8 @@ def all_queries() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query id {name!r}")
             merged[name] = spec
 
-    front = [k for k in _ROUND7_FRONT if k in merged]
-    missing = [k for k in _ROUND7_FRONT if k not in merged]
+    front = [k for k in _ROUND8_FRONT if k in merged]
+    missing = [k for k in _ROUND8_FRONT if k not in merged]
     if missing:
         raise ValueError(f"front-ordered keys missing from registry: {missing}")
     ordered = {k: merged[k] for k in front}
@@ -101,7 +101,78 @@ def all_queries() -> dict[str, QuerySpec]:
     return ordered
 
 
-# First 50 slots of the driver's correctness window for round 7 —
+# First 50 slots of the driver's correctness window for round 8 —
+# the final evidence-rotation pass (VERDICT r7 items 1-2). Ordering:
+# (1) the 14 late-r7 keys that have never had a driver row — the only
+# keys in the whole registry without one (all hash-green locally at
+# sf0.001/0.01/0.1); (2) the 21 r4-vintage keys whose last driver row
+# predates two testdata regenerations (rollup/cube family, semi/anti/
+# outer joins, fixture-backed aug_* block, mm_* summaries, sort/setop/
+# window_range_frame, ext_topk, agg_count_distinct, emb_label_stats);
+# (3) the 3 r1-vintage rows-only keys (agg_approx, dedup_simhash,
+# sim_ivf_topk — oldest evidence in the registry; a rows-only row
+# still proves they run on the driver's data); (4) 12 most-data-
+# sensitive r5-vintage keys (testdata-reading dedup/text/events/
+# streaming). After this round no key's latest driver row is older
+# than r5, and every key has one.
+_ROUND8_FRONT = [
+    # never driver-checked late-r7 keys (14)
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_ship_delay_priority",
+    "q20_dominant_share_suppliers",
+    "q21_waiting_suppliers",
+    "scd2_user_history",
+    "agg_quantile_vs_exact",
+    "join_salted_skew",
+    "join_bloom_prefilter",
+    "ts_asof_interp",
+    "events_markov_transitions",
+    "agg_decayed_sum",
+    "window_percent_rank",
+    "emb_nearest_centroid",
+    # r4-vintage (21)
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_count_distinct",
+    "join_semi",
+    "join_anti",
+    "join_outer_coalesce",
+    "aug_rot90",
+    "aug_explode_4x",
+    "aug_jitter_date",
+    "aug_geo_shift",
+    "aug_train_pipeline",
+    "split_train_test",
+    "mm_type_summary",
+    "mm_resize_plan",
+    "mm_frame_sample",
+    "sort_limit",
+    "setop_union",
+    "window_range_frame",
+    "ext_topk",
+    "emb_label_stats",
+    # r1-vintage rows-only (3)
+    "agg_approx",
+    "dedup_simhash",
+    "sim_ivf_topk",
+    # r5-vintage, testdata-reading (12)
+    "join_asof",
+    "llm_data_pipeline_v2",
+    "sample_stratified",
+    "dedup_keep_best",
+    "ts_gapfill",
+    "upsert_snapshot",
+    "text_token_count",
+    "text_quality",
+    "text_tfidf_top",
+    "stream_tumbling",
+    "stream_stream_join",
+    "sink_parquet_partitioned",
+]
+
+# Historical r7 order kept for reference (drove CORRECTNESS_r07) —
 # evidence ROTATION, not new surface (VERDICT r6 item 1). Ordering:
 # (1) the 13 r3-vintage fixture keys displaced by the r6 additions —
 # their driver evidence predates two testdata regenerations; (2)

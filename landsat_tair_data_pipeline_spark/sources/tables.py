@@ -52,7 +52,16 @@ def ensure_nanos_readable(spark: SparkSession, path: str) -> None:
     VERDICT r6 flagged the global mutable state). Probe THIS file's
     footer with one driver-side pyarrow metadata read and set the flag
     only when the ns vintage is actually present; current
-    timestamp[us] data never touches it."""
+    timestamp[us] data never touches it.
+
+    Build-vs-execute caveat (r8 ADVICE): this sets a session-global
+    SQLConf at DataFrame BUILD time, but Spark reads SQLConf at
+    EXECUTION. Interleaving builds across vintages — build an
+    ns-vintage events frame, build a µs-vintage one (resets the flag),
+    then execute the first — fails LOUDLY at execution ("Illegal
+    Parquet type"). All in-repo callers build-and-execute one events
+    frame at a time; if multi-vintage interleaving ever becomes a real
+    pattern, move the flag to a per-read DataFrameReader option."""
     import glob
     import os
 

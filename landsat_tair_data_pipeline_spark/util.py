@@ -33,7 +33,17 @@ SCRATCH_DIR = os.path.join(REPO_ROOT, ".scratch")
 # holds at most one query's cached blocks at a time. Release happens
 # at the next query's BUILD time, which is safe because both the
 # driver gate and bench fully execute one query before building the
-# next.
+# next. Two caveats (r8 ADVICE):
+#  - exact_split/_chunk_summary rely on their persist staying LIVE
+#    through execution for range-boundary consistency, so releasing a
+#    scope whose query is still running would reintroduce the rdd.id
+#    desync bug. release_other_scopes therefore DEFERS the release
+#    while any Spark job is active (the frames stay tracked and are
+#    freed at the next quiescent build).
+#  - direct spec.fn(spark, sf) calls bypass the registry wrapper and
+#    register their persists under "_unscoped"; those frames are freed
+#    by the next WRAPPED build. Use registry.spark_queries() /
+#    tools/run_query.py for anything long-lived.
 
 _CACHE_SCOPE: list[str] = ["_unscoped"]
 _TRACKED: dict[str, list] = {}
@@ -54,7 +64,24 @@ def persist_tracked(df, level=None):
 
 
 def release_other_scopes(current: str) -> None:
-    for key in [k for k in _TRACKED if k != current]:
+    """Unpersist every OTHER scope's tracked frames — unless a Spark
+    job is still running, in which case defer: unpersisting a frame
+    whose query is mid-execution would force recomputation and (for
+    the range-partitioned prefix-sum frames) could desync partition
+    boundaries between consumers. Deferred frames stay tracked and
+    are freed at the next quiescent build."""
+    others = [k for k in _TRACKED if k != current]
+    if not others:
+        return
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None and spark.sparkContext.statusTracker().getActiveJobsIds():
+            return  # a query is still executing — defer the release
+    except Exception:
+        pass  # status unavailable (session tearing down) — fall through
+    for key in others:
         for df in _TRACKED.pop(key):
             try:
                 df.unpersist()
