@@ -89,6 +89,18 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "ts_asof_interp",
     "emb_nearest_centroid",
+    # r8 additions (append-only): the 9 r7 keys VERDICT r7 flagged as
+    # never-benched — all sub-1.2 s in the 10x scale probe, recorded
+    # here so drift is visible round-over-round
+    "q11_important_parts",
+    "q12_ship_delay_priority",
+    "q20_dominant_share_suppliers",
+    "events_markov_transitions",
+    "agg_decayed_sum",
+    "window_percent_rank",
+    "agg_quantile_vs_exact",
+    "agg_hll_vs_exact",
+    "emb_sample_stratified",
 ]
 
 # Round each key FIRST appeared in HEADLINE. The total grows whenever
@@ -146,6 +158,20 @@ FIRST_BENCHED = {
             "emb_nearest_centroid",
         )
     },
+    **{
+        k: 8
+        for k in (
+            "q11_important_parts",
+            "q12_ship_delay_priority",
+            "q20_dominant_share_suppliers",
+            "events_markov_transitions",
+            "agg_decayed_sum",
+            "window_percent_rank",
+            "agg_quantile_vs_exact",
+            "agg_hll_vs_exact",
+            "emb_sample_stratified",
+        )
+    },
 }
 
 THIS_ROUND = max(FIRST_BENCHED.values())
@@ -183,6 +209,35 @@ def main() -> None:
     )
     _warmup(lambda: qs["stream_dedup"](spark, SF_DIR))
 
+    # CALIBRATION (VERDICT r7 item 3): a FIXED pure-PySpark workload —
+    # no engine code, no testdata — timed min-of-reps after warmup.
+    # Its runtime moves only with the machine (CPU/JVM/contention), so
+    # the next judge separates environmental drift from code
+    # regressions by comparing per-key times AS A RATIO of rounds'
+    # calibration numbers instead of raw wall-clock (the r6→r7 drift
+    # question needed a hand-run A/B to settle; this plus
+    # tools/ab_bench.py makes it mechanical). Shape: codegen'd column
+    # arithmetic + a hash-aggregate shuffle over 2^26 rows — the same
+    # machinery the headline keys spend their time in.
+    from pyspark.sql import functions as _F
+
+    def _calibration_df():
+        return (
+            spark.range(1 << 26, numPartitions=32)
+            .select(
+                (_F.col("id") * 2654435761 % 1000003).alias("k"),
+                (_F.col("id") % 97).alias("v"),
+            )
+            .groupBy("k")
+            .agg(
+                _F.sum("v").alias("s"),
+                _F.count("*").alias("c"),
+                _F.avg(_F.col("v") * _F.col("v")).alias("m2"),
+            )
+        )
+
+    _warmup(_calibration_df)
+
     import gc
 
     # min-of-3 by default since r5: byte-identical back-to-back bench
@@ -207,6 +262,18 @@ def main() -> None:
     def clear_sink_scratch(name: str) -> None:
         for d in glob.glob(SINK_SCRATCH_GLOBS.get(name, "")):
             shutil.rmtree(d, ignore_errors=True)
+
+    calib = None
+    for _ in range(reps):
+        gc.collect()
+        t0 = time.perf_counter()
+        try:
+            _calibration_df().write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # never sink the bench on calibration
+            print(f"BENCH CALIBRATION FAILURE: {exc}"[:300], file=sys.stderr)
+            break
+        dt = time.perf_counter() - t0
+        calib = dt if calib is None else min(calib, dt)
 
     times: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -254,6 +321,10 @@ def main() -> None:
                 # this round (compare THIS against the previous
                 # round's same subtotal / total, never the new keys)
                 f"value_common_r{THIS_ROUND - 1}": common,
+                # fixed-workload machine-speed number (see the
+                # calibration comment in main): compare rounds via
+                # value_common / calibration_sec ratios, not raw secs
+                **({"calibration_sec": round(calib, 3)} if calib else {}),
                 "first_benched": FIRST_BENCHED,
                 "queries": times,
                 "reps": reps,
