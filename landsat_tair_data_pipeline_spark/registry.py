@@ -111,10 +111,14 @@ def all_queries() -> dict[str, QuerySpec]:
 # window_range_frame, ext_topk, agg_count_distinct, emb_label_stats);
 # (3) the 3 r1-vintage rows-only keys (agg_approx, dedup_simhash,
 # sim_ivf_topk — oldest evidence in the registry; a rows-only row
-# still proves they run on the driver's data); (4) 12 most-data-
-# sensitive r5-vintage keys (testdata-reading dedup/text/events/
-# streaming). After this round no key's latest driver row is older
-# than r5, and every key has one.
+# still proves they run on the driver's data); (4) the 2 NEW r8 keys
+# (dedup_near_recall — the LSH quality bound hash-pinned against live
+# data, stream_scd2 — the stateful streaming SCD2 upsert oracled
+# against the batch SQL), fronted immediately so this round doesn't
+# recreate the never-driver-checked backlog it exists to clear; (5)
+# 10 most-data-sensitive r5-vintage keys (testdata-reading dedup/
+# text/events/streaming). After this round no key's latest driver
+# row is older than r5, and every key has one.
 _ROUND8_FRONT = [
     # never driver-checked late-r7 keys (14)
     "q2_min_cost_supplier",
@@ -157,16 +161,17 @@ _ROUND8_FRONT = [
     "agg_approx",
     "dedup_simhash",
     "sim_ivf_topk",
-    # r5-vintage, testdata-reading (12)
+    # new in r8, fronted on arrival (2)
+    "dedup_near_recall",
+    "stream_scd2",
+    # r5-vintage, testdata-reading (10)
     "join_asof",
     "llm_data_pipeline_v2",
     "sample_stratified",
     "dedup_keep_best",
     "ts_gapfill",
     "upsert_snapshot",
-    "text_token_count",
     "text_quality",
-    "text_tfidf_top",
     "stream_tumbling",
     "stream_stream_join",
     "sink_parquet_partitioned",

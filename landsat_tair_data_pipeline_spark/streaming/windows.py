@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from ..operators.events import _SCD2_SQL as _BATCH_SCD2_SQL
 from ..registry import QuerySpec
 from ..sources.tables import _normalize_event_ts, ensure_nanos_readable, table
 
@@ -279,6 +280,99 @@ GROUP BY user_id
 """
 
 
+def stream_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming SCD2 upsert via applyInPandasWithState (VERDICT r7
+    item 7): the watermark-era form of scd2_user_history. Per user the
+    state is the OPEN validity interval (valid_from, event_id,
+    attr_value); each arriving 'signup' event closes it (emits the
+    finished interval with valid_to = the new event's time) and opens
+    a new one. Events are processed in (ts, event_id) order within
+    each batch — the same tiebreak the batch lead() window uses — and
+    an event older than the open interval is dropped (the watermark
+    contract; the finite availableNow file source delivers in order,
+    so nothing is ever actually late and the drained result equals
+    the batch oracle).
+
+    Update-mode drain goes to the memory sink (no driver loop — the
+    stream_stateful_user_totals pattern): an interval emitted open in
+    batch k may be re-emitted closed in batch k+1, so finality is
+    recovered relationally — per (user, event_id), a closed row
+    supersedes its open version (is_current ascending picks
+    false-before-true), one row_number prune. State is one fixed-width
+    tuple per user; timestamps cross the Arrow boundary as raw
+    epoch-nanos ints so the roundtrip is exact regardless of session
+    timezone."""
+    ev = stream_events(spark, sf).where(
+        F.col("event_type") == "signup"
+    ).select("user_id", "event_id", "ts", "value")
+    out_schema = (
+        "user_id bigint, event_id bigint, attr_value double, "
+        "valid_from timestamp, valid_to timestamp, is_current boolean"
+    )
+    state_schema = "from_ns bigint, eid bigint, attr double"
+
+    def scd2(key, pdfs, state: GroupState):
+        cur = state.get if state.exists else None  # (from_ns, eid, attr)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        out: list[tuple] = []
+        # timestamps are built as pd.Timestamp OBJECTS, never raw ints
+        # in a column that also holds None: pandas coerces int+None to
+        # float64, whose 53-bit mantissa loses ~256 ns at epoch-ns
+        # magnitude — observed as off-by-1µs valid_to vs the oracle
+        def _ts(ns):
+            return pd.NaT if ns is None else pd.Timestamp(ns, tz="UTC")
+
+        for r in rows.itertuples():
+            ts_ns = int(r.ts.value)
+            eid = int(r.event_id)
+            if cur is not None and (ts_ns, eid) <= (cur[0], cur[1]):
+                continue  # late vs the open interval: dropped
+            if cur is not None:
+                out.append(
+                    (key[0], cur[1], cur[2], _ts(cur[0]), _ts(ts_ns), False)
+                )
+            cur = (ts_ns, eid, float(r.value))
+        if cur is not None:
+            state.update((cur[0], cur[1], cur[2]))
+            out.append((key[0], cur[1], cur[2], _ts(cur[0]), pd.NaT, True))
+        if not out:
+            return
+        pdf = pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "event_id", "attr_value",
+                "valid_from", "valid_to", "is_current",
+            ],
+        )
+        # emit exactly the Arrow type the serializer expects
+        # (timestamp[us, tz=UTC]); the epoch-ns values are µs-aligned
+        # (the source is µs parquet), so the unit cast is lossless
+        for c in ("valid_from", "valid_to"):
+            pdf[c] = pd.to_datetime(pdf[c], utc=True).astype(
+                "datetime64[us, UTC]"
+            )
+        yield pdf
+
+    sdf = ev.groupBy("user_id").applyInPandasWithState(
+        scd2, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    out = run_to_memory(sdf, "stream_scd2_sink", "update")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_id").orderBy(
+        F.col("is_current").asc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id", "attr_value", "valid_from", "valid_to", "is_current"
+        )
+    )
+
+
 def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-stream inner join with event-time bounds: follow-up
     events of the same (user, type) within 5 minutes. Both sides are
@@ -467,4 +561,9 @@ FROM d GROUP BY 1
     "stream_stateful_user_totals": QuerySpec(
         "stream_stateful_user_totals", stream_stateful_user_totals, _STATEFUL_SQL
     ),
+    # r8: streaming SCD2 upsert — oracled against the SAME batch
+    # lead()-window SQL as scd2_user_history (fronted via
+    # _ROUND8_FRONT), so the custom stateful operator is hash-gated
+    # end to end, not rows-only
+    "stream_scd2": QuerySpec("stream_scd2", stream_scd2, _BATCH_SCD2_SQL),
 }

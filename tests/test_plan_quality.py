@@ -285,9 +285,15 @@ def test_scd2_is_single_shuffle(spark):
 def test_q21_has_no_expand(spark):
     """q21's distinct-supplier counts are two-phase pre-aggregation,
     not multi-countDistinct — an Expand here re-materializes the
-    fact⋈fact join output 3× (the shape the r7 rewrite removed)."""
+    fact⋈fact join output 3× (the shape the r7 rewrite removed).
+    The fact⋈fact join itself must be a ShuffledHashJoin (r8): both
+    sides shuffle on the order key either way, but sort-merge sorts
+    lineitem — hash-building on the smaller orders side skips both
+    sorts (2× at sf0.1 AND at 10×) while keeping the output
+    partitioning the downstream aggregates pipeline on."""
     plan = _plan(spark, "q21_waiting_suppliers")
     assert "Expand" not in plan
+    assert "ShuffledHashJoin" in plan, plan[:800]
 
 
 def test_salted_join_shuffles_on_salt(spark):
