@@ -533,6 +533,60 @@ SELECT source, doc_id, sample_key, rk FROM ranked WHERE rk <= 10
 """.format(hash=_MULT_HASH_SQL)
 
 
+_WEIGHTED_K = 100
+
+
+def sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis,
+    IPL 2006) — the importance-sampling primitive of corpus curation
+    (sample long/high-quality docs proportionally more often): each
+    doc draws a pseudo-uniform u from the declared multiplicative-hash
+    permutation of doc_id (so the draw is engine-reproducible, the
+    house sampling convention) and the k docs minimizing
+    −ln(u)/w — equivalently maximizing u^(1/w), weight w = n_chars —
+    are the exact ES-sample. u = (hash + 0.5)/2^32 sits strictly
+    inside (0, 1), so ln is finite on both engines.
+
+    Scale shape: a global top-k, which Spark executes as
+    TakeOrderedAndProject — per-partition bounded heaps merged at the
+    driver, k rows each — NOT a global sort; the one shape that takes
+    a corpus-wide weighted draw to 100 TB without a shuffle at all.
+    The selection orders by the UNROUNDED cost (doc_id tiebreak);
+    the surfaced cost is rounded for the cross-engine hash."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    u = (_mult_hash_key() + F.lit(0.5)) / F.lit(4294967296.0)
+    cost = -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars", cost.alias("_cost")
+        )
+        .orderBy(F.col("_cost").asc(), F.col("doc_id").asc())
+        .limit(_WEIGHTED_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(F.col("_cost") + 1e-12, 8).alias("es_cost"),
+        )
+    )
+
+
+_WEIGHTED_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         -LN(({hash} + 0.5) / 4294967296.0)
+           / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS _cost
+  FROM (SELECT doc_id, source, n_chars,
+               ((doc_id % 4294967296) + 4294967296) % 4294967296 AS a
+        FROM documents))
+SELECT doc_id, source, n_chars,
+       ROUND(_cost + 1e-12, 8) AS es_cost
+FROM keyed
+ORDER BY _cost ASC, doc_id ASC
+LIMIT {k}
+""".format(hash=_MULT_HASH_SQL, k=_WEIGHTED_K)
+
+
 def aug_train_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """split → 4× augment the train slice ONLY → union test back
     (main.py:74-98; augmentation after split — the code wins over the
@@ -640,5 +694,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sample_source_mix": QuerySpec(
         "sample_source_mix", sample_source_mix, _SOURCE_MIX_SQL
+    ),
+    # round-8 addition (fronted in registry._ROUND8_FRONT on arrival)
+    "sample_weighted": QuerySpec(
+        "sample_weighted", sample_weighted, _WEIGHTED_SQL
     ),
 }

@@ -277,7 +277,18 @@ def ext_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     At 100 TB the band-bucket join replaces the quadratic pair scan."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = table(spark, sf, "documents").select("doc_id", TOKENS().alias("toks"))
+    # explicit repartition(N) BEFORE the LSH join (NOTES trap): the
+    # corpus reads as few parquet splits, approxSimilarityJoin's
+    # candidate join BROADCASTS the build side, and with no shuffle on
+    # the probe side every candidate pair's keyDistance evaluates at
+    # the READ parallelism — observed live at sf0.1 as one core
+    # grinding ~30 min of set-intersection while 31 idled (jstack:
+    # MinHashLSHModel.keyDistance inside bhj_doConsume, 1 task)
+    docs = (
+        table(spark, sf, "documents")
+        .select("doc_id", TOKENS().alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     tf = HashingTF(
         inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True
     )
@@ -321,7 +332,9 @@ def dedup_near_recall(spark: SparkSession, sf: str) -> DataFrame:
     Scale: reuses the two production candidate paths unchanged (both
     banded/prefix-filtered, no all-pairs); the comparison itself is a
     left-anti join on the pair key plus two 1-row aggregates."""
-    exact = (
+    # persist: `exact` feeds BOTH the anti-join and its own count —
+    # unpersisted, the whole prefix-filter pair pipeline runs twice
+    exact = persist_tracked(
         dedup_jaccard_pairs(spark, sf)
         .where(F.col("jaccard") >= 0.7)
         .select("doc_a", "doc_b")
@@ -1384,6 +1397,94 @@ t AS (
 )
 
 
+_PAGERANK_ITERS = 3
+_PAGERANK_DAMP = 0.85
+
+
+def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the copied-passage similarity graph — the graph-
+    centrality layer on top of dedup_shared_ngram_pairs' edges (docs
+    sharing ≥ 2 word 8-grams), surfacing the most-copied-from hub
+    documents. Three exact power iterations, UNROLLED so the oracle
+    is three SQL CTEs: r₀ = 1/N over the N connected nodes, then
+    r' = 0.15/N + 0.85·Σ r(u)/deg(u) over in-edges. The graph is
+    symmetrized, so every node has deg ≥ 1 and there is no dangling
+    mass to redistribute. Each iteration's rank is rounded at 1e-10
+    on BOTH engines so accumulation-order noise cannot compound
+    across iterations; the surfaced rank rounds at 1e-6.
+
+    Scale shape: the canonical pregel-on-a-DataFrame loop — the edge
+    list (with out-degree attached) is persisted ONCE and each
+    iteration is one shuffle join (edges ⋈ ranks on src) + one hash
+    aggregate on dst, both partial-aggregated map-side; rank state is
+    one row per node, never collected. N arrives via a 1-row
+    aggregate crossJoin (broadcast singleton, the house pattern).
+    At 100 TB the same loop runs with ranks/edges co-partitioned on
+    their join keys; iteration count bounds total cost linearly."""
+    pairs = dedup_shared_ngram_pairs(spark, sf).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = persist_tracked(edges.join(deg, "src"))
+    n1 = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    r = deg.select(F.col("src").alias("node")).crossJoin(n1).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(_PAGERANK_ITERS):
+        contrib = (
+            ed.join(r, ed.src == r.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("_in"))
+        )
+        r = contrib.crossJoin(n1).select(
+            F.col("dst").alias("node"),
+            F.round(
+                (1.0 - _PAGERANK_DAMP) / F.col("n")
+                + _PAGERANK_DAMP * F.col("_in"),
+                10,
+            ).alias("r"),
+        )
+    return r.join(deg, r.node == deg.src).select(
+        "node",
+        "deg",
+        F.round(F.col("r") + 1e-9, 6).alias("rank"),
+    )
+
+
+def _pagerank_sql() -> str:
+    it = """
+r{i} AS (
+  SELECT e.dst AS node,
+         ROUND(0.15 / (SELECT n FROM n)
+               + 0.85 * SUM(r{p}.r / e.deg), 10) AS r
+  FROM ed e JOIN r{p} ON e.src = r{p}.node
+  GROUP BY 1)"""
+    iters = ",".join(
+        it.format(i=i + 1, p=i) for i in range(_PAGERANK_ITERS)
+    )
+    return """
+WITH pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM n) AS r FROM deg),
+{iters}
+SELECT node, deg, ROUND(r + 1e-9, 6) AS rank
+FROM r{last} JOIN deg ON r{last}.node = deg.src
+""".format(
+        pairs=_shared_ngram_sql().strip(),
+        iters=iters,
+        last=_PAGERANK_ITERS,
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(
         "dedup_ngram_jaccard", dedup_ngram_jaccard, _NGRAM_SQL
@@ -1425,5 +1526,9 @@ QUERIES: dict[str, QuerySpec] = {
     # r8: LSH recall self-certification (fronted via _ROUND8_FRONT)
     "dedup_near_recall": QuerySpec(
         "dedup_near_recall", dedup_near_recall, _NEAR_RECALL_SQL
+    ),
+    # r8: graph centrality over the shared-ngram similarity graph
+    "graph_pagerank": QuerySpec(
+        "graph_pagerank", graph_pagerank, _pagerank_sql()
     ),
 }

@@ -1528,6 +1528,243 @@ WHERE ABS(ROUND((value - m) / NULLIF(sd, 0) + 1e-9, 4)) > 2
 """
 
 
+def events_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks —
+    the engagement metric every product-analytics stack computes
+    (reference has no sequence analytics; this is driver-mandated
+    event-table surface). Island id = active_day − row_number days
+    (the classic trick: consecutive days share a constant anchor
+    date), so streak detection is ONE window over (user, day) — no
+    self-join, no recursion. Two hash aggregates around it
+    (distinct days; per-island length) are both map-side combinable;
+    the only shuffle key is user_id, which is exactly how a 100 TB
+    events table would already be bucketed. Output is one row per
+    user: total active days, number of streaks, longest streak, and
+    the longest streak's most recent start day (deterministic
+    tiebreak: max start among max-length islands)."""
+    ev = table(spark, sf, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = (
+        days.withColumn(
+            "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+        )
+        .groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("len"), F.min("d").alias("start"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("len").alias("active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.max(F.struct(F.col("len"), F.col("start")))["start"].alias(
+            "longest_streak_start"
+        ),
+    )
+
+
+_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+islands AS (
+  SELECT user_id, anchor, COUNT(*) AS len, MIN(d) AS start
+  FROM (SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY d) AS INT) AS anchor
+        FROM days) x
+  GROUP BY 1, 2)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS active_days,
+       COUNT(*) AS n_streaks,
+       MAX(len) AS longest_streak,
+       MAX_BY(start, len * 100000 + (start - DATE '1970-01-01'))
+         AS longest_streak_start
+FROM islands
+GROUP BY user_id
+"""
+
+
+def events_cumulative_uniques(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily active users + new users + cumulative distinct users —
+    the growth-accounting rollup. The cumulative distinct is NOT a
+    running COUNT(DISTINCT) (which would hold per-day state sets):
+    each user collapses to their first-seen day first, so the
+    cumulative curve is a plain running SUM over ≤ one row per day —
+    the first-seen reduction is the only pass over the fact table
+    that carries user ids, and it is map-side combinable on
+    user_id. The final running sum runs over the per-day frame
+    (rows = distinct days), a single-partition window over a
+    vanishingly small aggregate — not the fact table."""
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    new_users = first_seen.groupBy("d").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(new_users, "d", "left")
+        .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
+        .withColumn("cum_users", F.sum("new_users").over(w))
+        .select("d", "dau", "n_events", "new_users", "cum_users")
+    )
+
+
+_CUMULATIVE_UNIQUES_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         COUNT(DISTINCT user_id) AS dau,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1),
+fs AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY 1),
+nu AS (SELECT d, COUNT(*) AS new_users FROM fs GROUP BY 1)
+SELECT daily.d, dau, n_events,
+       COALESCE(new_users, 0) AS new_users,
+       CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY daily.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM daily LEFT JOIN nu ON daily.d = nu.d
+"""
+
+
+def events_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch conversion attribution — for every purchase, credit
+    the user's most recent PRIOR non-purchase event (else 'direct'),
+    then roll up conversions and revenue per attributed channel. One
+    IGNORE-NULLS last_value window over (user, time) does the whole
+    lookback — no self-join, no per-conversion scan — followed by a
+    5-row aggregate. The window's shuffle key is user_id (the natural
+    events bucketing); ties in ts break on event_id so the attributed
+    channel is engine-deterministic."""
+    ev = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.withColumn(
+        "prev_channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        tagged.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("prev_channel", F.lit("direct")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.round(F.sum("value") + 1e-9, 2).alias("revenue"),
+        )
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH tagged AS (
+  SELECT event_type, value,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_channel
+  FROM events)
+SELECT COALESCE(prev_channel, 'direct') AS channel,
+       COUNT(*) AS conversions,
+       ROUND(SUM(value) + 1e-9, 2) AS revenue
+FROM tagged
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+def agg_hll_intersection(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch set-INTERSECTION via inclusion–exclusion — the audience
+    -overlap primitive (users who did both A and B) computed from
+    mergeable sketches: |A∩B| ≈ est(A) + est(B) − est(A∪B), where all
+    three estimates come from the same per-type HLL sketches that a
+    100 TB deployment would persist once and combine forever — the
+    union estimate reuses the stored sketches via hll_union, no
+    fact-table rescan per pair. Surface (agg_hll_vs_exact style):
+    per unordered type pair, the EXACT intersection count plus a
+    boolean the oracle pins TRUE — the sketch estimate lands within
+    10% of exact plus one absolute count (inclusion–exclusion
+    compounds three per-sketch errors, hence the looser bound; the +1
+    keeps a zero-intersection pair satisfiable; at current scales the
+    sketches are sparse-mode near-exact, so the pin has huge slack).
+    The EXACT side is a (type, user) distinct self-join — shuffle key
+    user_id, never a per-type user set collected into one row — so
+    both sides of the comparison scale. The estimate itself stays out
+    of the surface — engine-specific (agg_sketch_hll's rows-only
+    row carries the raw estimates)."""
+    ev = table(spark, sf, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    pairs = (
+        sk.select(
+            F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+        )
+        .join(
+            sk.select(
+                F.col("event_type").alias("type_b"),
+                F.col("sk").alias("sk_b"),
+            ),
+            F.col("type_a") < F.col("type_b"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            (
+                F.hll_sketch_estimate("sk_a")
+                + F.hll_sketch_estimate("sk_b")
+                - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+            ).alias("_est"),
+        )
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    exact = (
+        du.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        pairs.join(exact, ["type_a", "type_b"], "left")
+        .withColumn(
+            "exact_intersection",
+            F.coalesce("exact_intersection", F.lit(0)).cast("long"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "exact_intersection",
+            (
+                F.abs(F.col("_est") - F.col("exact_intersection"))
+                <= 0.10 * F.col("exact_intersection") + 1.0
+            ).alias("within_10pct"),
+        )
+    )
+
+
+_HLL_INTERSECTION_SQL = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS exact_intersection,
+       TRUE AS within_10pct
+FROM du a JOIN du b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec("events_tumbling", events_tumbling, _TUMBLING_SQL),
     "events_sliding": QuerySpec("events_sliding", events_sliding, _SLIDING_SQL),
@@ -1619,5 +1856,22 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "window_percent_rank": QuerySpec(
         "window_percent_rank", window_percent_rank, _PERCENT_RANK_SQL
+    ),
+    # round-8 additions (fronted in registry._ROUND8_FRONT on arrival)
+    "events_streaks": QuerySpec(
+        "events_streaks", events_streaks, _STREAKS_SQL
+    ),
+    "events_cumulative_uniques": QuerySpec(
+        "events_cumulative_uniques",
+        events_cumulative_uniques,
+        _CUMULATIVE_UNIQUES_SQL,
+    ),
+    "events_attribution_last_touch": QuerySpec(
+        "events_attribution_last_touch",
+        events_attribution_last_touch,
+        _ATTRIBUTION_SQL,
+    ),
+    "agg_hll_intersection": QuerySpec(
+        "agg_hll_intersection", agg_hll_intersection, _HLL_INTERSECTION_SQL
     ),
 }

@@ -456,6 +456,91 @@ GROUP BY label
 """
 
 
+_KMEANS_K = 8
+
+
+def emb_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One exact Lloyd iteration of k-means over the embedding corpus
+    — the iterative-ML building block, as a deterministic
+    hash-checkable operator (a full kmeans differs only by looping
+    this step; emb_nearest_centroid covers the assignment half with
+    label-mean centroids, this covers assign + UPDATE from a fixed
+    init): centroids init to the k = 8 lowest-vec_id vectors (cluster
+    id = that seed's vec_id), every vector assigns to its nearest
+    centroid by squared L2 — distances ROUNDED before the argmin
+    (cid tiebreak) so float noise can't flip a winner between engines
+    — and the new centroid is the member mean, surfaced per (cluster,
+    dim) with the member count. All in the dim-stream form (posexplode
+    → join on d → hash agg): the assignment join fans each of n·dim
+    rows out k ways and reduces immediately — linear shuffles, no
+    vector×centroid array crossing, the same shape that survives 10^9
+    vectors (see emb_nearest_centroid). The init lookup is a k-row
+    broadcast."""
+    emb = _emb(spark, sf)
+    ex = emb.select("vec_id", F.posexplode("v").alias("d0", "x")).select(
+        "vec_id", (F.col("d0") + 1).alias("d"), "x"
+    )
+    seed_ids = emb.select("vec_id").orderBy("vec_id").limit(_KMEANS_K)
+    cent0 = ex.join(F.broadcast(seed_ids), "vec_id").select(
+        F.col("vec_id").alias("cid"), "d", F.col("x").alias("c")
+    )
+    d2 = (
+        ex.join(cent0, "d")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+                + 1e-9,
+                6,
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    assign = (
+        d2.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", F.col("cid").alias("cluster_id"))
+    )
+    return (
+        ex.join(assign, "vec_id")
+        .groupBy("cluster_id", "d")
+        .agg(
+            F.round(F.avg("x") + 1e-9, 6).alias("c_new"),
+            F.countDistinct("vec_id").alias("n_members"),
+        )
+    )
+
+
+_KMEANS_STEP_SQL = """
+WITH ex AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}),
+cent0 AS (
+  SELECT ex.vec_id AS cid, d, x AS c
+  FROM ex JOIN seeds ON ex.vec_id = seeds.vec_id),
+d2 AS (
+  SELECT ex.vec_id, cid,
+         ROUND(SUM((x - c) * (x - c)) + 1e-9, 6) AS dist
+  FROM ex JOIN cent0 USING (d)
+  GROUP BY 1, 2),
+assign AS (
+  SELECT vec_id, cid AS cluster_id
+  FROM (SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rk
+        FROM d2)
+  WHERE rk = 1)
+SELECT cluster_id, d,
+       ROUND(AVG(x) + 1e-9, 6) AS c_new,
+       COUNT(DISTINCT ex.vec_id) AS n_members
+FROM ex JOIN assign ON ex.vec_id = assign.vec_id
+GROUP BY 1, 2
+""".format(k=_KMEANS_K)
+
+
 def _compose_emb_stratified_sql() -> str:
     from .augment import _MULT_HASH_SQL
 
@@ -478,5 +563,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "emb_nearest_centroid": QuerySpec(
         "emb_nearest_centroid", emb_nearest_centroid, _NEAREST_CENTROID_SQL
+    ),
+    # round-8 addition (fronted in registry._ROUND8_FRONT on arrival)
+    "emb_kmeans_step": QuerySpec(
+        "emb_kmeans_step", emb_kmeans_step, _KMEANS_STEP_SQL
     ),
 }

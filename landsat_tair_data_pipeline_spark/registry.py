@@ -116,9 +116,12 @@ def all_queries() -> dict[str, QuerySpec]:
 # data, stream_scd2 — the stateful streaming SCD2 upsert oracled
 # against the batch SQL), fronted immediately so this round doesn't
 # recreate the never-driver-checked backlog it exists to clear; (5)
-# 10 most-data-sensitive r5-vintage keys (testdata-reading dedup/
-# text/events/streaming). After this round no key's latest driver
-# row is older than r5, and every key has one.
+# 3 most-data-sensitive r5-vintage keys, then (6) the 7 LATE-r8
+# additions (events_streaks, events_cumulative_uniques,
+# events_attribution_last_touch, agg_hll_intersection,
+# sample_weighted, emb_kmeans_step, graph_pagerank), fronted on
+# arrival for the same reason as (4). After this round no key's
+# latest driver row is older than r5, and every key has one.
 _ROUND8_FRONT = [
     # never driver-checked late-r7 keys (14)
     "q2_min_cost_supplier",
@@ -168,13 +171,18 @@ _ROUND8_FRONT = [
     "join_asof",
     "llm_data_pipeline_v2",
     "sample_stratified",
-    "dedup_keep_best",
-    "ts_gapfill",
-    "upsert_snapshot",
-    "text_quality",
-    "stream_tumbling",
-    "stream_stream_join",
-    "sink_parquet_partitioned",
+    # late-r8 additions, fronted on arrival (the r8 lesson: a new key
+    # that misses its round's window becomes next round's backlog) —
+    # displacing 7 of the 10 planned r5-vintage backfills (those keys
+    # stay r5-vintage-green and rotate in r9; clearing them was a
+    # bonus over VERDICT item 2's floor, fronting new keys is not)
+    "events_streaks",
+    "events_cumulative_uniques",
+    "events_attribution_last_touch",
+    "agg_hll_intersection",
+    "sample_weighted",
+    "emb_kmeans_step",
+    "graph_pagerank",
 ]
 
 # Historical r7 order kept for reference (drove CORRECTNESS_r07) —
