@@ -101,6 +101,17 @@ HEADLINE = [
     "agg_quantile_vs_exact",
     "agg_hll_vs_exact",
     "emb_sample_stratified",
+    # r8 new-operator keys (append-only)
+    "events_streaks",
+    "events_cumulative_uniques",
+    "events_attribution_last_touch",
+    "agg_hll_intersection",
+    "sample_weighted",
+    "emb_kmeans_step",
+    "graph_pagerank",
+    "sim_ivf_recall",
+    "ts_interval_union",
+    "text_zipf_slope",
 ]
 
 # Round each key FIRST appeared in HEADLINE. The total grows whenever
@@ -170,6 +181,16 @@ FIRST_BENCHED = {
             "agg_quantile_vs_exact",
             "agg_hll_vs_exact",
             "emb_sample_stratified",
+            "events_streaks",
+            "events_cumulative_uniques",
+            "events_attribution_last_touch",
+            "agg_hll_intersection",
+            "sample_weighted",
+            "emb_kmeans_step",
+            "graph_pagerank",
+            "sim_ivf_recall",
+            "ts_interval_union",
+            "text_zipf_slope",
         )
     },
 }

@@ -1681,6 +1681,90 @@ GROUP BY 1
 """
 
 
+_INTERVAL_MIN = 30  # each event opens a 30-minute activity interval
+
+
+def ts_interval_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval union (merge overlapping intervals, measure coverage)
+    — the time-coverage primitive behind billing, uptime, and
+    watch-time analytics: each event opens a 30-minute activity
+    interval; per user, overlapping intervals merge and the surface
+    is merged-interval count, total covered seconds, and the longest
+    merged span. The classic one-pass shape: an interval starts a new
+    island iff its start exceeds the running max of all PRIOR ends
+    (one cummax window), islands number via a running sum of those
+    flags (second window, same partitioning — ONE shuffle on user_id
+    total, Spark reuses the sort), then a per-island aggregate. All
+    arithmetic is exact integer microseconds until the final /1e6;
+    ties on ts break on event_id in both engines."""
+    ev = table(spark, sf, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_INTERVAL_MIN * 60 * 1000000)).alias(
+            "e"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(
+            F.sum(F.col("me") - F.col("ms")) / F.lit(1000000.0) + 1e-9, 3
+        ).alias("covered_sec"),
+        F.round(
+            F.max(F.col("me") - F.col("ms")) / F.lit(1000000.0) + 1e-9, 3
+        ).alias("longest_sec"),
+    )
+
+
+_INTERVAL_UNION_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + {span} AS e
+  FROM events),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island,
+         event_id
+  FROM iv),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged),
+merged AS (
+  SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+  FROM islands GROUP BY 1, 2)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       ROUND(SUM(me - ms) / 1000000.0 + 1e-9, 3) AS covered_sec,
+       ROUND(MAX(me - ms) / 1000000.0 + 1e-9, 3) AS longest_sec
+FROM merged
+GROUP BY user_id
+""".format(span=_INTERVAL_MIN * 60 * 1000000)
+
+
 def agg_hll_intersection(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch set-INTERSECTION via inclusion–exclusion — the audience
     -overlap primitive (users who did both A and B) computed from
@@ -1873,5 +1957,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "agg_hll_intersection": QuerySpec(
         "agg_hll_intersection", agg_hll_intersection, _HLL_INTERSECTION_SQL
+    ),
+    "ts_interval_union": QuerySpec(
+        "ts_interval_union", ts_interval_union, _INTERVAL_UNION_SQL
     ),
 }

@@ -456,6 +456,55 @@ GROUP BY label
 """
 
 
+def sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-ANN recall floor asserted against LIVE data, hash-checked —
+    the dedup_near_recall pattern applied to the one remaining
+    rows-only approximate operator: sim_ivf_topk's per-query top-5
+    (KMeans cells, nprobe = 2 of 16 — engine-specific, hence its own
+    rows-only row) must recover ≥ 20% of the EXACT cosine top-5
+    (ext_sim_search's brute-force scan, the ANN oracle). Surface:
+    the exact-pair count (SQL-expressible) plus the recall-floor
+    boolean the oracle pins TRUE. Random synthetic embeddings are the
+    IVF worst case — real clustered corpora sit far above the floor
+    (tests/test_ml_paths.py has carried this exact bound across every
+    testdata regeneration since r1); if a Spark/KMeans upgrade or a
+    regeneration ever collapses recall, the driver hash goes red
+    instead of a unit test aging. The recall VALUE stays out of the
+    surface — cell assignments are engine-specific."""
+    exact = (
+        ext_sim_search(spark, sf)
+        .where(F.col("rank") <= 5)
+        .select("query_id", "cand_id")
+    )
+    ivf = sim_ivf_topk(spark, sf).select("query_id", "cand_id")
+    hit = exact.join(ivf, ["query_id", "cand_id"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("_n_hit"))
+    return n_exact.crossJoin(F.broadcast(n_hit)).select(
+        "n_exact_pairs",
+        (F.col("_n_hit") >= 0.2 * F.col("n_exact_pairs")).alias(
+            "recall_floor_met"
+        ),
+    )
+
+
+_IVF_RECALL_SQL = """
+WITH e AS ({emb}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {cos} AS cosine
+  FROM e q JOIN e c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 5),
+topk AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand_id) AS rank
+    FROM scored) t
+  WHERE rank <= 5)
+SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_floor_met FROM topk
+""".format(emb=_EMB_SQL, cos=_COS_SQL.format(a="q", b="c"))
+
+
 _KMEANS_K = 8
 
 
@@ -564,8 +613,11 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_nearest_centroid": QuerySpec(
         "emb_nearest_centroid", emb_nearest_centroid, _NEAREST_CENTROID_SQL
     ),
-    # round-8 addition (fronted in registry._ROUND8_FRONT on arrival)
+    # round-8 additions (fronted in registry._ROUND8_FRONT on arrival)
     "emb_kmeans_step": QuerySpec(
         "emb_kmeans_step", emb_kmeans_step, _KMEANS_STEP_SQL
+    ),
+    "sim_ivf_recall": QuerySpec(
+        "sim_ivf_recall", sim_ivf_recall, _IVF_RECALL_SQL
     ),
 }

@@ -710,6 +710,61 @@ FROM c
 """.format(toks=_TOKS_SQL, W=_CHUNK_W, S=_CHUNK_S)
 
 
+_ZIPF_TOP = 1000
+
+
+def text_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary — the corpus-health
+    diagnostic (natural text sits near slope −1 on log-log
+    rank/frequency; synthetic or template-heavy corpora bend away):
+    OLS slope and R² of ln(freq) ~ ln(rank) over the TOP-1000 tokens.
+    Bounding to top-k is both the statistical convention (the Zipf
+    tail is noise-dominated) and the scale move: the global rank is a
+    TakeOrdered top-k over the term counts — per-partition heaps, no
+    global sort of a 10^9-term vocabulary — and the regression
+    aggregates 1000 rows. Frequency ties rank by token text in both
+    engines; slope/R² round at 4dp (regr_* are sums-of-products —
+    accumulation noise lives ~1e-12 relative)."""
+    docs = table(spark, sf, "documents").select(TOKENS().alias("toks"))
+    freq = (
+        docs.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(_ZIPF_TOP)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    pts = freq.select(
+        F.log(F.col("n").cast("double")).alias("lf"),
+        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.expr("regr_slope(lf, lr)") + 1e-9, 4).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(lf, lr)") + 1e-9, 4).alias("r2"),
+    )
+
+
+_ZIPF_SQL = """
+WITH t AS (SELECT {toks} AS toks FROM documents),
+freq AS (
+  SELECT tok, COUNT(*) AS n
+  FROM (SELECT unnest(toks) AS tok FROM t)
+  GROUP BY tok
+  ORDER BY n DESC, tok ASC
+  LIMIT {k}),
+pts AS (
+  SELECT LN(CAST(n AS DOUBLE)) AS lf,
+         LN(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS DOUBLE))
+           AS lr
+  FROM freq)
+SELECT COUNT(*) AS n_terms,
+       ROUND(regr_slope(lf, lr) + 1e-9, 4) AS zipf_slope,
+       ROUND(regr_r2(lf, lr) + 1e-9, 4) AS r2
+FROM pts
+""".format(toks=_TOKS_SQL, k=_ZIPF_TOP)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(
         "text_token_count", text_token_count, _TOKEN_COUNT_SQL
@@ -735,5 +790,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_pii_scrub": QuerySpec("text_pii_scrub", text_pii_scrub, _PII_SQL),
     "text_chunk_stride": QuerySpec(
         "text_chunk_stride", text_chunk_stride, _CHUNK_SQL
+    ),
+    # round-8 addition (fronted in registry._ROUND8_FRONT on arrival)
+    "text_zipf_slope": QuerySpec(
+        "text_zipf_slope", text_zipf_slope, _ZIPF_SQL
     ),
 }

@@ -116,11 +116,14 @@ def all_queries() -> dict[str, QuerySpec]:
 # data, stream_scd2 — the stateful streaming SCD2 upsert oracled
 # against the batch SQL), fronted immediately so this round doesn't
 # recreate the never-driver-checked backlog it exists to clear; (5)
-# 3 most-data-sensitive r5-vintage keys, then (6) the 7 LATE-r8
-# additions (events_streaks, events_cumulative_uniques,
-# events_attribution_last_touch, agg_hll_intersection,
-# sample_weighted, emb_kmeans_step, graph_pagerank), fronted on
-# arrival for the same reason as (4). After this round no key's
+# the 10 LATE-r8 additions (events_streaks,
+# events_cumulative_uniques, events_attribution_last_touch,
+# agg_hll_intersection, sample_weighted, emb_kmeans_step,
+# graph_pagerank, sim_ivf_recall, ts_interval_union,
+# text_zipf_slope), fronted on arrival for the same reason as (4) —
+# they fill the 10 slots originally earmarked for r5-vintage
+# backfills (those keys keep their r5-green driver rows, within the
+# VERDICT item-2 floor, and rotate in r9). After this round no key's
 # latest driver row is older than r5, and every key has one.
 _ROUND8_FRONT = [
     # never driver-checked late-r7 keys (14)
@@ -167,13 +170,9 @@ _ROUND8_FRONT = [
     # new in r8, fronted on arrival (2)
     "dedup_near_recall",
     "stream_scd2",
-    # r5-vintage, testdata-reading (10)
-    "join_asof",
-    "llm_data_pipeline_v2",
-    "sample_stratified",
     # late-r8 additions, fronted on arrival (the r8 lesson: a new key
     # that misses its round's window becomes next round's backlog) —
-    # displacing 7 of the 10 planned r5-vintage backfills (those keys
+    # displacing the 10 planned r5-vintage backfills (those keys
     # stay r5-vintage-green and rotate in r9; clearing them was a
     # bonus over VERDICT item 2's floor, fronting new keys is not)
     "events_streaks",
@@ -183,6 +182,9 @@ _ROUND8_FRONT = [
     "sample_weighted",
     "emb_kmeans_step",
     "graph_pagerank",
+    "sim_ivf_recall",
+    "ts_interval_union",
+    "text_zipf_slope",
 ]
 
 # Historical r7 order kept for reference (drove CORRECTNESS_r07) —
