@@ -457,3 +457,42 @@ def test_bucketed_join_is_shuffle_free(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sample_weighted_is_take_ordered(spark):
+    """The ES weighted sample must execute as TakeOrderedAndProject —
+    per-partition bounded heaps, NO shuffle — not a global sort. A
+    global Sort+Limit here would be the plan that dies first at
+    100 TB (sorting the whole corpus to keep 100 rows)."""
+    plan = _plan(spark, "sample_weighted")
+    assert "TakeOrderedAndProject" in plan, plan[:600]
+    assert "Sort " not in plan, plan[:600]
+
+
+def test_zipf_topk_is_take_ordered(spark):
+    """text_zipf_slope's global term rank must be a TakeOrdered top-k
+    over the counts, never a full vocabulary sort; the regression
+    then aggregates only the k retained rows."""
+    plan = _plan(spark, "text_zipf_slope")
+    assert "TakeOrderedAndProject" in plan, plan[:600]
+
+
+def test_pagerank_reuses_cached_edges(spark):
+    """graph_pagerank's edge list (with degree) must come from the
+    tracked persist: three power iterations re-scan it, and without
+    the InMemoryRelation every iteration would re-run the whole
+    shared-ngram pair finder (explode + self-join) from parquet."""
+    plan = _plan(spark, "graph_pagerank")
+    assert "InMemoryTableScan" in plan, plan[:600]
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_union_single_user_shuffle(spark):
+    """ts_interval_union's cummax flag window and the island running
+    sum share the (user_id) partitioning and (s, event_id) sort — the
+    plan must carry ONE real exchange for them plus the final
+    per-user aggregate reusing it; a second sort-exchange pair would
+    mean the two windows stopped composing."""
+    plan = _plan(spark, "ts_interval_union")
+    assert _shuffles(plan) <= 2, plan[:900]
+    assert plan.count("Sort ") <= 1, plan[:900]
