@@ -551,38 +551,42 @@ def sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
     TakeOrderedAndProject — per-partition bounded heaps merged at the
     driver, k rows each — NOT a global sort; the one shape that takes
     a corpus-wide weighted draw to 100 TB without a shuffle at all.
-    The selection orders by the UNROUNDED cost (doc_id tiebreak);
-    the surfaced cost is rounded for the cross-engine hash."""
+    Selection orders by the ROUNDED cost with doc_id tiebreak — the
+    same rounded value that is surfaced — so the selected set is
+    engine-deterministic even at the k-th boundary."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     u = (_mult_hash_key() + F.lit(0.5)) / F.lit(4294967296.0)
     cost = -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
     return (
         docs.select(
-            "doc_id", "source", "n_chars", cost.alias("_cost")
-        )
-        .orderBy(F.col("_cost").asc(), F.col("doc_id").asc())
-        .limit(_WEIGHTED_K)
-        .select(
             "doc_id",
             "source",
             "n_chars",
-            F.round(F.col("_cost") + 1e-12, 8).alias("es_cost"),
+            # round BEFORE ranking (house convention — see
+            # emb_nearest_centroid): Math.log and libm log are each
+            # only ulp-accurate, so ordering by the raw float could
+            # flip the k/k+1 boundary between engines on an unlucky
+            # draw; the rounded cost + doc_id tiebreak is
+            # engine-deterministic (r8 review finding)
+            F.round(cost + 1e-12, 8).alias("es_cost"),
         )
+        .orderBy(F.col("es_cost").asc(), F.col("doc_id").asc())
+        .limit(_WEIGHTED_K)
     )
 
 
 _WEIGHTED_SQL = """
 WITH keyed AS (
   SELECT doc_id, source, n_chars,
-         -LN(({hash} + 0.5) / 4294967296.0)
-           / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS _cost
+         ROUND(-LN(({hash} + 0.5) / 4294967296.0)
+               / CAST(GREATEST(n_chars, 1) AS DOUBLE) + 1e-12, 8)
+           AS es_cost
   FROM (SELECT doc_id, source, n_chars,
                ((doc_id % 4294967296) + 4294967296) % 4294967296 AS a
         FROM documents))
-SELECT doc_id, source, n_chars,
-       ROUND(_cost + 1e-12, 8) AS es_cost
+SELECT doc_id, source, n_chars, es_cost
 FROM keyed
-ORDER BY _cost ASC, doc_id ASC
+ORDER BY es_cost ASC, doc_id ASC
 LIMIT {k}
 """.format(hash=_MULT_HASH_SQL, k=_WEIGHTED_K)
 

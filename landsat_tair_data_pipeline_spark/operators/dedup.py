@@ -348,20 +348,16 @@ def dedup_near_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# composed from _JACCARD_SQL (the oracle of the exact pair op this
+# recall bound reuses on the Spark side) — a hand-typed copy would be
+# the one missed by the next tokenization/rounding edit (r8 review;
+# same rule as the emb sampler's hash SQL). 0.7-pairs are a subset of
+# the 0.4-filtered output, so filtering its result is exact.
 _NEAR_RECALL_SQL = """
-WITH t AS (
-  SELECT doc_id, source, list_distinct({toks}) AS toks FROM documents
-),
-p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
-               + 1e-9, 4) AS jaccard
-  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-)
 SELECT COUNT(*) AS n_exact_pairs, TRUE AS full_recall
-FROM p WHERE jaccard >= 0.7
-""".format(toks=_TOKENS_SQL)
+FROM ({jaccard}) j
+WHERE j.jaccard >= 0.7
+""".format(jaccard=_JACCARD_SQL)
 
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -1413,8 +1409,9 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     on BOTH engines so accumulation-order noise cannot compound
     across iterations; the surfaced rank rounds at 1e-6.
 
-    Scale shape: the canonical pregel-on-a-DataFrame loop — the edge
-    list (with out-degree attached) is persisted ONCE and each
+    Scale shape: the canonical pregel-on-a-DataFrame loop — the
+    symmetrized edge list is persisted once (deg/N/init/final all
+    branch from it), the degree-annotated join of it again, and each
     iteration is one shuffle join (edges ⋈ ranks on src) + one hash
     aggregate on dst, both partial-aggregated map-side; rank state is
     one row per node, never collected. N arrives via a 1-row
@@ -1422,10 +1419,19 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     At 100 TB the same loop runs with ranks/edges co-partitioned on
     their join keys; iteration count bounds total cost linearly."""
     pairs = dedup_shared_ngram_pairs(spark, sf).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # persist the SYMMETRIZED edge list itself: deg, n1, the r0 init
+    # and the final rank join all branch from it, and without the cache
+    # each branch would re-run the whole shared-ngram pair finder
+    # (branches don't share subtrees; r8 review finding). ed then
+    # materializes from the cached edges, and iterations scan only ed.
+    edges = persist_tracked(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = persist_tracked(edges.join(deg, "src"))

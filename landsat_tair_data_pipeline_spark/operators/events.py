@@ -1838,14 +1838,25 @@ def agg_hll_intersection(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# pairs come from a distinct-type cross join so a ZERO-intersection
+# pair still emits a row (matching Spark's left join + coalesce 0) —
+# an inner user-level self-join alone would drop exactly the case the
+# +1 slack exists to allow (r8 self-review finding)
 _HLL_INTERSECTION_SQL = """
-WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
-SELECT a.event_type AS type_a, b.event_type AS type_b,
-       COUNT(*) AS exact_intersection,
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+hits AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT t1.event_type AS type_a, t2.event_type AS type_b,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS exact_intersection,
        TRUE AS within_10pct
-FROM du a JOIN du b
-  ON a.user_id = b.user_id AND a.event_type < b.event_type
-GROUP BY 1, 2
+FROM types t1 JOIN types t2 ON t1.event_type < t2.event_type
+LEFT JOIN hits h
+  ON h.type_a = t1.event_type AND h.type_b = t2.event_type
 """
 
 

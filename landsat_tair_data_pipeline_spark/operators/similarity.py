@@ -519,7 +519,8 @@ def emb_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
     centroid by squared L2 — distances ROUNDED before the argmin
     (cid tiebreak) so float noise can't flip a winner between engines
     — and the new centroid is the member mean, surfaced per (cluster,
-    dim) with the member count. All in the dim-stream form (posexplode
+    dim) with the member count (COUNT(*): ex holds exactly one row per
+    (vec_id, d), so distinct would only add a shuffle). All in the dim-stream form (posexplode
     → join on d → hash agg): the assignment join fans each of n·dim
     rows out k ways and reduces immediately — linear shuffles, no
     vector×centroid array crossing, the same shape that survives 10^9
@@ -555,7 +556,7 @@ def emb_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("cluster_id", "d")
         .agg(
             F.round(F.avg("x") + 1e-9, 6).alias("c_new"),
-            F.countDistinct("vec_id").alias("n_members"),
+            F.count(F.lit(1)).alias("n_members"),
         )
     )
 
@@ -584,7 +585,7 @@ assign AS (
   WHERE rk = 1)
 SELECT cluster_id, d,
        ROUND(AVG(x) + 1e-9, 6) AS c_new,
-       COUNT(DISTINCT ex.vec_id) AS n_members
+       COUNT(*) AS n_members
 FROM ex JOIN assign ON ex.vec_id = assign.vec_id
 GROUP BY 1, 2
 """.format(k=_KMEANS_K)

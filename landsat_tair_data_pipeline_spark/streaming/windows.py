@@ -332,7 +332,16 @@ def stream_scd2(spark: SparkSession, sf: str) -> DataFrame:
                 out.append(
                     (key[0], cur[1], cur[2], _ts(cur[0]), _ts(ts_ns), False)
                 )
-            cur = (ts_ns, eid, float(r.value))
+            # NULL value rows must flow through like the batch oracle
+            # (which passes attr_value NULL), not crash float(None);
+            # the fixed-width double state slot can't hold None, so
+            # NaN is the in-state encoding and maps back to null on
+            # emit below (synthetic values are never genuinely NaN)
+            cur = (
+                ts_ns,
+                eid,
+                float("nan") if pd.isna(r.value) else float(r.value),
+            )
         if cur is not None:
             state.update((cur[0], cur[1], cur[2]))
             out.append((key[0], cur[1], cur[2], _ts(cur[0]), pd.NaT, True))
@@ -352,6 +361,13 @@ def stream_scd2(spark: SparkSession, sf: str) -> DataFrame:
             pdf[c] = pd.to_datetime(pdf[c], utc=True).astype(
                 "datetime64[us, UTC]"
             )
+        # nullable Float64 so the NaN state sentinel crosses Arrow as
+        # a true NULL (a float64 column would surface it as NaN, which
+        # the batch oracle's NULL would hash-mismatch)
+        pdf["attr_value"] = pd.array(
+            [None if pd.isna(v) else v for v in pdf["attr_value"]],
+            dtype="Float64",
+        )
         yield pdf
 
     sdf = ev.groupBy("user_id").applyInPandasWithState(

@@ -128,14 +128,38 @@ def main() -> None:
     args = ap.parse_args()
     keys = [k for k in args.keys.split(",") if k]
 
-    wt = os.path.join(REPO, ".scratch", f"ab_{args.base[:12]}")
+    # key the worktree on the RESOLVED full SHA (refs with '/' or a
+    # shared 12-char prefix must not collide), and verify a reused
+    # directory actually sits at that SHA — a stale/foreign checkout
+    # silently benchmarked as "base" would attribute drift to the
+    # wrong side, the exact failure this tool exists to rule out
+    # (r8 review finding)
+    sha = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", f"{args.base}^{{commit}}"],
+        check=True,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    wt = os.path.join(REPO, ".scratch", f"ab_{sha}")
     fresh = not os.path.isdir(wt)
     if fresh:
         subprocess.run(
-            ["git", "-C", REPO, "worktree", "add", "--detach", wt, args.base],
+            ["git", "-C", REPO, "worktree", "add", "--detach", wt, sha],
             check=True,
             capture_output=True,
         )
+    else:
+        at = subprocess.run(
+            ["git", "-C", wt, "rev-parse", "HEAD"],
+            check=True,
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        if at != sha:
+            sys.exit(
+                f"existing worktree {wt} is at {at[:12]}, not {sha[:12]} — "
+                "remove it (git worktree remove) and rerun"
+            )
     try:
         # base first, HEAD second, back to back — same machine state
         base_t = _run_side(wt, keys, args.reps, args.sf_dir)

@@ -48,7 +48,16 @@ def main() -> None:
 
     specs = all_queries()
     wrapped = spark_queries()  # scope-tracked cache release per key
-    keys = args.keys.split(",") if args.keys else list(specs)
+    # validate BEFORE the (long) run: a typo'd --keys entry raising
+    # KeyError mid-sweep would abort with no artifact (r8 review)
+    keys = (
+        [k for k in (s.strip() for s in args.keys.split(",")) if k]
+        if args.keys
+        else list(specs)
+    )
+    unknown = [k for k in keys if k not in specs]
+    if unknown:
+        sys.exit(f"unknown keys (not in registry): {unknown}")
 
     spark = get_spark("landsat-tair-sf-sweep")
     spark.sparkContext.setLogLevel("ERROR")
