@@ -496,3 +496,15 @@ def test_interval_union_single_user_shuffle(spark):
     plan = _plan(spark, "ts_interval_union")
     assert _shuffles(plan) <= 2, plan[:900]
     assert plan.count("Sort ") <= 1, plan[:900]
+
+
+def test_lsh_candidate_join_is_parallel(spark):
+    """ext_dedup_near's candidate evaluation must NOT run at raw
+    single-file read parallelism: approxSimilarityJoin broadcasts its
+    build side, so without the explicit repartition the whole
+    per-pair keyDistance filter executes on ONE task (observed live
+    at sf0.1: one core grinding ~30 min of set intersections while 31
+    idled). The round-robin exchange from the input repartition is
+    the thing that spreads it — pin its presence."""
+    plan = _plan(spark, "ext_dedup_near")
+    assert "RoundRobinPartitioning" in plan, plan[:900]
