@@ -45,8 +45,16 @@ def ext_sim_search(spark: SparkSession, sf: str) -> DataFrame:
     """Exact cosine top-10 for query vectors vec_id < 5. The query side
     is broadcast; each candidate partition computes its local scores →
     per-query top-k via window. One pass over the candidate set."""
+    return _exact_topk(spark, sf, n_queries=5, k=10)
+
+
+def _exact_topk(
+    spark: SparkSession, sf: str, n_queries: int, k: int
+) -> DataFrame:
+    """Shared brute-force scan: exact cosine top-k per query
+    (vec_id < n_queries), query side broadcast."""
     emb = _emb(spark, sf)
-    q = emb.where(F.col("vec_id") < 5).select(
+    q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     c = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
@@ -62,7 +70,7 @@ def ext_sim_search(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 10)
+        .where(F.col("rank") <= k)
     )
 
 
@@ -226,7 +234,16 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     cosine re-rank inside the probed cells. The classic
     inverted-file trade: recall vs the fraction of cells scanned.
     Rows-only (k-means cells are engine-specific); recall vs the exact
-    top-k is asserted in tests/test_ml_paths.py."""
+    top-k is asserted in tests/test_ml_paths.py and hash-pinned
+    against live data by sim_ivf_recall (same code path via
+    _ivf_topk, wider query set for statistical margin)."""
+    return _ivf_topk(spark, sf, n_queries=5)
+
+
+def _ivf_topk(spark: SparkSession, sf: str, n_queries: int) -> DataFrame:
+    """Shared IVF pipeline: per query (vec_id < n_queries), the top-5
+    by exact cosine among candidates in the query's nprobe=2 nearest
+    KMeans cells."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -238,7 +255,7 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     # queries probe their 2 nearest centroids (nprobe=2)
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     centers_df = spark.createDataFrame(centers, "cell int, center array<double>")
-    q = assigned.where(F.col("vec_id") < 5).select(
+    q = assigned.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     qd = q.crossJoin(F.broadcast(centers_df)).select(
@@ -456,33 +473,38 @@ GROUP BY label
 """
 
 
+_RECALL_QUERIES = 50  # 250 exact pairs: binomial margin, see docstring
+
+
 def sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-ANN recall floor asserted against LIVE data, hash-checked —
     the dedup_near_recall pattern applied to the one remaining
-    rows-only approximate operator: sim_ivf_topk's per-query top-5
-    (KMeans cells, nprobe = 2 of 16 — engine-specific, hence its own
-    rows-only row) must recover ≥ 20% of the EXACT cosine top-5
-    (ext_sim_search's brute-force scan, the ANN oracle). Surface:
-    the exact-pair count (SQL-expressible) plus the recall-floor
-    boolean the oracle pins TRUE. Random synthetic embeddings are the
-    IVF worst case — real clustered corpora sit far above the floor
-    (tests/test_ml_paths.py has carried this exact bound across every
-    testdata regeneration since r1); if a Spark/KMeans upgrade or a
-    regeneration ever collapses recall, the driver hash goes red
-    instead of a unit test aging. The recall VALUE stays out of the
-    surface — cell assignments are engine-specific."""
+    rows-only approximate operator: the IVF path (sim_ivf_topk's exact
+    code via _ivf_topk — KMeans cells, nprobe = 2 of 16) must recover
+    ≥ 10% of the EXACT cosine top-5 over a 50-query probe set. The
+    floor is measured over 250 exact pairs, NOT sim_ivf_topk's 25:
+    at 25 pairs the observed recall sat EXACTLY on a 0.2 floor at
+    sf0.01 (5/25 — zero margin; one regeneration flips the driver
+    red), while at 250 pairs with observed recall 0.2-0.32 a dip
+    below 0.1 is a ≥4σ binomial event (~1e-5) — and 0.1 is still 10×
+    the random-pick baseline (5/N per query), so the pin stays
+    meaningful. Surface: the exact-pair count (SQL-expressible) plus
+    the recall-floor boolean the oracle pins TRUE. The recall VALUE
+    stays out of the surface — cell assignments are engine-specific
+    (sim_ivf_topk keeps the rows-only row)."""
     exact = (
-        ext_sim_search(spark, sf)
-        .where(F.col("rank") <= 5)
+        _exact_topk(spark, sf, n_queries=_RECALL_QUERIES, k=5)
         .select("query_id", "cand_id")
     )
-    ivf = sim_ivf_topk(spark, sf).select("query_id", "cand_id")
+    ivf = _ivf_topk(spark, sf, n_queries=_RECALL_QUERIES).select(
+        "query_id", "cand_id"
+    )
     hit = exact.join(ivf, ["query_id", "cand_id"], "left_semi")
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
     n_hit = hit.agg(F.count(F.lit(1)).alias("_n_hit"))
     return n_exact.crossJoin(F.broadcast(n_hit)).select(
         "n_exact_pairs",
-        (F.col("_n_hit") >= 0.2 * F.col("n_exact_pairs")).alias(
+        (F.col("_n_hit") >= 0.1 * F.col("n_exact_pairs")).alias(
             "recall_floor_met"
         ),
     )
@@ -493,7 +515,7 @@ WITH e AS ({emb}),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {cos} AS cosine
   FROM e q JOIN e c ON c.vec_id != q.vec_id
-  WHERE q.vec_id < 5),
+  WHERE q.vec_id < {nq}),
 topk AS (
   SELECT query_id, cand_id FROM (
     SELECT query_id, cand_id,
@@ -502,7 +524,7 @@ topk AS (
     FROM scored) t
   WHERE rank <= 5)
 SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_floor_met FROM topk
-""".format(emb=_EMB_SQL, cos=_COS_SQL.format(a="q", b="c"))
+""".format(emb=_EMB_SQL, cos=_COS_SQL.format(a="q", b="c"), nq=_RECALL_QUERIES)
 
 
 _KMEANS_K = 8
