@@ -485,14 +485,20 @@ def sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     floor is measured over 250 exact pairs, NOT sim_ivf_topk's 25:
     at 25 pairs the observed recall sat EXACTLY on a 0.2 floor at
     sf0.01 (5/25 — zero margin; one regeneration flips the driver
-    red), while at 250 pairs with observed recall 0.2-0.32 a dip
-    below 0.1 is a ≥4σ binomial event (~1e-5) — and 0.1 is still 10×
+    red), while at 250 pairs the measured recall is 0.33-0.35 at all
+    three SFs, so a dip below 0.1 is a ~1e-13 binomial event — and
+    0.1 is still 10×
     the random-pick baseline (5/N per query), so the pin stays
     meaningful. Surface: the exact-pair count (SQL-expressible) plus
     the recall-floor boolean the oracle pins TRUE. The recall VALUE
     stays out of the surface — cell assignments are engine-specific
     (sim_ivf_topk keeps the rows-only row)."""
-    exact = (
+    from ..util import persist_tracked
+
+    # persist: `exact` feeds BOTH the semi-join and its own count —
+    # without it the 50-query brute-force scan + window rank can run
+    # twice (same trap dedup_near_recall pins with the same helper)
+    exact = persist_tracked(
         _exact_topk(spark, sf, n_queries=_RECALL_QUERIES, k=5)
         .select("query_id", "cand_id")
     )

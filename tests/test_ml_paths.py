@@ -45,9 +45,17 @@ def test_hashed_tfidf_pipeline(spark, sf_dir):
 def test_ivf_topk_recall(spark, sf_dir):
     """IVF@nprobe=2 must recover a solid share of the exact top-5 per
     query (random embeddings are the hard case for IVF — real clustered
-    corpora do far better; the assertion is a floor, not a target)."""
+    corpora do far better; the assertion is a floor, not a target).
+
+    Measured over the WIDE 50-query probe set (250 pairs), floor 0.1 —
+    the same statistics as the sim_ivf_recall driver pin: the original
+    5-query/25-pair form sat at exactly its 0.2 floor at sf0.01, one
+    testdata regeneration away from a spurious red (r8 margin audit).
+    sim_ivf_topk's own public 5-query surface is covered by the
+    per-query shape assertion below."""
     from landsat_tair_data_pipeline_spark.operators.similarity import (
-        ext_sim_search,
+        _exact_topk,
+        _ivf_topk,
         sim_ivf_topk,
     )
     from landsat_tair_data_pipeline_spark.session import tune
@@ -55,19 +63,22 @@ def test_ivf_topk_recall(spark, sf_dir):
     tune(spark)
     exact = {
         (r["query_id"], r["cand_id"])
-        for r in ext_sim_search(spark, sf_dir).collect()
-        if r["rank"] <= 5
+        for r in _exact_topk(spark, sf_dir, n_queries=50, k=5).collect()
     }
     ivf = {
-        (r["query_id"], r["cand_id"]) for r in sim_ivf_topk(spark, sf_dir).collect()
+        (r["query_id"], r["cand_id"])
+        for r in _ivf_topk(spark, sf_dir, n_queries=50).collect()
     }
     recall = len(exact & ivf) / len(exact)
-    assert recall >= 0.2, f"IVF recall collapsed: {recall:.2f}"
-    # and the IVF result must be internally consistent: 5 per query
+    assert recall >= 0.1, f"IVF recall collapsed: {recall:.2f}"
+    # and the public IVF surface must be internally consistent:
+    # exactly 5 rows per query
     from collections import Counter
 
-    per_q = Counter(q for q, _ in ivf)
-    assert all(n == 5 for n in per_q.values())
+    per_q = Counter(
+        r["query_id"] for r in sim_ivf_topk(spark, sf_dir).collect()
+    )
+    assert per_q and all(n == 5 for n in per_q.values())
 
 
 def test_minhash_lsh_candidates_superset_of_exact(spark, sf_dir):
