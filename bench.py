@@ -112,6 +112,7 @@ HEADLINE = [
     "sim_ivf_recall",
     "ts_interval_union",
     "text_zipf_slope",
+    "emb_pca_power",
 ]
 
 # Round each key FIRST appeared in HEADLINE. The total grows whenever
@@ -191,6 +192,7 @@ FIRST_BENCHED = {
             "sim_ivf_recall",
             "ts_interval_union",
             "text_zipf_slope",
+            "emb_pca_power",
         )
     },
 }

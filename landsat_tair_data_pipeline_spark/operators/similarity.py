@@ -533,6 +533,87 @@ SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_floor_met FROM topk
 """.format(emb=_EMB_SQL, cos=_COS_SQL.format(a="q", b="c"), nq=_RECALL_QUERIES)
 
 
+_PCA_ITERS = 3
+
+
+def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
+    """Top principal component of the embedding corpus via POWER
+    ITERATION — the third iterative-ML primitive (kmeans assignment =
+    emb_nearest_centroid, one Lloyd step = emb_kmeans_step, PageRank =
+    graph_pagerank; this adds the spectral one), in the only shape
+    that survives 10^9×d: the covariance matrix is NEVER materialized
+    — each iteration computes w = Xᵀ(X v) as two dim-stream joins
+    (u = Xv: join on d, hash-agg per vec; w = Xᵀu: join on vec_id,
+    hash-agg per d), then normalizes by a 1-row norm crossJoin. Three
+    unrolled iterations from the deterministic 1/√d init, mirrored as
+    SQL CTEs for the oracle. X is mean-centered per dim first (that
+    makes it PCA, not just a dominant singular vector of raw X).
+    Intermediates round at 8dp and the normalized vector at 10dp on
+    BOTH engines so accumulation-order noise cannot compound across
+    iterations; the surfaced loading rounds at 6dp. Power iteration's
+    sign is pinned by the all-positive init (λ > 0), so no
+    sign-ambiguity handling is needed."""
+    emb = _emb(spark, sf)
+    ex0 = emb.select("vec_id", F.posexplode("v").alias("d0", "x")).select(
+        "vec_id", (F.col("d0") + 1).alias("d"), "x"
+    )
+    mu = ex0.groupBy("d").agg(F.avg("x").alias("mu"))
+    ex = ex0.join(mu, "d").select(
+        "vec_id", "d", (F.col("x") - F.col("mu")).alias("x")
+    )
+    from ..util import persist_tracked
+
+    # ex feeds two joins per iteration × 3 iterations — cache it
+    ex = persist_tracked(ex)
+    dims = mu.select("d")
+    n_dims = dims.count()  # tiny: the embedding width (64)
+    v = dims.select(
+        "d", F.lit(1.0 / (n_dims ** 0.5)).alias("vv")
+    )
+    for _ in range(_PCA_ITERS):
+        u = (
+            ex.join(v, "d")
+            .groupBy("vec_id")
+            .agg(F.round(F.sum(F.col("x") * F.col("vv")) + 1e-9, 8).alias("u"))
+        )
+        w = (
+            ex.join(u, "vec_id")
+            .groupBy("d")
+            .agg(F.round(F.sum(F.col("x") * F.col("u")) + 1e-9, 8).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "d", F.round(F.col("w") / F.col("nrm") + 1e-10, 10).alias("vv")
+        )
+    return v.select("d", F.round(F.col("vv") + 1e-9, 6).alias("loading"))
+
+
+def _pca_sql() -> str:
+    it = """
+u{i} AS (
+  SELECT vec_id, ROUND(SUM(x * vv) + 1e-9, 8) AS u
+  FROM ex JOIN v{p} USING (d) GROUP BY vec_id),
+w{i} AS (
+  SELECT d, ROUND(SUM(x * u) + 1e-9, 8) AS w
+  FROM ex JOIN u{i} USING (vec_id) GROUP BY d),
+v{i} AS (
+  SELECT d, ROUND(w / (SELECT sqrt(SUM(w * w)) FROM w{i}) + 1e-10, 10)
+           AS vv
+  FROM w{i})"""
+    iters = ",".join(it.format(i=i + 1, p=i) for i in range(_PCA_ITERS))
+    return """
+WITH e AS ({emb}),
+ex0 AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM e),
+mu AS (SELECT d, AVG(x) AS mu FROM ex0 GROUP BY d),
+ex AS (SELECT vec_id, ex0.d, x - mu AS x FROM ex0 JOIN mu USING (d)),
+v0 AS (
+  SELECT d, 1.0 / sqrt((SELECT COUNT(*) FROM mu)) AS vv FROM mu),
+{iters}
+SELECT d, ROUND(vv + 1e-9, 6) AS loading FROM v{last}
+""".format(emb=_EMB_SQL, iters=iters, last=_PCA_ITERS)
+
+
 _KMEANS_K = 8
 
 
@@ -648,5 +729,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sim_ivf_recall": QuerySpec(
         "sim_ivf_recall", sim_ivf_recall, _IVF_RECALL_SQL
+    ),
+    # post-front r8 addition: the r8 window is full (50), so this key's
+    # first driver row lands in r9 — NOTES "ROUND 9 FRONT" lists it
+    # first (hash-green locally at sf0.001/0.01/0.1 meanwhile)
+    "emb_pca_power": QuerySpec(
+        "emb_pca_power", emb_pca_power, _pca_sql()
     ),
 }
