@@ -42,13 +42,27 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch footer read (file streams require an explicit schema); the
     ts normalization (NTZ → TIMESTAMP, or nanos-long → TIMESTAMP)
     mirrors sources.tables.table so watermarks always see TIMESTAMP."""
-    ensure_nanos_readable(spark, f"{sf_dir}/events.parquet")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    ensure_nanos_readable(spark, path)
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # directory-of-parts layout (any Spark-written table): stream
+        # the directory itself. The glob-filter branch below would
+        # match ZERO files here — pathGlobFilter tests LEAF file names
+        # (part-*.parquet), not the table dir name (found live: every
+        # streaming key silently read 0 rows from a replicated probe
+        # dir while the batch twins read the same table fine).
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single-file layout (the driver testdata): file streams want
+        # a directory, so stream sf_dir filtered to this one leaf file
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return _normalize_event_ts(raw)
 
 
