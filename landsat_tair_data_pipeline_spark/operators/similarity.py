@@ -565,9 +565,12 @@ def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
 
     # ex feeds two joins per iteration × 3 iterations — cache it
     ex = persist_tracked(ex)
-    dims = mu.select("d")
-    n_dims = dims.count()  # tiny: the embedding width (64)
-    v = dims.select(
+    # embedding width from ONE row — not a corpus-wide count through
+    # the posexplode lineage (r8 review: that was an extra full scan
+    # + shuffle at build time); v0 likewise derives from the CACHED
+    # ex, not the un-cached mu aggregation
+    n_dims = len(emb.select("v").first()[0])
+    v = ex.select("d").distinct().select(
         "d", F.lit(1.0 / (n_dims ** 0.5)).alias("vv")
     )
     for _ in range(_PCA_ITERS):

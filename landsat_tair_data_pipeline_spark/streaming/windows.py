@@ -303,9 +303,14 @@ def stream_scd2(spark: SparkSession, sf: str) -> DataFrame:
     a new one. Events are processed in (ts, event_id) order within
     each batch — the same tiebreak the batch lead() window uses — and
     an event older than the open interval is dropped (the watermark
-    contract; the finite availableNow file source delivers in order,
-    so nothing is ever actually late and the drained result equals
-    the batch oracle).
+    contract). Nothing is ever actually late here because the finite
+    availableNow source drains in a SINGLE micro-batch (no
+    maxFilesPerTrigger is set) — that single-batch precondition is
+    load-bearing for directory-of-parts sources, whose part files are
+    hash- not time-partitioned: splitting them across batches could
+    deliver an event older than an open interval and silently drop
+    it. Set a trigger cap here only together with an out-of-orderness
+    accounting column.
 
     Update-mode drain goes to the memory sink (no driver loop — the
     stream_stateful_user_totals pattern): an interval emitted open in

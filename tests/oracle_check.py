@@ -17,11 +17,18 @@ from landsat_tair_data_pipeline_spark.sources.tables import TABLES
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # a Spark-written table is a DIRECTORY of part files; DuckDB's
+        # bare-path read errors on it ("No files found"), so glob the
+        # parts — this keeps the hash gate runnable on replica layouts
+        # (the layout where the r8 streaming zero-rows bug lived),
+        # not just the driver's single-file testdata
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 
 

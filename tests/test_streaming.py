@@ -130,3 +130,32 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert q2.exception() is None
     final = {r["k"]: (r["n"], r["s"]) for r in spark.table("cp_sink").collect()}
     assert final == {"a": (3, 13.0), "b": (1, 5.0), "c": (1, 7.0)}
+
+
+def test_stream_events_reads_directory_layout(spark, sf_dir, tmp_path):
+    """Regression: a Spark-written events table is a DIRECTORY of
+    part-*.parquet files, and the single-file pathGlobFilter form of
+    stream_events matched ZERO of its leaf files — every streaming key
+    silently drained an empty stream while the batch twins read the
+    same table fine (found live via a 10x scale probe reporting a
+    'speedup'). The stream must read exactly what batch reads from
+    both layouts."""
+    from landsat_tair_data_pipeline_spark.sources.tables import table
+    from landsat_tair_data_pipeline_spark.streaming.windows import (
+        run_to_memory,
+        stream_events,
+    )
+
+    # build a directory-of-parts replica of the events table
+    d = str(tmp_path / "dirsf")
+    ev = table(spark, sf_dir, "events")
+    ev.repartition(3).write.parquet(f"{d}/events.parquet")
+
+    streamed = run_to_memory(
+        stream_events(spark, d).select("event_id"),
+        "dir_layout_sink",
+        "append",
+    )
+    n_stream = streamed.count()
+    n_batch = ev.count()
+    assert n_stream == n_batch > 0, (n_stream, n_batch)
