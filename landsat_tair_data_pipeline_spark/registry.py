@@ -92,8 +92,8 @@ def all_queries() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query id {name!r}")
             merged[name] = spec
 
-    front = [k for k in _ROUND8_FRONT if k in merged]
-    missing = [k for k in _ROUND8_FRONT if k not in merged]
+    front = [k for k in _ROUND9_FRONT if k in merged]
+    missing = [k for k in _ROUND9_FRONT if k not in merged]
     if missing:
         raise ValueError(f"front-ordered keys missing from registry: {missing}")
     ordered = {k: merged[k] for k in front}
@@ -101,7 +101,86 @@ def all_queries() -> dict[str, QuerySpec]:
     return ordered
 
 
-# First 50 slots of the driver's correctness window for round 8 —
+# First 50 slots of the driver's correctness window for round 9 —
+# the rotation-debt drain (VERDICT r8 items 1-2). Ordering: (1)
+# emb_pca_power — the ONLY key of 199 without a driver row (added
+# after the r8 window filled; judge-verified hash-green at sf0.01,
+# builder-verified at sf0.001/0.01/0.1); (2) new r9 keys, fronted on
+# arrival (the r8 lesson: a key that misses its round's window is
+# next round's backlog); (3) the r5-vintage keys — every key whose
+# latest driver row is r5 (computed from the CORRECTNESS_r0*.json
+# union), most-data-sensitive first: testdata-reading text/streaming/
+# events blocks (testdata has been regenerated since r5) before the
+# fixture-backed domain/mapping block (fixtures are in-repo and never
+# regenerated, so their old evidence is least at risk). New-key slots
+# displace from the END (fixture-backed tail); displaced keys rotate
+# in r10. After this round no key's latest driver row predates r6.
+_ROUND9_FRONT = [
+    # the one key without any driver row (1)
+    "emb_pca_power",
+    # new in r9, fronted on arrival (uncommented as each lands;
+    # each new key displaces one fixture-backed key from the tail)
+    # r5-vintage: testdata-reading documents/text block (8)
+    "text_token_count",
+    "text_rolling_hash",
+    "ext_text_stats",
+    "text_quality",
+    "text_lang_guess",
+    "text_fingerprint",
+    "text_bigrams_top",
+    "text_tfidf_top",
+    # r5-vintage: streaming block (events testdata) (8)
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup",
+    "stream_dedup_then_window",
+    "stream_stream_join",
+    "ext_stream_window",
+    "stream_sink_parquet",
+    # r5-vintage: testdata-reading events/relational/dedup (9)
+    "join_asof",
+    "ts_gapfill",
+    "upsert_snapshot",
+    "llm_data_pipeline_v2",
+    "text_contamination",
+    "text_repetition",
+    "sample_stratified",
+    "dedup_keep_best",
+    "sink_parquet_partitioned",
+    # r5-vintage: src/mm ingest (2)
+    "src_pt_real",
+    "mm_feature_extract",
+    # r5-vintage: fixture-backed domain/mapping block (least at
+    # risk — fixtures are in-repo; displaced first by new keys)
+    "proj_sensor_flag",
+    "filt_band_cardinality",
+    "filt_metadata_keys",
+    "filt_skip_first",
+    "filt_load_errors",
+    "agg_minmax_scene_dates",
+    "src_dir_listing",
+    "src_station_txt",
+    "src_json_metadata",
+    "proj_scene_date_parse",
+    "join_scene_assets",
+    "join_gt_lookup",
+    "join_station_dim",
+    "map_bt_pixels",
+    "map_concat_features",
+    "domain_pipeline_summary",
+    "filt_sentinel_gt",
+    "agg_domain_grouped",
+    "src_pt_tensor",
+    "proj_scene_id_from_filename",
+    "proj_date_parts_csv",
+    "agg_count",
+    # (as new r9 keys land above, the tail of this fixture-backed
+    # block is trimmed to keep the list at exactly 50; trimmed keys
+    # keep their r5-green rows and rotate in r10)
+]
+
+# Historical r8 order kept for reference (drove CORRECTNESS_r08) —
 # the final evidence-rotation pass (VERDICT r7 items 1-2). Ordering:
 # (1) the 14 late-r7 keys that have never had a driver row — the only
 # keys in the whole registry without one (all hash-green locally at
