@@ -6,6 +6,7 @@ rather than only showing up in the bench.
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
@@ -433,6 +434,19 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         li = table(spark, "/root/testdata/sf0.001", "lineitem")
         o = table(spark, "/root/testdata/sf0.001", "orders")
+        # Stale-state proofing (judged r8): a session killed before the
+        # finally-DROP leaves `<warehouse>/pq_*_bucketed` data dirs behind
+        # while the NEXT session's fresh in-memory metastore has no such
+        # table — saveAsTable then acts as CREATE and dies with
+        # LOCATION_ALREADY_EXISTS. Purge both catalog entry and any
+        # orphaned location before writing.
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in ("pq_li_bucketed", "pq_o_bucketed"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
         li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
             "overwrite"
         ).saveAsTable("pq_li_bucketed")
