@@ -329,6 +329,19 @@ def dedup_near_recall(spark: SparkSession, sf: str) -> DataFrame:
     flake per regeneration; at 0.7 it is 0.3^16 ≈ 4e-9 — two orders of
     margin, and still well clear of the LSH join's 0.5 distance cut.
 
+    Second-order term in the margin math (ADVICE r8): keyDistance is
+    jaccard over the 2^18-bucket HashingTF features, not the raw token
+    sets, so bucket collisions can shift a pair's MEASURED similarity
+    off its exact-token value. For a doc with m distinct tokens the
+    expected collision count is ~m^2/2^19 (birthday bound) — at the
+    corpus's m ≈ 10^2-10^3 that is ≤ ~2 merged buckets, shifting
+    jaccard by well under 1% absolute, against the 0.2 absolute gap
+    between the 0.7 exact floor and the 0.5 feature-space cut. The
+    collision term would only matter for m approaching 2^9·sqrt(gap)
+    ≈ tens of thousands of distinct tokens per doc; documents that
+    size would need a larger numFeatures anyway (and the recall gate
+    itself would catch the regression, which is the point).
+
     Scale: reuses the two production candidate paths unchanged (both
     banded/prefix-filtered, no all-pairs); the comparison itself is a
     left-anti join on the pair key plus two 1-row aggregates."""

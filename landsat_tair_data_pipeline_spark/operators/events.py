@@ -1576,7 +1576,7 @@ SELECT user_id,
        CAST(SUM(len) AS BIGINT) AS active_days,
        COUNT(*) AS n_streaks,
        MAX(len) AS longest_streak,
-       MAX_BY(start, len * 100000 + (start - DATE '1970-01-01'))
+       MAX(struct_pack(len := len, start := start)).start
          AS longest_streak_start
 FROM islands
 GROUP BY user_id

@@ -78,15 +78,38 @@ def release_other_scopes(current: str) -> None:
 
         spark = SparkSession.getActiveSession()
         if spark is not None and spark.sparkContext.statusTracker().getActiveJobsIds():
+            _warn_if_accumulating()
             return  # a query is still executing — defer the release
     except Exception:
-        pass  # status unavailable (session tearing down) — fall through
+        # Status unavailable (session tearing down, context mid-restart).
+        # Defer — the safe direction: releasing under an unknown job
+        # state risks the range-boundary desync the guard exists to
+        # prevent, while deferring merely keeps blocks tracked until the
+        # next quiescent build (or session end, which frees everything).
+        _warn_if_accumulating()
+        return
     for key in others:
         for df in _TRACKED.pop(key):
             try:
                 df.unpersist()
             except Exception:
                 pass  # session already gone; nothing to free
+
+
+def _warn_if_accumulating(threshold: int = 3) -> None:
+    """Deferred releases are expected to be rare and short-lived; if
+    builds keep overlapping running jobs (e.g. an undrained stream),
+    scopes accumulate tracked caches — surface that instead of
+    silently holding executor memory (ADVICE r8)."""
+    if len(_TRACKED) > threshold:
+        import warnings
+
+        warnings.warn(
+            f"cache release deferred with {len(_TRACKED)} scopes still "
+            f"tracked ({sorted(_TRACKED)}); builds may be overlapping "
+            "active jobs",
+            stacklevel=3,
+        )
 
 
 def content_tag(src_path: str) -> str:
