@@ -113,7 +113,21 @@ HEADLINE = [
     "ts_interval_union",
     "text_zipf_slope",
     "emb_pca_power",
+    # r9 additions (append-only): the heavy tail VERDICT r8 flagged —
+    # the 1st, 2nd and ~5th most expensive keys in the registry had
+    # parity-sweep timings but no BENCH entry, so a perf regression in
+    # the most expensive ops (e.g. the r8 LSH single-task serialization,
+    # ~35 min at sf0.1) was invisible to bench drift tracking
+    "ext_dedup_near",
+    "dedup_near_recall",
+    "stream_scd2",
 ]
+
+# Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.
+# Run-to-run JIT/GC swing is proportionally negligible at this
+# duration (the min-of-3 protocol exists for sub-second keys where a
+# 0.3 s JIT hiccup is a 2x error; here it is a 0.5% error).
+SINGLE_REP = {"ext_dedup_near", "dedup_near_recall"}
 
 # Round each key FIRST appeared in HEADLINE. The total grows whenever
 # a round appends keys, so a naive round-over-round 2x gate on `value`
@@ -193,6 +207,14 @@ FIRST_BENCHED = {
             "ts_interval_union",
             "text_zipf_slope",
             "emb_pca_power",
+        )
+    },
+    **{
+        k: 9
+        for k in (
+            "ext_dedup_near",
+            "dedup_near_recall",
+            "stream_scd2",
         )
     },
 }
@@ -302,7 +324,7 @@ def main() -> None:
     failures: dict[str, str] = {}
     for name in HEADLINE:
         best = None
-        for _ in range(reps):
+        for _ in range(1 if name in SINGLE_REP else reps):
             clear_sink_scratch(name)
             # Drop py4j references from the previous run BEFORE timing
             # the next: localCheckpoint/broadcast blocks are freed by
