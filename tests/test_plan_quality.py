@@ -522,3 +522,26 @@ def test_lsh_candidate_join_is_parallel(spark):
     the thing that spreads it — pin its presence."""
     plan = _plan(spark, "ext_dedup_near")
     assert "RoundRobinPartitioning" in plan, plan[:900]
+
+
+def test_lsh_candidate_join_runs_on_multiple_tasks(spark):
+    """Runtime companion to the plan pin above (VERDICT r8 item 5): a
+    future Spark upgrade could re-plan approxSimilarityJoin so the
+    exchange still appears but the candidate evaluation re-serializes
+    (e.g. AQE coalescing the probe side back to one partition). Count
+    the DISTINCT partition ids that actually emitted candidate pairs —
+    the broadcast join's output partitioning IS its probe-side task
+    layout, so this measures how many tasks shared the keyDistance
+    work. The broken r8 plan would have reported exactly 1."""
+    from pyspark.sql import functions as F
+
+    df = SPECS["ext_dedup_near"].fn(spark, "/root/testdata/sf0.001")
+    n_parts = (
+        df.select(F.spark_partition_id().alias("pid"))
+        .agg(F.countDistinct("pid").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert n_parts > 1, (
+        f"LSH candidate pairs all materialized on {n_parts} task — "
+        "the keyDistance evaluation has re-serialized"
+    )
