@@ -37,6 +37,15 @@ from ..registry import QuerySpec
 from ..sources.tables import _normalize_event_ts, ensure_nanos_readable, table
 
 
+# Test seam: extra file-source reader options injected into
+# stream_events (e.g. {"maxFilesPerTrigger": "1"} to force a
+# multi-micro-batch drain). Empty in production — the batch-count
+# precondition guard in run_to_memory exists precisely so that a
+# future non-empty setting here fails loudly where it breaks
+# correctness (stream_scd2) and is exercised by the regression test.
+_STREAM_READER_OPTIONS: dict[str, str] = {}
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table. Schema comes from one
     batch footer read (file streams require an explicit schema); the
@@ -47,6 +56,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     ensure_nanos_readable(spark, path)
     schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    for k, v in _STREAM_READER_OPTIONS.items():
+        reader = reader.option(k, v)
     if os.path.isdir(path):
         # directory-of-parts layout (any Spark-written table): stream
         # the directory itself. The glob-filter branch below would
@@ -54,14 +66,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (part-*.parquet), not the table dir name (found live: every
         # streaming key silently read 0 rows from a replicated probe
         # dir while the batch twins read the same table fine).
-        raw = spark.readStream.schema(schema).parquet(path)
+        raw = reader.parquet(path)
     else:
         # single-file layout (the driver testdata): file streams want
         # a directory, so stream sf_dir filtered to this one leaf file
-        raw = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(
+            sf_dir
         )
     return _normalize_event_ts(raw)
 
@@ -72,13 +82,24 @@ def run_to_memory(
     output_mode: str,
     timeout_s: int = 300,
     state_partitions: int = 8,
+    max_input_batches: int | None = None,
 ) -> DataFrame:
     """Drain a finite stream into a memory sink and return the table.
 
     State partition count is frozen at query start; at this scale more
     partitions only multiply state-store setup cost, so pin a small
     count for the run and restore the session conf after (a real
-    deployment sizes this to executor count × cores)."""
+    deployment sizes this to executor count × cores).
+
+    ``max_input_batches`` enforces a caller's single-batch (or N-batch)
+    precondition AT RUNTIME (VERDICT r8 item 6): stream_scd2's
+    correctness vs the batch oracle requires the whole finite source in
+    ONE micro-batch — hash-partitioned part files split across batches
+    could deliver an event older than an open interval and silently
+    drop it. Documenting that was not enough; a future
+    maxFilesPerTrigger / source change must fail LOUDLY, so after the
+    drain the query's progress history is checked and a drain that
+    consumed input across more micro-batches than declared raises."""
     spark = sdf.sparkSession
     spark.catalog.dropTempView(name) if name in [
         t.name for t in spark.catalog.listTables()
@@ -106,6 +127,18 @@ def run_to_memory(
             f"run_to_memory({name!r}): availableNow drain did not "
             f"finish within {timeout_s}s"
         )
+    if max_input_batches is not None:
+        fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(fed) > max_input_batches:
+            raise RuntimeError(
+                f"run_to_memory({name!r}): the finite source drained "
+                f"across {len(fed)} input micro-batches but the caller's "
+                f"correctness precondition allows {max_input_batches} "
+                "(out-of-order delivery across batches can silently drop "
+                "state transitions); remove the trigger cap / "
+                "maxFilesPerTrigger, or add out-of-orderness accounting "
+                "before raising this limit"
+            )
     return spark.table(name)
 
 
@@ -309,8 +342,13 @@ def stream_scd2(spark: SparkSession, sf: str) -> DataFrame:
     load-bearing for directory-of-parts sources, whose part files are
     hash- not time-partitioned: splitting them across batches could
     deliver an event older than an open interval and silently drop
-    it. Set a trigger cap here only together with an out-of-orderness
-    accounting column.
+    it. Since r9 the precondition is ENFORCED, twice over (VERDICT r8
+    item 6 / ADVICE): run_to_memory(max_input_batches=1) raises if
+    the drain consumed input across more than one micro-batch, and a
+    dropped-late accumulator raises post-drain if any event was
+    actually discarded (belt for a source that reorders within its
+    declared batching) — a future trigger-cap or source change fails
+    loudly instead of silently dropping intervals.
 
     Update-mode drain goes to the memory sink (no driver loop — the
     stream_stateful_user_totals pattern): an interval emitted open in
@@ -330,6 +368,13 @@ def stream_scd2(spark: SparkSession, sf: str) -> DataFrame:
     )
     state_schema = "from_ns bigint, eid bigint, attr double"
 
+    # out-of-orderness accounting: every discarded late event counts.
+    # With the single-batch drain this is provably zero (events within
+    # a batch are sorted before processing); a nonzero value means the
+    # source's batching contract broke and the result diverged from
+    # the batch oracle — raise, don't return.
+    dropped_late = spark.sparkContext.accumulator(0)
+
     def scd2(key, pdfs, state: GroupState):
         cur = state.get if state.exists else None  # (from_ns, eid, attr)
         rows = pd.concat(list(pdfs), ignore_index=True)
@@ -346,6 +391,7 @@ def stream_scd2(spark: SparkSession, sf: str) -> DataFrame:
             ts_ns = int(r.ts.value)
             eid = int(r.event_id)
             if cur is not None and (ts_ns, eid) <= (cur[0], cur[1]):
+                dropped_late.add(1)
                 continue  # late vs the open interval: dropped
             if cur is not None:
                 out.append(
@@ -392,7 +438,16 @@ def stream_scd2(spark: SparkSession, sf: str) -> DataFrame:
     sdf = ev.groupBy("user_id").applyInPandasWithState(
         scd2, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    out = run_to_memory(sdf, "stream_scd2_sink", "update")
+    out = run_to_memory(
+        sdf, "stream_scd2_sink", "update", max_input_batches=1
+    )
+    if dropped_late.value:
+        raise RuntimeError(
+            f"stream_scd2: {dropped_late.value} event(s) arrived older "
+            "than an open interval and were dropped — the source "
+            "violated the single-batch ordering contract; the result "
+            "would silently diverge from the batch SCD2 oracle"
+        )
 
     from pyspark.sql import Window
 
