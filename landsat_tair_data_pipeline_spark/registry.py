@@ -118,8 +118,9 @@ def all_queries() -> dict[str, QuerySpec]:
 _ROUND9_FRONT = [
     # the one key without any driver row (1)
     "emb_pca_power",
-    # new in r9, fronted on arrival (uncommented as each lands;
-    # each new key displaces one fixture-backed key from the tail)
+    # new in r9, fronted on arrival (each new key displaces one
+    # fixture-backed key from the tail)
+    "emb_kmeans_converged",
     # r5-vintage: testdata-reading documents/text block (8)
     "text_token_count",
     "text_rolling_hash",
@@ -174,10 +175,9 @@ _ROUND9_FRONT = [
     "src_pt_tensor",
     "proj_scene_id_from_filename",
     "proj_date_parts_csv",
-    "agg_count",
     # (as new r9 keys land above, the tail of this fixture-backed
-    # block is trimmed to keep the list at exactly 50; trimmed keys
-    # keep their r5-green rows and rotate in r10)
+    # block is trimmed to keep the list at exactly 50; trimmed keys —
+    # so far: agg_count — keep their r5-green rows and rotate in r10)
 ]
 
 # Historical r8 order kept for reference (drove CORRECTNESS_r08) —

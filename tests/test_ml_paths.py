@@ -120,3 +120,24 @@ def test_cluster_labels_converge_on_long_chain(spark, monkeypatch):
     assert len(out) == 201
     assert {r["cluster_id"] for r in out} == {0}
     assert {r["cluster_size"] for r in out} == {201}
+
+
+def test_kmeans_converged_trace_properties(spark, sf_dir):
+    """The convergence loop's own invariants, beyond the oracled
+    booleans: the inertia trajectory is non-increasing (Lloyd), the
+    loop exits on the tolerance well before the cap (the margin the
+    house audit rule requires — a cap-exit would mean the tolerance
+    is mis-sized for the data, the bug the first draft had), and the
+    final relative decrease is actually below the tolerance."""
+    import landsat_tair_data_pipeline_spark.operators.similarity as S
+
+    row = S.emb_kmeans_converged(spark, sf_dir).collect()[0]
+    tr = list(S._KMEANS_CONV_TRACE)
+    assert row["converged"] and row["inertia_monotone"]
+    assert row["k"] == S._KMEANS_K and row["n_dims"] > 0
+    assert 2 <= len(tr) <= S._KMEANS_CONV_CAP // 2, (
+        f"{len(tr)} iterations leaves <2x cap margin"
+    )
+    assert all(b <= a * (1 + 1e-9) + 1e-9 for a, b in zip(tr, tr[1:])), tr
+    final_dec = (tr[-2] - tr[-1]) / max(tr[-2], 1.0)
+    assert final_dec <= S._KMEANS_CONV_RTOL
