@@ -121,6 +121,8 @@ _ROUND9_FRONT = [
     # new in r9, fronted on arrival (each new key displaces one
     # fixture-backed key from the tail)
     "emb_kmeans_converged",
+    "graph_label_propagation",
+    "graph_triangle_count",
     # r5-vintage: testdata-reading documents/text block (8)
     "text_token_count",
     "text_rolling_hash",
@@ -173,11 +175,10 @@ _ROUND9_FRONT = [
     "filt_sentinel_gt",
     "agg_domain_grouped",
     "src_pt_tensor",
-    "proj_scene_id_from_filename",
-    "proj_date_parts_csv",
     # (as new r9 keys land above, the tail of this fixture-backed
-    # block is trimmed to keep the list at exactly 50; trimmed keys —
-    # so far: agg_count — keep their r5-green rows and rotate in r10)
+    # block is trimmed to keep the list at exactly 50; trimmed so
+    # far: agg_count, proj_date_parts_csv, proj_scene_id_from_filename
+    # — they keep their r5-green rows and rotate in r10)
 ]
 
 # Historical r8 order kept for reference (drove CORRECTNESS_r08) —
