@@ -270,6 +270,83 @@ SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.4
 """.format(toks=_TOKENS_SQL)
 
 
+def dedup_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Directional containment over the exact near-dup pair set:
+    for every within-source pair at (rounded) jaccard >= 0.4, the two
+    asymmetric containment scores |A∩B|/|A| and |A∩B|/|B| — which
+    tells a dedup policy WHICH doc is the (near-)subset, the signal
+    jaccard alone erases (quote-inside-article vs true mirror). Flags
+    pairs where either direction reaches 0.8 as near-subsets.
+
+    Exactness contract: candidates are the same prefix-filter join as
+    dedup_jaccard_pairs (exact for jaccard >= 0.4 after rounding), so
+    the jaccard floor is part of the surface — a LOW-jaccard
+    high-containment pair (tiny doc quoted inside a huge one) is out
+    of scope by definition here; the asymmetric-prefix containment
+    join (prefix on the contained side only, PPJoin's containment
+    variant) is the standard extension if that pair class is ever
+    needed. Reuses the intersect counts the candidate join already
+    computed — zero extra shuffles beyond dedup_jaccard_pairs."""
+    docs = table(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.transform(TOKENS(), lambda t: F.xxhash64(t))
+        ).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    pairs = _prefix_filter_pairs(docs, 3999, 10000)
+    jaccard = F.round(
+        F.col("inter").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+        + 1e-9,
+        4,
+    )
+    cont_a = F.round(
+        F.col("inter").cast("double") / F.col("sz_a").cast("double") + 1e-9, 4
+    )
+    cont_b = F.round(
+        F.col("inter").cast("double") / F.col("sz_b").cast("double") + 1e-9, 4
+    )
+    return (
+        pairs.withColumn("jaccard", jaccard)
+        .where(F.col("jaccard") >= 0.4)
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            cont_a.alias("containment_a"),
+            cont_b.alias("containment_b"),
+            (
+                (cont_a >= 0.8) | (cont_b >= 0.8)
+            ).alias("near_subset"),
+        )
+    )
+
+
+_CONTAINMENT_SQL = """
+WITH t AS (
+  SELECT doc_id, source, list_distinct({toks}) AS toks FROM documents
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.toks, b.toks)) AS inter,
+         len(a.toks) AS sz_a, len(b.toks) AS sz_b
+  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+),
+s AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) + 1e-9, 4)
+           AS jaccard,
+         ROUND(CAST(inter AS DOUBLE) / sz_a + 1e-9, 4) AS containment_a,
+         ROUND(CAST(inter AS DOUBLE) / sz_b + 1e-9, 4) AS containment_b
+  FROM p
+)
+SELECT doc_a, doc_b, jaccard, containment_a, containment_b,
+       (containment_a >= 0.8 OR containment_b >= 0.8) AS near_subset
+FROM s WHERE jaccard >= 0.4
+""".format(toks=_TOKENS_SQL)
+
+
 def ext_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (rows-only: LSH hash family is
     engine-specific). Pipeline: tokens → HashingTF term sets → MinHash
@@ -1730,5 +1807,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "graph_triangle_count": QuerySpec(
         "graph_triangle_count", graph_triangle_count, _triangle_sql()
+    ),
+    # r9: directional containment over the exact near-dup pairs
+    "dedup_containment_pairs": QuerySpec(
+        "dedup_containment_pairs", dedup_containment_pairs, _CONTAINMENT_SQL
     ),
 }

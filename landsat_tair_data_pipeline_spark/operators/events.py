@@ -1860,6 +1860,131 @@ LEFT JOIN hits h
 """
 
 
+def events_rfm_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation — the
+    marketing-analytics staple. Scale-shaped deliberately: scores come
+    from FIXED recency thresholds plus corpus-RELATIVE frequency and
+    monetary ratios (each user's metric over the global mean — the
+    fair-share-multiple lesson from q20: absolute cuts silently empty
+    or saturate as SF grows, ratios self-normalize), NOT from
+    NTILE-style quantile windows, because a global one-partition sort
+    window over one-row-per-user is exactly the single-task shape
+    that dies first at 10^9 users (window_ntile / agg_percentiles
+    already cover that SQL surface on bounded inputs). One hash
+    aggregate on user_id + a broadcast 1-row mean combine — nothing
+    else shuffles.
+
+    Determinism at the CASE boundaries: ratios and recency hours are
+    ROUND()ed identically on both engines before comparison, so a
+    value landing exactly on a threshold compares identically (the
+    rounded value, not the raw accumulation-ordered float, is the
+    surface)."""
+    ev = table(spark, sf, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("_last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value") + 1e-6, 2).alias("monetary"),
+    )
+    g = u.agg(
+        F.max("_last_us").alias("_gmax"),
+        F.round(F.avg("frequency") + 1e-9, 6).alias("_af"),
+        F.round(F.avg("monetary") + 1e-9, 6).alias("_am"),
+    )
+    s = u.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        F.round((F.col("_gmax") - F.col("_last_us")) / 3.6e9 + 1e-9, 4).alias(
+            "recency_hours"
+        ),
+        "frequency",
+        "monetary",
+        F.round(F.col("frequency") / F.col("_af") + 1e-9, 4).alias("_fr"),
+        F.round(F.col("monetary") / F.col("_am") + 1e-9, 4).alias("_mr"),
+    )
+    r_score = (
+        F.when(F.col("recency_hours") <= 3, 4)
+        .when(F.col("recency_hours") <= 8, 3)
+        .when(F.col("recency_hours") <= 24, 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("_fr") >= 1.25, 4)
+        .when(F.col("_fr") >= 1.0, 3)
+        .when(F.col("_fr") >= 0.75, 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("_mr") >= 1.25, 4)
+        .when(F.col("_mr") >= 1.0, 3)
+        .when(F.col("_mr") >= 0.75, 2)
+        .otherwise(1)
+    )
+    scored = s.select(
+        "user_id",
+        "recency_hours",
+        "frequency",
+        "monetary",
+        r_score.cast("int").alias("r_score"),
+        f_score.cast("int").alias("f_score"),
+        m_score.cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.when(
+            (F.col("r_score") >= 3)
+            & (F.col("f_score") >= 3)
+            & (F.col("m_score") >= 3),
+            "champion",
+        )
+        .when(
+            (F.col("r_score") == 1) & (F.col("f_score") >= 3), "at_risk"
+        )
+        .when(F.col("m_score") == 4, "big_spender")
+        .when(F.col("r_score") >= 3, "recent")
+        .otherwise("casual"),
+    )
+
+
+_RFM_SQL = """
+WITH u AS (
+  SELECT user_id,
+         MAX(epoch_us(ts)) AS _last_us,
+         COUNT(*) AS frequency,
+         ROUND(SUM(value) + 1e-6, 2) AS monetary
+  FROM events GROUP BY user_id),
+g AS (
+  SELECT MAX(_last_us) AS _gmax,
+         ROUND(AVG(frequency) + 1e-9, 6) AS _af,
+         ROUND(AVG(monetary) + 1e-9, 6) AS _am
+  FROM u),
+s AS (
+  SELECT user_id,
+         ROUND((_gmax - _last_us) / 3.6e9 + 1e-9, 4) AS recency_hours,
+         frequency, monetary,
+         ROUND(frequency / _af + 1e-9, 4) AS _fr,
+         ROUND(monetary / _am + 1e-9, 4) AS _mr
+  FROM u CROSS JOIN g),
+sc AS (
+  SELECT user_id, recency_hours, frequency, monetary,
+         CASE WHEN recency_hours <= 3 THEN 4
+              WHEN recency_hours <= 8 THEN 3
+              WHEN recency_hours <= 24 THEN 2 ELSE 1 END AS r_score,
+         CASE WHEN _fr >= 1.25 THEN 4 WHEN _fr >= 1.0 THEN 3
+              WHEN _fr >= 0.75 THEN 2 ELSE 1 END AS f_score,
+         CASE WHEN _mr >= 1.25 THEN 4 WHEN _mr >= 1.0 THEN 3
+              WHEN _mr >= 0.75 THEN 2 ELSE 1 END AS m_score
+  FROM s)
+SELECT user_id, recency_hours, frequency, monetary,
+       r_score, f_score, m_score,
+       CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3
+              THEN 'champion'
+            WHEN r_score = 1 AND f_score >= 3 THEN 'at_risk'
+            WHEN m_score = 4 THEN 'big_spender'
+            WHEN r_score >= 3 THEN 'recent'
+            ELSE 'casual' END AS segment
+FROM sc
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec("events_tumbling", events_tumbling, _TUMBLING_SQL),
     "events_sliding": QuerySpec("events_sliding", events_sliding, _SLIDING_SQL),
@@ -1971,5 +2096,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ts_interval_union": QuerySpec(
         "ts_interval_union", ts_interval_union, _INTERVAL_UNION_SQL
+    ),
+    # r9: ratio-thresholded RFM segmentation (fronted on arrival)
+    "events_rfm_segment": QuerySpec(
+        "events_rfm_segment", events_rfm_segment, _RFM_SQL
     ),
 }

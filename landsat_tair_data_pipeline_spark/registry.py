@@ -123,6 +123,8 @@ _ROUND9_FRONT = [
     "emb_kmeans_converged",
     "graph_label_propagation",
     "graph_triangle_count",
+    "events_rfm_segment",
+    "dedup_containment_pairs",
     # r5-vintage: testdata-reading documents/text block (8)
     "text_token_count",
     "text_rolling_hash",
@@ -173,12 +175,11 @@ _ROUND9_FRONT = [
     "map_concat_features",
     "domain_pipeline_summary",
     "filt_sentinel_gt",
-    "agg_domain_grouped",
-    "src_pt_tensor",
     # (as new r9 keys land above, the tail of this fixture-backed
     # block is trimmed to keep the list at exactly 50; trimmed so
-    # far: agg_count, proj_date_parts_csv, proj_scene_id_from_filename
-    # — they keep their r5-green rows and rotate in r10)
+    # far: agg_count, proj_date_parts_csv, proj_scene_id_from_filename,
+    # src_pt_tensor, agg_domain_grouped — they keep their r5-green
+    # rows and rotate in r10)
 ]
 
 # Historical r8 order kept for reference (drove CORRECTNESS_r08) —
