@@ -1596,20 +1596,29 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     the op SQL-expressible as unrolled CTEs and hash-stable).
     Output: one row per community (label, n_members) after round 4.
 
-    Scale shape: per round ONE edge scan joined to the label state on
-    both endpoints (two shuffle joins on node id) and a min hash
-    aggregate — all partial-aggregated map-side; label state is one
-    row per node, never collected. The symmetrized edge list is
-    persisted once and re-scanned per round (the pagerank pattern —
-    plan-pinned there via InMemoryTableScan). At 100 TB, edges and
-    labels co-partition on node id and T bounds total cost linearly."""
+    Scale shape: "min over self and neighbors" is expressed with a
+    SELF-LOOP-augmented edge list so each round is ONE join of the
+    edge scan against the label state (on the dst endpoint) + one min
+    hash aggregate, both partial-aggregated map-side — and, the part
+    that actually bit during this op's build, the label state is
+    referenced exactly ONCE per round: the first draft joined it on
+    both endpoints, which doubles the unrolled logical plan per round
+    (2^T copies of the whole pair-finder subtree — 744 Exchange nodes
+    in the executed-plan string at T=4; the NOTES 4^n-tree trap in
+    join form). Label state is one row per node, never collected; the
+    self-looped edge list is persisted once and re-scanned per round
+    (the pagerank pattern). At 100 TB, edges and labels co-partition
+    on node id and T bounds total cost linearly."""
     pairs = dedup_shared_ngram_pairs(spark, sf).select("doc_a", "doc_b")
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
     edges = persist_tracked(
-        pairs.select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        ).unionByName(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        sym.unionByName(
+            sym.select("src").distinct().select(
+                "src", F.col("src").alias("dst")
             )
         )
     )
@@ -1617,13 +1626,12 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
         "node", F.col("node").alias("lbl")
     )
     for _ in range(_LABELPROP_ITERS):
-        a = lab.select(F.col("node").alias("src"), F.col("lbl").alias("la"))
-        b = lab.select(F.col("node").alias("dst"), F.col("lbl").alias("lb"))
         lab = (
-            edges.join(a, "src")
-            .join(b, "dst")
+            edges.join(
+                lab.select(F.col("node").alias("dst"), "lbl"), "dst"
+            )
             .groupBy("src")
-            .agg(F.min(F.least(F.col("la"), F.col("lb"))).alias("lbl"))
+            .agg(F.min("lbl").alias("lbl"))
             .select(F.col("src").alias("node"), "lbl")
         )
     return lab.groupBy(F.col("lbl").alias("community")).agg(
@@ -1634,16 +1642,20 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
 def _labelprop_sql() -> str:
     it = """
 l{i} AS (
-  SELECT e.src AS node, MIN(LEAST(a.lbl, b.lbl)) AS lbl
-  FROM edges e JOIN l{p} a ON a.node = e.src JOIN l{p} b ON b.node = e.dst
+  SELECT e.src AS node, MIN(l{p}.lbl) AS lbl
+  FROM edges e JOIN l{p} ON l{p}.node = e.dst
   GROUP BY e.src)"""
     iters = ",".join(it.format(i=i + 1, p=i) for i in range(_LABELPROP_ITERS))
     return """
 WITH pairs AS ({pairs}),
-edges AS (
+sym AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM pairs),
+edges AS (
+  SELECT src, dst FROM sym
+  UNION ALL
+  SELECT DISTINCT src, src AS dst FROM sym),
 l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
 {iters}
 SELECT lbl AS community, COUNT(*) AS n_members

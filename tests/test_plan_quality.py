@@ -545,3 +545,59 @@ def test_lsh_candidate_join_runs_on_multiple_tasks(spark):
         f"LSH candidate pairs all materialized on {n_parts} task — "
         "the keyDistance evaluation has re-serialized"
     )
+
+
+def test_rfm_is_single_user_shuffle_plus_broadcast_combine(spark):
+    """events_rfm_segment must stay window-free: one user_id hash
+    aggregate, one tiny global-mean aggregate, ONE broadcast 1-row
+    combine — never an NTILE-style one-partition sort window over the
+    per-user frame (the single-task shape at 10^9 users that the op's
+    ratio-threshold design exists to avoid)."""
+    plan = _plan(spark, "events_rfm_segment")
+    assert "Window" not in plan, plan[:800]
+    assert _shuffles(plan) <= 3, plan[:800]
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row combine
+
+
+def test_labelprop_plan_grows_linearly_and_reuses_edge_cache(spark):
+    """graph_label_propagation's unrolled rounds must reference the
+    label state ONCE per round: the first draft joined it on both
+    endpoints, doubling the logical tree per round (2^T copies of the
+    whole pair-finder subtree — 744 Exchange nodes at T=4). The
+    self-loop formulation keeps growth linear; the persisted edge
+    list must appear as InMemoryTableScan."""
+    plan = _plan(spark, "graph_label_propagation")
+    assert "InMemoryTableScan" in plan
+    assert _shuffles(plan) < 400, (
+        f"{_shuffles(plan)} shuffle nodes — exponential unroll is back"
+    )
+
+
+def test_triangle_count_reuses_oriented_cache_no_cartesian(spark):
+    """graph_triangle_count: the three self-join references to the
+    oriented edge list must come from ONE persisted frame (cache
+    scan), the wedge join must be a real equi-join, and the only
+    nested-loop joins are the two broadcast 1-row aggregate
+    combines."""
+    plan = _plan(spark, "graph_triangle_count")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+
+
+def test_containment_broadcasts_only_bounded_frames(spark):
+    """dedup_containment_pairs reuses the prefix-filter candidate
+    machinery — the same bounded-broadcast contract as
+    dedup_jaccard_pairs applies: every broadcast hint in the analyzed
+    tree must sit directly over the 65,536-row GlobalLimit."""
+    df = SPECS["dedup_containment_pairs"].fn(spark, SF)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    lines = logical.splitlines()
+    hint_idx = [i for i, ln in enumerate(lines) if "ResolvedHint" in ln]
+    assert hint_idx, "expected the bounded top-K broadcast hint"
+    for i in hint_idx:
+        assert i + 1 < len(lines) and "GlobalLimit 65536" in lines[i + 1], (
+            lines[i : i + 2]
+        )
