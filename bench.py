@@ -121,6 +121,12 @@ HEADLINE = [
     "ext_dedup_near",
     "dedup_near_recall",
     "stream_scd2",
+    # r9 new-operator keys (append-only)
+    "emb_kmeans_converged",
+    "graph_label_propagation",
+    "graph_triangle_count",
+    "events_rfm_segment",
+    "dedup_containment_pairs",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.
@@ -215,6 +221,11 @@ FIRST_BENCHED = {
             "ext_dedup_near",
             "dedup_near_recall",
             "stream_scd2",
+            "emb_kmeans_converged",
+            "graph_label_propagation",
+            "graph_triangle_count",
+            "events_rfm_segment",
+            "dedup_containment_pairs",
         )
     },
 }
