@@ -127,6 +127,8 @@ HEADLINE = [
     "graph_triangle_count",
     "events_rfm_segment",
     "dedup_containment_pairs",
+    "text_heavy_hitters",
+    "agg_bitmap_distinct",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.
@@ -226,6 +228,8 @@ FIRST_BENCHED = {
             "graph_triangle_count",
             "events_rfm_segment",
             "dedup_containment_pairs",
+            "text_heavy_hitters",
+            "agg_bitmap_distinct",
         )
     },
 }

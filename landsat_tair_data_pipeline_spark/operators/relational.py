@@ -129,6 +129,59 @@ FROM lineitem
 """
 
 
+def agg_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT distinct-user counts per day — and re-aggregated across
+    all days — via Spark's bitmap aggregate family (the warehouse
+    pattern for exact distinct at scale; same result as
+    COUNT(DISTINCT) but a fundamentally different plan).
+
+    Why this beats count_distinct at 100 TB: a grouped COUNT(DISTINCT)
+    shuffles every (day, user_id) pair and holds per-group hash sets;
+    multiple distinct aggregates trigger the Expand-based rewrite.
+    Here each user lands in a 32k-bit bucket (bitmap_bucket_number /
+    bitmap_bit_position), bitmap_construct_agg builds per-(day,
+    bucket) bitmaps WITH map-side partial merge (TypedImperative
+    buffers OR together), so the shuffle carries at most one 4 KB
+    bitmap per (day, bucket) per map task instead of the raw pairs.
+    The per-bucket bitmaps are also REAGGREGABLE — the 'ALL' row
+    OR-merges the daily bitmaps (bitmap_or_agg) without rescanning
+    the fact table, the exact-count analogue of an HLL union rollup
+    (agg_sketch_hll) with zero approximation error. The bitmap frame
+    is persisted once and feeds both rollup levels."""
+    from ..util import persist_tracked
+
+    ev = table(spark, sf, "events").select(
+        F.to_date("ts").alias("day"),
+        F.bitmap_bucket_number("user_id").alias("bkt"),
+        F.bitmap_bit_position("user_id").alias("pos"),
+    )
+    bm = persist_tracked(
+        ev.groupBy("day", "bkt").agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    daily = bm.groupBy("day").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users")
+    ).select(F.col("day").cast("string").alias("day"), "n_users")
+    overall = (
+        bm.groupBy("bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users"))
+        .select(F.lit("ALL").alias("day"), "n_users")
+    )
+    return daily.unionByName(overall)
+
+
+_BITMAP_DISTINCT_SQL = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1
+UNION ALL
+SELECT 'ALL' AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+"""
+
+
 def agg_group_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped summary stats per station-analog (SURVEY §2.5 note:
     grouped variants of the reference's global-only aggregates)."""
@@ -2042,5 +2095,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "join_bloom_prefilter": QuerySpec(
         "join_bloom_prefilter", join_bloom_prefilter, _BLOOM_PREFILTER_SQL
+    ),
+    # round-9 addition (fronted in registry._ROUND9_FRONT on arrival)
+    "agg_bitmap_distinct": QuerySpec(
+        "agg_bitmap_distinct", agg_bitmap_distinct, _BITMAP_DISTINCT_SQL
     ),
 }

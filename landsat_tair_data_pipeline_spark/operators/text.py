@@ -765,6 +765,90 @@ FROM pts
 """.format(toks=_TOKS_SQL, k=_ZIPF_TOP)
 
 
+_HH_PHI = 512  # heavy = token share > 1/512 of all occurrences
+_HH_COUNTERS = 2048  # Misra-Gries counters per partition (>= PHI + slack)
+
+
+def _mg_partition(batches):
+    """Per-partition Misra-Gries summary over the token column:
+    bounded at _HH_COUNTERS entries regardless of partition vocabulary.
+    Merge-then-prune per Arrow batch (vectorized value_counts; prune
+    subtracts the (k+1)-th largest count from every counter and drops
+    non-positives — the mergeable-summaries form of the MG decrement,
+    which preserves the classic guarantee: any item with partition
+    count > n_p/(k+1) survives with a positive counter)."""
+    import pandas as pd
+
+    acc = None
+    for pdf in batches:
+        vc = pdf["tok"].value_counts()
+        acc = vc if acc is None else acc.add(vc, fill_value=0)
+        if len(acc) > _HH_COUNTERS:
+            cut = acc.nlargest(_HH_COUNTERS + 1).iloc[-1]
+            acc = acc.sub(cut)
+            acc = acc[acc > 0]
+    if acc is not None and len(acc):
+        yield pd.DataFrame({"tok": acc.index.astype(str)})
+
+
+def text_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus heavy hitters: every token whose share of all token
+    occurrences exceeds 1/512, with its EXACT count — the
+    frequent-items primitive (stopword discovery, template/boilerplate
+    detection, tokenizer-vocab seeding).
+
+    Sketch-then-verify, so the sketch never touches correctness: pass
+    1 runs a Misra-Gries summary per partition (mapInPandas, 2048
+    counters, vectorized value_counts per Arrow batch) whose union is
+    a GUARANTEED superset of the true heavy hitters — if a token's
+    global count exceeds n/512 it must exceed n_p/512 in some
+    partition, and 512 <= 2048+1 keeps it in that partition's summary
+    (MG bound; the prune math is in _mg_partition). Pass 2 re-scans
+    with a broadcast semi-join on the <= 32*2048-row candidate set and
+    counts exactly, filtering to the true threshold. The output is
+    therefore EXACT and partition-layout-independent — fully oracled,
+    no recall bound needed — while the full-vocabulary shuffle that
+    a plain groupBy(token) pays (10^9-term vocab at 100 TB) is
+    replaced by a shuffle of candidate occurrences only. The Python
+    stage is the sketch (genuinely inexpressible in built-ins); it
+    emits <= 2048 rows per partition."""
+    txt = persist_tracked(
+        table(spark, sf, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("text")
+    )
+    toks = txt.select(F.explode(TOKENS()).alias("tok"))
+    cands = toks.mapInPandas(_mg_partition, "tok string").distinct()
+    total = txt.agg(F.sum(F.size(TOKENS())).alias("n"))
+    return (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_occurrences") * _HH_PHI > F.col("n"))
+        .select(
+            "tok",
+            "n_occurrences",
+            F.round(
+                F.col("n_occurrences") / F.col("n") + 1e-9, 6
+            ).alias("share"),
+        )
+    )
+
+
+_HH_SQL = """
+WITH t AS (SELECT {toks} AS toks FROM documents),
+toks AS (SELECT unnest(toks) AS tok FROM t),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks)
+SELECT tok,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       ROUND(COUNT(*) / (SELECT n FROM tot) + 1e-9, 6) AS share
+FROM toks
+GROUP BY tok
+HAVING COUNT(*) * {phi} > (SELECT n FROM tot)
+""".format(toks=_TOKS_SQL, phi=_HH_PHI)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(
         "text_token_count", text_token_count, _TOKEN_COUNT_SQL
@@ -794,5 +878,9 @@ QUERIES: dict[str, QuerySpec] = {
     # round-8 addition (fronted in registry._ROUND8_FRONT on arrival)
     "text_zipf_slope": QuerySpec(
         "text_zipf_slope", text_zipf_slope, _ZIPF_SQL
+    ),
+    # round-9 addition (fronted in registry._ROUND9_FRONT on arrival)
+    "text_heavy_hitters": QuerySpec(
+        "text_heavy_hitters", text_heavy_hitters, _HH_SQL
     ),
 }

@@ -125,6 +125,8 @@ _ROUND9_FRONT = [
     "graph_triangle_count",
     "events_rfm_segment",
     "dedup_containment_pairs",
+    "text_heavy_hitters",
+    "agg_bitmap_distinct",
     # r5-vintage: testdata-reading documents/text block (8)
     "text_token_count",
     "text_rolling_hash",
@@ -173,13 +175,12 @@ _ROUND9_FRONT = [
     "join_station_dim",
     "map_bt_pixels",
     "map_concat_features",
-    "domain_pipeline_summary",
-    "filt_sentinel_gt",
     # (as new r9 keys land above, the tail of this fixture-backed
     # block is trimmed to keep the list at exactly 50; trimmed so
     # far: agg_count, proj_date_parts_csv, proj_scene_id_from_filename,
-    # src_pt_tensor, agg_domain_grouped — they keep their r5-green
-    # rows and rotate in r10)
+    # src_pt_tensor, agg_domain_grouped, domain_pipeline_summary,
+    # filt_sentinel_gt — they keep their r5-green rows and rotate
+    # in r10)
 ]
 
 # Historical r8 order kept for reference (drove CORRECTNESS_r08) —

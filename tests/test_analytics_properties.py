@@ -112,3 +112,92 @@ def test_nearest_centroid_counts_cover_corpus(spark):
         assert math.isclose(
             r.accuracy, round(r.n_correct / r.n + 1e-9, 4), abs_tol=1e-9
         )
+
+
+def test_mg_summary_supersets_heavy_hitters(monkeypatch):
+    """The Misra-Gries partition summary must contain EVERY token
+    whose count exceeds n_p/(k+1) — the superset guarantee
+    text_heavy_hitters' exactness rests on (a dropped true heavy
+    hitter cannot be recovered by the verify pass). Driven directly
+    on pandas batches with a small counter budget and a worst-case
+    mix: a few heavy tokens drowned in a long unique-token tail,
+    shuffled, split into uneven batches."""
+    import pandas as pd
+
+    from landsat_tair_data_pipeline_spark.operators import text as t
+
+    k = 16
+    monkeypatch.setattr(t, "_HH_COUNTERS", k)
+    rng = random.Random(7)
+    stream = (
+        ["heavy_a"] * 400
+        + ["heavy_b"] * 250
+        + ["mid"] * 120
+        + [f"u{i}" for i in range(1500)]
+    )
+    rng.shuffle(stream)
+    n = len(stream)
+    cuts = sorted(rng.sample(range(1, n), 5))
+    batches = [
+        pd.DataFrame({"tok": stream[a:b]})
+        for a, b in zip([0, *cuts], [*cuts, n])
+    ]
+    out = list(t._mg_partition(iter(batches)))
+    assert len(out) == 1 and len(out[0]) <= k
+    survivors = set(out[0]["tok"])
+    from collections import Counter
+
+    true = Counter(stream)
+    for tok, c in true.items():
+        if c > n / (k + 1):
+            assert tok in survivors, (tok, c, n // (k + 1))
+
+
+def test_heavy_hitters_exact_vs_plain_groupby(spark):
+    """End-to-end exactness: the sketch-then-verify result must equal
+    the direct groupBy(token) heavy-hitter set — same tokens, same
+    exact counts — independent of partition layout."""
+    from landsat_tair_data_pipeline_spark.operators.text import (
+        _HH_PHI,
+        TOKENS,
+    )
+    from landsat_tair_data_pipeline_spark.sources.tables import table
+
+    got = {
+        (r.tok, r.n_occurrences)
+        for r in SPECS["text_heavy_hitters"].fn(spark, SF).collect()
+    }
+    toks = table(spark, SF, "documents").select(
+        F.explode(TOKENS()).alias("tok")
+    )
+    n = toks.count()
+    want = {
+        (r.tok, r.c)
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") * _HH_PHI > F.lit(n))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_bitmap_distinct_crosses_bucket_boundaries(spark):
+    """agg_bitmap_distinct's bucket arithmetic must count exactly at
+    the 32768-bit bucket edges (an off-by-one in bucket_number /
+    bit_position double-counts or merges adjacent buckets). Synthetic
+    ids straddling three boundaries, with duplicates."""
+    ids = [0, 1, 32767, 32768, 32769, 65535, 65536, 10**9, 10**9 + 1]
+    rows = [(i,) for i in ids * 3]
+    df = spark.createDataFrame(rows, "user_id: long")
+    got = (
+        df.select(
+            F.bitmap_bucket_number("user_id").alias("bkt"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert got == len(set(ids))

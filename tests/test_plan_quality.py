@@ -601,3 +601,29 @@ def test_containment_broadcasts_only_bounded_frames(spark):
         assert i + 1 < len(lines) and "GlobalLimit 65536" in lines[i + 1], (
             lines[i : i + 2]
         )
+
+
+def test_heavy_hitters_python_stage_is_sketch_only(spark):
+    """text_heavy_hitters: exactly ONE Arrow-batched Python stage (the
+    Misra-Gries sketch), the exact verify pass reaches the token
+    aggregate through a broadcast candidate join (never a full-vocab
+    shuffle of unfiltered tokens), and the only nested-loop join is
+    the 1-row total combine."""
+    plan = _plan(spark, "text_heavy_hitters")
+    assert plan.count("MapInPandas") == 1, plan.count("MapInPandas")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # candidate semi-join pre-agg
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_bitmap_distinct_avoids_expand_and_raw_pair_shuffle(spark):
+    """agg_bitmap_distinct exists to beat COUNT(DISTINCT)'s plan: no
+    Expand rewrite, no per-(day,user) distinct aggregate — the first
+    shuffle carries per-(day,bucket) bitmap buffers built by a partial
+    aggregate map-side. The persisted bitmap frame feeds both rollup
+    levels (cache scan present)."""
+    plan = _plan(spark, "agg_bitmap_distinct")
+    assert "Expand" not in plan
+    assert "bitmap_construct_agg" in plan
+    assert "InMemoryTableScan" in plan
+    assert _shuffles(plan) <= 6, _shuffles(plan)
