@@ -1609,7 +1609,12 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     self-looped edge list is persisted once and re-scanned per round
     (the pagerank pattern). At 100 TB, edges and labels co-partition
     on node id and T bounds total cost linearly."""
-    pairs = dedup_shared_ngram_pairs(spark, sf).select("doc_a", "doc_b")
+    # persist the pair-finder output: the edges plan references it 4x
+    # (sym twice, the self-loop distinct over sym twice more), and the
+    # gram self-join inside it is the op's most expensive stage
+    pairs = persist_tracked(
+        dedup_shared_ngram_pairs(spark, sf).select("doc_a", "doc_b")
+    )
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -1760,7 +1765,7 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
        ROUND(6.0 * (SELECT n_triangles FROM tri)
              / (SELECT SUM(deg * (deg - 1)) FROM deg) + 1e-9, 6)
          AS global_clustering
-""".format(pairs="{pairs}")
+"""
 
 
 def _triangle_sql() -> str:

@@ -769,6 +769,7 @@ def emb_kmeans_converged(spark: SparkSession, sf: str) -> DataFrame:
     prev_inertia = None
     monotone = True
     converged = False
+    prev_assign = None
     _KMEANS_CONV_TRACE.clear()
     for _ in range(_KMEANS_CONV_CAP):
         cdf = F.broadcast(
@@ -801,6 +802,21 @@ def emb_kmeans_converged(spark: SparkSession, sf: str) -> DataFrame:
         ).collect()[0]
         inertia, n_vectors = float(stats["inertia"]), int(stats["n"])
         _KMEANS_CONV_TRACE.append(inertia)
+        # one live cache at a time: the previous iteration's assignment
+        # is dead once this one materialized (per-call churn would
+        # otherwise stack up to CAP frames in executor storage)
+        if prev_assign is not None:
+            prev_assign.unpersist()
+        prev_assign = assign
+        if prev_inertia is not None:
+            if inertia > prev_inertia * (1 + 1e-9) + 1e-9:
+                monotone = False
+            if prev_inertia - inertia <= _KMEANS_CONV_RTOL * max(
+                prev_inertia, 1.0
+            ):
+                converged = True
+                break  # before the centroid update the break discards
+        prev_inertia = inertia
         new_rows = (
             ex.join(assign, "vec_id")
             .groupBy("cid", "d")
@@ -812,15 +828,8 @@ def emb_kmeans_converged(spark: SparkSession, sf: str) -> DataFrame:
         cent.update(
             {(int(r["cid"]), int(r["d"])): float(r["c"]) for r in new_rows}
         )
-        if prev_inertia is not None:
-            if inertia > prev_inertia * (1 + 1e-9) + 1e-9:
-                monotone = False
-            if prev_inertia - inertia <= _KMEANS_CONV_RTOL * max(
-                prev_inertia, 1.0
-            ):
-                converged = True
-                break
-        prev_inertia = inertia
+    if prev_assign is not None:
+        prev_assign.unpersist()
     return spark.createDataFrame(
         [(_KMEANS_K, n_dims, n_vectors, converged, monotone)],
         "k long, n_dims long, n_vectors long, "
