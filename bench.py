@@ -129,6 +129,8 @@ HEADLINE = [
     "dedup_containment_pairs",
     "text_heavy_hitters",
     "agg_bitmap_distinct",
+    "join_asof_tolerance",
+    "layout_zorder_stats",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.
@@ -230,6 +232,8 @@ FIRST_BENCHED = {
             "dedup_containment_pairs",
             "text_heavy_hitters",
             "agg_bitmap_distinct",
+            "join_asof_tolerance",
+            "layout_zorder_stats",
         )
     },
 }

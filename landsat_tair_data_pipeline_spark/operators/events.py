@@ -214,6 +214,21 @@ def join_asof(spark: SparkSession, sf: str) -> DataFrame:
     oracle's tie-break; the oracle is DuckDB's native ASOF LEFT JOIN.
     Sorting side=0 (click) before side=1 (purchase) at equal ts gives
     at-or-BEFORE semantics (ts >= click ts), same as ASOF's >=."""
+    return _asof_purchases_with_last_click(spark, sf).select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        F.round(F.col("_lag_us") / 1000000.0 + 1e-9, 3).alias("lag_seconds"),
+    )
+
+
+def _asof_purchases_with_last_click(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared union-merge core of the as-of family (join_asof /
+    join_asof_tolerance): every purchase row carried with the user's
+    most recent at-or-before click and the raw lag in microseconds
+    (``_lag_us``, NULL when the user has no prior click)."""
     ev = table(spark, sf, "events")
     wr = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
     clicks = (
@@ -256,11 +271,42 @@ def join_asof(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         "click_id",
         "click_ts",
-        F.round(
-            (F.unix_micros("ts") - F.unix_micros("click_ts")) / 1000000.0
-            + 1e-9,
-            3,
-        ).alias("lag_seconds"),
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("_lag_us"),
+    )
+
+
+#: staleness bound for join_asof_tolerance: a click older than this is
+#: treated as no match (pandas merge_asof ``tolerance=`` semantics).
+#: 6 hours keeps both classes well-populated at every SF (measured:
+#: ~11% of purchases match at sf0.001/0.01/0.1 — never trivially
+#: all-matched or all-null at the driver's scale).
+_ASOF_TOLERANCE_US = 21_600_000_000
+
+
+def join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """AS-OF JOIN with a staleness tolerance — join_asof, but a click
+    counts only if it happened within 6 hours before the purchase
+    (pandas ``merge_asof(tolerance=...)`` / QuestDB ``ASOF JOIN
+    TOLERANCE``). Stale matches are nulled, not dropped: every
+    purchase row survives with NULL click columns, which is what an
+    attribution consumer needs (unattributed revenue stays visible).
+
+    Same single user_id shuffle and O(1) window state as join_asof —
+    the tolerance is a post-merge column mask, so the scale shape is
+    identical (no candidate-pair blowup; a range join expressing the
+    same bound would materialize every click x purchase pair within
+    6 h before filtering)."""
+    p = _asof_purchases_with_last_click(spark, sf)
+    ok = F.col("_lag_us") <= F.lit(_ASOF_TOLERANCE_US)
+    return p.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.when(ok, F.col("click_id")).alias("click_id"),
+        F.when(ok, F.col("click_ts")).alias("click_ts"),
+        F.when(ok, F.round(F.col("_lag_us") / 1000000.0 + 1e-9, 3)).alias(
+            "lag_seconds"
+        ),
     )
 
 
@@ -279,6 +325,30 @@ SELECT l.purchase_id, l.user_id, l.ts AS purchase_ts,
        ROUND((epoch_us(l.ts) - epoch_us(r.ts)) / 1000000.0 + 1e-9, 3)
          AS lag_seconds
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+_ASOF_TOL_SQL = """
+WITH r AS (
+  SELECT user_id, ts, event_id AS click_id FROM (
+    SELECT user_id, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click') t
+  WHERE rn = 1),
+l AS (SELECT user_id, ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'),
+a AS (
+  SELECT l.purchase_id, l.user_id, l.ts AS purchase_ts,
+         r.click_id, r.ts AS click_ts,
+         epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts)
+SELECT purchase_id, user_id, purchase_ts,
+       CASE WHEN lag_us <= 21600000000 THEN click_id END AS click_id,
+       CASE WHEN lag_us <= 21600000000 THEN click_ts END AS click_ts,
+       CASE WHEN lag_us <= 21600000000
+            THEN ROUND(lag_us / 1000000.0 + 1e-9, 3) END AS lag_seconds
+FROM a
 """
 
 
@@ -1985,6 +2055,183 @@ FROM sc
 """
 
 
+def _quant_expr(x_double: str, lo: str, hi: str, bins: int) -> str:
+    """Fixed-width quantization of ``x`` into ``[0, bins)`` given its
+    global lo/hi — shared TEXT between the Spark plan (F.expr) and the
+    DuckDB oracle so both engines run byte-identical double arithmetic
+    (same parenthesization → same IEEE result → identical bins). No
+    global sort: rank-based quantiles would need one; min/max is a
+    1-row aggregate broadcast everywhere."""
+    return (
+        f"CAST(LEAST({bins - 1}, FLOOR((({x_double}) - {lo}) * {bins}.0"
+        f" / CAST(({hi}) - ({lo}) AS DOUBLE))) AS INT)"
+    )
+
+
+#: Morton interleave of two 8-bit quantized dims (qx odd bits, qy even
+#: bits) — plain bit arithmetic, valid verbatim in Spark SQL and DuckDB.
+_Z_BITS = " + ".join(
+    f"(((qx >> {i}) & 1) << {2 * i + 1}) + (((qy >> {i}) & 1) << {2 * i})"
+    for i in range(8)
+)
+#: top 6 bits of the 16-bit Morton key = 64 z-regions, each a 32x32
+#: square in (qx, qy) space — the file boundaries a z-ordered writer
+#: would produce.
+_ZF_EXPR = f"(({_Z_BITS}) >> 10)"
+_QX_EXPR = _quant_expr("CAST(user_id AS DOUBLE)", "ux0", "ux1", 256)
+_QY_EXPR = _quant_expr("value", "vx0", "vx1", 256)
+
+
+def layout_zorder_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-ORDER DATA LAYOUT, quantified — the multi-dimensional
+    data-skipping story at 100 TB. A table sorted by one column prunes
+    parquet files (row-group min/max) only for predicates on that
+    column; interleaving the bits of two quantized dimensions (Morton /
+    Z-order curve, the Delta Lake OPTIMIZE ZORDER BY layout) gives
+    every file a small min/max envelope in BOTH dimensions at once.
+
+    This operator computes, for the same events table laid out two
+    ways — 64 z-regions of the 16-bit Morton key of (user_id, value)
+    vs 64 time-ordered files (the natural ingest order) — each file's
+    per-dimension min/max, then probes all 256 point queries per
+    dimension against those envelopes and returns the average number
+    of files a min/max-pruning scan would have to read:
+
+      (layout, dim, n_files, avg_files_scanned)
+
+    Expected shape: the z-layout scans ~n_files/8 per point query on
+    EITHER dimension (a 6-bit z-prefix fixes 3 high bits of each dim);
+    the time-ordered layout scans ~all files for both (ingest time is
+    uncorrelated with user and value). At scale the layout itself is
+    `repartitionByRange(zkey).sortWithinPartitions(zkey)` at write
+    time; everything here is the decision metric for it, computed with
+    one 1-row min/max broadcast (no global sort — a rank-based
+    quantizer would need one), one persisted pass stamping
+    (qx, qy, zf, tf), two tiny groupBys, and a broadcast probe join.
+    Fully deterministic, hence fully oracled — the quantizer and the
+    Morton key are shared SQL text run verbatim by both engines."""
+    from ..util import persist_tracked
+
+    ev = table(spark, sf, "events")
+    rng = ev.agg(
+        F.min("user_id").alias("ux0"),
+        F.max("user_id").alias("ux1"),
+        F.min("value").alias("vx0"),
+        F.max("value").alias("vx1"),
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    quant = persist_tracked(
+        ev.select("user_id", "value", F.unix_micros("ts").alias("tus"))
+        .crossJoin(F.broadcast(rng))
+        .selectExpr(
+            f"{_QX_EXPR} AS qx",
+            f"{_QY_EXPR} AS qy",
+            f"{_quant_expr('CAST(tus AS DOUBLE)', 't0', 't1', 64)} AS tf",
+        )
+        .withColumn("zf", F.expr(_ZF_EXPR))
+    )
+
+    def file_stats(filecol: str, layout: str) -> DataFrame:
+        s = quant.groupBy(F.col(filecol).alias("file_id")).agg(
+            F.min("qx").alias("ulo"),
+            F.max("qx").alias("uhi"),
+            F.min("qy").alias("vlo"),
+            F.max("qy").alias("vhi"),
+        )
+        u = s.select(
+            F.lit(layout).alias("layout"),
+            F.lit("user").alias("dim"),
+            "file_id",
+            F.col("ulo").alias("lo"),
+            F.col("uhi").alias("hi"),
+        )
+        v = s.select(
+            F.lit(layout).alias("layout"),
+            F.lit("value").alias("dim"),
+            "file_id",
+            F.col("vlo").alias("lo"),
+            F.col("vhi").alias("hi"),
+        )
+        return u.unionByName(v)
+
+    stats = persist_tracked(
+        file_stats("zf", "zorder").unionByName(file_stats("tf", "linear"))
+    )
+    probes = spark.range(256).select(F.col("id").cast("int").alias("c"))
+    combos = stats.select("layout", "dim").distinct()
+    st = stats.select(
+        F.col("layout").alias("s_layout"),
+        F.col("dim").alias("s_dim"),
+        "file_id",
+        "lo",
+        "hi",
+    )
+    counts = (
+        probes.crossJoin(F.broadcast(combos))
+        .join(
+            F.broadcast(st),
+            (F.col("layout") == F.col("s_layout"))
+            & (F.col("dim") == F.col("s_dim"))
+            & (F.col("c") >= F.col("lo"))
+            & (F.col("c") <= F.col("hi")),
+            "left",
+        )
+        .groupBy("layout", "dim", "c")
+        .agg(F.count("file_id").alias("nhit"))
+    )
+    n_files = stats.groupBy("layout").agg(
+        F.countDistinct("file_id").alias("n_files")
+    )
+    return (
+        counts.groupBy("layout", "dim")
+        .agg(F.round(F.avg("nhit") + 1e-9, 4).alias("avg_files_scanned"))
+        .join(F.broadcast(n_files), "layout")
+        .select("layout", "dim", "n_files", "avg_files_scanned")
+    )
+
+
+_ZORDER_SQL = f"""
+WITH rng AS (
+  SELECT MIN(user_id) AS ux0, MAX(user_id) AS ux1,
+         MIN(value)   AS vx0, MAX(value)   AS vx1,
+         MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+  FROM events),
+q AS (
+  SELECT {_QX_EXPR} AS qx,
+         {_QY_EXPR} AS qy,
+         {_quant_expr("CAST(epoch_us(ts) AS DOUBLE)", "t0", "t1", 64)} AS tf
+  FROM events CROSS JOIN rng),
+z AS (SELECT qx, qy, tf, {_ZF_EXPR} AS zf FROM q),
+sz AS (SELECT zf AS file_id, MIN(qx) AS ulo, MAX(qx) AS uhi,
+              MIN(qy) AS vlo, MAX(qy) AS vhi FROM z GROUP BY zf),
+st AS (SELECT tf AS file_id, MIN(qx) AS ulo, MAX(qx) AS uhi,
+              MIN(qy) AS vlo, MAX(qy) AS vhi FROM z GROUP BY tf),
+stats AS (
+  SELECT 'zorder' AS layout, 'user'  AS dim, file_id, ulo AS lo, uhi AS hi FROM sz
+  UNION ALL
+  SELECT 'zorder' AS layout, 'value' AS dim, file_id, vlo AS lo, vhi AS hi FROM sz
+  UNION ALL
+  SELECT 'linear' AS layout, 'user'  AS dim, file_id, ulo AS lo, uhi AS hi FROM st
+  UNION ALL
+  SELECT 'linear' AS layout, 'value' AS dim, file_id, vlo AS lo, vhi AS hi FROM st),
+probes AS (SELECT CAST(g.c AS INT) AS c FROM generate_series(0, 255) g(c)),
+combos AS (SELECT DISTINCT layout, dim FROM stats),
+counts AS (
+  SELECT p.layout, p.dim, p.c, COUNT(s.file_id) AS nhit
+  FROM (SELECT * FROM probes CROSS JOIN combos) p
+  LEFT JOIN stats s
+    ON s.layout = p.layout AND s.dim = p.dim AND p.c BETWEEN s.lo AND s.hi
+  GROUP BY p.layout, p.dim, p.c),
+nf AS (SELECT layout, CAST(COUNT(DISTINCT file_id) AS BIGINT) AS n_files
+       FROM stats GROUP BY layout)
+SELECT c.layout, c.dim, nf.n_files,
+       ROUND(AVG(c.nhit) + 1e-9, 4) AS avg_files_scanned
+FROM counts c JOIN nf ON nf.layout = c.layout
+GROUP BY c.layout, c.dim, nf.n_files
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec("events_tumbling", events_tumbling, _TUMBLING_SQL),
     "events_sliding": QuerySpec("events_sliding", events_sliding, _SLIDING_SQL),
@@ -2100,5 +2347,12 @@ QUERIES: dict[str, QuerySpec] = {
     # r9: ratio-thresholded RFM segmentation (fronted on arrival)
     "events_rfm_segment": QuerySpec(
         "events_rfm_segment", events_rfm_segment, _RFM_SQL
+    ),
+    # r9 late additions (fronted in registry._ROUND9_FRONT on arrival)
+    "join_asof_tolerance": QuerySpec(
+        "join_asof_tolerance", join_asof_tolerance, _ASOF_TOL_SQL
+    ),
+    "layout_zorder_stats": QuerySpec(
+        "layout_zorder_stats", layout_zorder_stats, _ZORDER_SQL
     ),
 }

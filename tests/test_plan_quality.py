@@ -627,3 +627,30 @@ def test_bitmap_distinct_avoids_expand_and_raw_pair_shuffle(spark):
     assert "bitmap_construct_agg" in plan
     assert "InMemoryTableScan" in plan
     assert _shuffles(plan) <= 6, _shuffles(plan)
+
+
+def test_asof_tolerance_single_user_shuffle_no_range_join(spark):
+    """join_asof_tolerance must keep join_asof's union-merge shape:
+    the tolerance is a column mask, so the plan has the SAME cost —
+    one user_id window pass, no join node at all (a range-join
+    formulation would materialize every click x purchase pair within
+    the 6 h bound before filtering)."""
+    plan = _plan(spark, "join_asof_tolerance")
+    assert "Join" not in plan, plan[:800]
+    assert "Window" in plan
+    assert _shuffles(plan) <= 3, _shuffles(plan)
+
+
+def test_zorder_stats_sort_free_and_broadcast_probed(spark):
+    """layout_zorder_stats' scale contract: the quantizer is min/max
+    fixed-width binning (a 1-row aggregate broadcast), NEVER a global
+    rank/NTILE sort over the fact table; the stamped (qx,qy,zf,tf)
+    pass is persisted once and feeds both layouts' file stats; the
+    256-probe evaluation joins only broadcast-sized frames."""
+    plan = _plan(spark, "layout_zorder_stats")
+    assert "Sort " not in plan and "SortMergeJoin" not in plan, plan[:800]
+    assert "Window" not in plan
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    # every real join in the probe evaluation is broadcast-built
+    assert plan.count("BroadcastHashJoin") >= 1
