@@ -310,8 +310,12 @@ def join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_ASOF_SQL = """
-WITH r AS (
+#: shared r/l CTE block of the as-of family's oracles: deduped clicks
+#: (max event_id per (user, ts), the tie-break join_asof documents)
+#: and raw purchases. Shared TEXT so a tie-break change cannot drift
+#: between the plain and the tolerance oracle.
+_ASOF_CTES = """\
+r AS (
   SELECT user_id, ts, event_id AS click_id FROM (
     SELECT user_id, ts, event_id,
            ROW_NUMBER() OVER (PARTITION BY user_id, ts
@@ -319,7 +323,11 @@ WITH r AS (
     FROM events WHERE event_type = 'click') t
   WHERE rn = 1),
 l AS (SELECT user_id, ts, event_id AS purchase_id
-      FROM events WHERE event_type = 'purchase')
+      FROM events WHERE event_type = 'purchase')"""
+
+
+_ASOF_SQL = f"""
+WITH {_ASOF_CTES}
 SELECT l.purchase_id, l.user_id, l.ts AS purchase_ts,
        r.click_id, r.ts AS click_ts,
        ROUND((epoch_us(l.ts) - epoch_us(r.ts)) / 1000000.0 + 1e-9, 3)
@@ -328,25 +336,17 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
-_ASOF_TOL_SQL = """
-WITH r AS (
-  SELECT user_id, ts, event_id AS click_id FROM (
-    SELECT user_id, ts, event_id,
-           ROW_NUMBER() OVER (PARTITION BY user_id, ts
-                              ORDER BY event_id DESC) AS rn
-    FROM events WHERE event_type = 'click') t
-  WHERE rn = 1),
-l AS (SELECT user_id, ts, event_id AS purchase_id
-      FROM events WHERE event_type = 'purchase'),
+_ASOF_TOL_SQL = f"""
+WITH {_ASOF_CTES},
 a AS (
   SELECT l.purchase_id, l.user_id, l.ts AS purchase_ts,
          r.click_id, r.ts AS click_ts,
          epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
   FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts)
 SELECT purchase_id, user_id, purchase_ts,
-       CASE WHEN lag_us <= 21600000000 THEN click_id END AS click_id,
-       CASE WHEN lag_us <= 21600000000 THEN click_ts END AS click_ts,
-       CASE WHEN lag_us <= 21600000000
+       CASE WHEN lag_us <= {_ASOF_TOLERANCE_US} THEN click_id END AS click_id,
+       CASE WHEN lag_us <= {_ASOF_TOLERANCE_US} THEN click_ts END AS click_ts,
+       CASE WHEN lag_us <= {_ASOF_TOLERANCE_US}
             THEN ROUND(lag_us / 1000000.0 + 1e-9, 3) END AS lag_seconds
 FROM a
 """
@@ -2061,10 +2061,14 @@ def _quant_expr(x_double: str, lo: str, hi: str, bins: int) -> str:
     DuckDB oracle so both engines run byte-identical double arithmetic
     (same parenthesization → same IEEE result → identical bins). No
     global sort: rank-based quantiles would need one; min/max is a
-    1-row aggregate broadcast everywhere."""
+    1-row aggregate broadcast everywhere. The lo = hi guard matters:
+    without it a constant column divides by zero, and the engines
+    DIVERGE on the NaN (Spark floor(NaN) → 0, DuckDB CAST(NaN AS INT)
+    errors) — a constant dim simply has one bin."""
     return (
+        f"CASE WHEN ({hi}) = ({lo}) THEN 0 ELSE "
         f"CAST(LEAST({bins - 1}, FLOOR((({x_double}) - {lo}) * {bins}.0"
-        f" / CAST(({hi}) - ({lo}) AS DOUBLE))) AS INT)"
+        f" / CAST(({hi}) - ({lo}) AS DOUBLE))) AS INT) END"
     )
 
 

@@ -201,3 +201,19 @@ def test_bitmap_distinct_crosses_bucket_boundaries(spark):
         .n
     )
     assert got == len(set(ids))
+
+
+def test_quant_expr_constant_dim_is_single_bin_both_engines(spark):
+    """layout_zorder_stats' shared quantizer must map a constant
+    column (global min == max) to bin 0 IDENTICALLY in both engines —
+    without the guard the division by zero makes Spark floor(NaN) -> 0
+    while DuckDB errors on CAST(NaN AS INT), so a degenerate extract
+    would crash the oracle instead of quantizing to one bin."""
+    import duckdb
+
+    from landsat_tair_data_pipeline_spark.operators.events import _quant_expr
+
+    expr = _quant_expr("CAST(x AS DOUBLE)", "lo", "hi", 256)
+    q = f"SELECT {expr} AS q FROM (SELECT 5 AS x, 5 AS lo, 5 AS hi) t"
+    assert spark.sql(q).collect()[0]["q"] == 0
+    assert duckdb.sql(q).fetchone()[0] == 0
