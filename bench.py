@@ -131,6 +131,8 @@ HEADLINE = [
     "agg_bitmap_distinct",
     "join_asof_tolerance",
     "layout_zorder_stats",
+    "window_distinct_trailing",
+    "join_interval_overlap",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.
@@ -234,6 +236,8 @@ FIRST_BENCHED = {
             "agg_bitmap_distinct",
             "join_asof_tolerance",
             "layout_zorder_stats",
+            "window_distinct_trailing",
+            "join_interval_overlap",
         )
     },
 }

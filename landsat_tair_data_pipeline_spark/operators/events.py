@@ -2055,6 +2055,117 @@ FROM sc
 """
 
 
+#: interval-overlap join constants: 1-hour bin grid (µs) and the
+#: ±30 min half-width of an error's impact window.
+_OVL_GRID_US = 3_600_000_000
+_OVL_HALF_US = 1_800_000_000
+
+
+def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERVAL x INTERVAL OVERLAP JOIN — each user's daily activity
+    span matched to that user's error-impact windows (error ts ± 30
+    min) it overlaps, with the overlap duration. join_range_interval
+    covers point-in-interval; this is the two-sided case (incident
+    correlation, ad-session x outage attribution).
+
+    Spark has no interval join; the scalable form is the BINNED
+    equi-join: both interval sets explode into the 1-hour grid cells
+    they cover (activity spans <= 25 cells, error windows <= 2), the
+    join runs equi on (user_id, cell) — hash-partitionable, never a
+    BroadcastNestedLoopJoin on the raw inequality predicate, whose
+    build side at 100 TB is unboundable — and the residual overlap
+    predicate filters inside the joined cell. A pair whose overlap
+    spans several shared cells would duplicate: the CANONICAL-CELL
+    rule (emit only where the cell contains GREATEST(a_start,
+    b_start), i.e. the first overlapping cell) makes each pair emit
+    exactly once with zero dedup shuffle. Touching intervals (overlap
+    = 0 s) count, matching the oracle's inclusive <=."""
+    ev = table(spark, sf, "events")
+    a = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min(F.unix_micros("ts")).alias("a_start"),
+        F.max(F.unix_micros("ts")).alias("a_end"),
+    )
+    b = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        (F.unix_micros("ts") - _OVL_HALF_US).alias("b_start"),
+        (F.unix_micros("ts") + _OVL_HALF_US).alias("b_end"),
+    )
+    ac = a.select(
+        "user_id",
+        "day",
+        "a_start",
+        "a_end",
+        F.explode(
+            F.expr(
+                f"sequence(a_start div {_OVL_GRID_US}, "
+                f"a_end div {_OVL_GRID_US})"
+            )
+        ).alias("cell"),
+    )
+    bc = b.select(
+        F.col("user_id").alias("b_user"),
+        "err_id",
+        "b_start",
+        "b_end",
+        F.explode(
+            F.expr(
+                f"sequence(b_start div {_OVL_GRID_US}, "
+                f"b_end div {_OVL_GRID_US})"
+            )
+        ).alias("b_cell"),
+    )
+    # exact integer division: epoch-µs magnitudes sit near the double
+    # mantissa edge, where a true-division quotient can round across
+    # the bin boundary
+    first_overlap_cell = F.expr(
+        f"greatest(a_start, b_start) div {_OVL_GRID_US}"
+    )
+    return (
+        ac.join(
+            bc,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("cell") == F.col("b_cell"))
+            & (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end")),
+        )
+        .where(F.col("cell") == first_overlap_cell)
+        .select(
+            "user_id",
+            "day",
+            "err_id",
+            F.round(
+                (
+                    F.least("a_end", "b_end")
+                    - F.greatest("a_start", "b_start")
+                )
+                / 1000000.0
+                + 1e-9,
+                3,
+            ).alias("overlap_seconds"),
+        )
+    )
+
+
+_INTERVAL_OVERLAP_SQL = f"""
+WITH a AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         MIN(epoch_us(ts)) AS a_start, MAX(epoch_us(ts)) AS a_end
+  FROM events GROUP BY 1, 2),
+b AS (
+  SELECT user_id, event_id AS err_id,
+         epoch_us(ts) - {_OVL_HALF_US} AS b_start,
+         epoch_us(ts) + {_OVL_HALF_US} AS b_end
+  FROM events WHERE event_type = 'error')
+SELECT a.user_id, a.day, b.err_id,
+       ROUND((LEAST(a.a_end, b.b_end) - GREATEST(a.a_start, b.b_start))
+             / 1000000.0 + 1e-9, 3) AS overlap_seconds
+FROM a JOIN b
+  ON a.user_id = b.user_id
+ AND a.a_start <= b.b_end AND b.b_start <= a.a_end
+"""
+
+
 def _quant_expr(x_double: str, lo: str, hi: str, bins: int) -> str:
     """Fixed-width quantization of ``x`` into ``[0, bins)`` given its
     global lo/hi — shared TEXT between the Spark plan (F.expr) and the
@@ -2358,5 +2469,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "layout_zorder_stats": QuerySpec(
         "layout_zorder_stats", layout_zorder_stats, _ZORDER_SQL
+    ),
+    "join_interval_overlap": QuerySpec(
+        "join_interval_overlap", join_interval_overlap, _INTERVAL_OVERLAP_SQL
     ),
 }

@@ -182,6 +182,71 @@ FROM events
 """
 
 
+def window_distinct_trailing(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT trailing-7-day distinct users per day (rolling DAU/WAU) —
+    the window aggregate SQL cannot express scalably: COUNT(DISTINCT)
+    OVER a RANGE frame isn't supported, and the standard workaround
+    (explode every EVENT into the 7 windows it feeds, then per-window
+    distinct) shuffles the fact table 7x and re-deduplicates raw pairs
+    per window.
+
+    Composition over agg_bitmap_distinct's machinery instead: events
+    shuffle ONCE into per-(day, 32k-bucket) bitmaps; each bitmap row —
+    days x buckets of them, independent of event count — fans out to
+    the <= 7 window anchors it feeds (sequence + explode, an equi
+    join on observed anchor days, never a nested-loop date-range
+    probe, which is days^2 x buckets comparisons at a decade of
+    retention), and bitmap_or_agg re-merges per (anchor, bucket).
+    Exactness for free: OR of exact bitmaps is exact — no HLL error
+    bar — and windows with fewer than 7 observed days merge only what
+    exists, matching the oracle's BETWEEN. The daily bitmap frame is
+    persisted once and feeds both the 1-day and the 7-day rollup."""
+    from ..util import persist_tracked
+
+    ev = table(spark, sf, "events").select(
+        F.to_date("ts").alias("day"),
+        F.bitmap_bucket_number("user_id").alias("bkt"),
+        F.bitmap_bit_position("user_id").alias("pos"),
+    )
+    bm = persist_tracked(
+        ev.groupBy("day", "bkt").agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    days = bm.select(F.col("day").alias("d")).distinct()
+    daily = bm.groupBy("day").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users_1d")
+    )
+    trailing = (
+        bm.select(
+            F.explode(F.sequence("day", F.date_add("day", 6))).alias("d"),
+            "bkt",
+            "bm",
+        )
+        .join(F.broadcast(days), "d")
+        .groupBy("d", "bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("d")
+        .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users_7d"))
+    )
+    return trailing.join(daily, trailing.d == daily.day).select(
+        F.col("d").alias("day"), "n_users_1d", "n_users_7d"
+    )
+
+
+_DISTINCT_TRAILING_SQL = """
+WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM e),
+daily AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_1d
+  FROM e GROUP BY day),
+roll AS (
+  SELECT d.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users_7d
+  FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day)
+SELECT t.day, daily.n_users_1d, t.n_users_7d
+FROM roll t JOIN daily ON daily.day = t.day
+"""
+
+
 def agg_group_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped summary stats per station-analog (SURVEY §2.5 note:
     grouped variants of the reference's global-only aggregates)."""
@@ -2099,5 +2164,10 @@ QUERIES: dict[str, QuerySpec] = {
     # round-9 addition (fronted in registry._ROUND9_FRONT on arrival)
     "agg_bitmap_distinct": QuerySpec(
         "agg_bitmap_distinct", agg_bitmap_distinct, _BITMAP_DISTINCT_SQL
+    ),
+    "window_distinct_trailing": QuerySpec(
+        "window_distinct_trailing",
+        window_distinct_trailing,
+        _DISTINCT_TRAILING_SQL,
     ),
 }

@@ -654,3 +654,33 @@ def test_zorder_stats_sort_free_and_broadcast_probed(spark):
     assert "CartesianProduct" not in plan
     # every real join in the probe evaluation is broadcast-built
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_distinct_trailing_is_bitmap_rollup_not_event_fanout(spark):
+    """window_distinct_trailing's scale contract: the fact table
+    shuffles ONCE into per-(day,bucket) bitmaps (persisted, cache scan
+    visible); the 7x fan-out happens on the tiny bitmap frame via an
+    EQUI join on observed anchor days — never a date-range nested-loop
+    probe — and no Expand/distinct rewrite appears anywhere."""
+    plan = _plan(spark, "window_distinct_trailing")
+    assert "Expand" not in plan
+    assert "bitmap_construct_agg" in plan
+    assert "bitmap_or_agg" in plan
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    # 8-ceiling: the persisted (day,bkt) subtree's exchange prints once
+    # per consuming branch; everything above it is days x buckets sized
+    assert _shuffles(plan) <= 8, _shuffles(plan)
+
+
+def test_interval_overlap_is_binned_equi_join(spark):
+    """join_interval_overlap must run as a hash-partitionable equi
+    join on (user_id, grid cell) with the overlap predicate as a
+    residual filter — never a nested-loop inequality join (unbounded
+    build side at scale) — and exactly two Generate nodes (one
+    cell-explode per interval side; the canonical-cell rule replaces
+    any dedup aggregate)."""
+    plan = _plan(spark, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate") == 2, plan.count("Generate")
