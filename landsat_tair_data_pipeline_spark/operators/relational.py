@@ -148,16 +148,7 @@ def agg_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
     the fact table, the exact-count analogue of an HLL union rollup
     (agg_sketch_hll) with zero approximation error. The bitmap frame
     is persisted once and feeds both rollup levels."""
-    from ..util import persist_tracked
-
-    ev = table(spark, sf, "events").select(
-        F.to_date("ts").alias("day"),
-        F.bitmap_bucket_number("user_id").alias("bkt"),
-        F.bitmap_bit_position("user_id").alias("pos"),
-    )
-    bm = persist_tracked(
-        ev.groupBy("day", "bkt").agg(F.bitmap_construct_agg("pos").alias("bm"))
-    )
+    bm = _daily_user_bitmaps(spark, sf)
     daily = bm.groupBy("day").agg(
         F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users")
     ).select(F.col("day").cast("string").alias("day"), "n_users")
@@ -168,6 +159,23 @@ def agg_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.lit("ALL").alias("day"), "n_users")
     )
     return daily.unionByName(overall)
+
+
+def _daily_user_bitmaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared bitmap-construction core of the exact-distinct family
+    (agg_bitmap_distinct / window_distinct_trailing): per-(day,
+    32k-bucket) user bitmaps, persisted once — the single fact-table
+    shuffle every rollup level reaggregates from."""
+    from ..util import persist_tracked
+
+    ev = table(spark, sf, "events").select(
+        F.to_date("ts").alias("day"),
+        F.bitmap_bucket_number("user_id").alias("bkt"),
+        F.bitmap_bit_position("user_id").alias("pos"),
+    )
+    return persist_tracked(
+        ev.groupBy("day", "bkt").agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
 
 
 _BITMAP_DISTINCT_SQL = """
@@ -201,16 +209,7 @@ def window_distinct_trailing(spark: SparkSession, sf: str) -> DataFrame:
     bar — and windows with fewer than 7 observed days merge only what
     exists, matching the oracle's BETWEEN. The daily bitmap frame is
     persisted once and feeds both the 1-day and the 7-day rollup."""
-    from ..util import persist_tracked
-
-    ev = table(spark, sf, "events").select(
-        F.to_date("ts").alias("day"),
-        F.bitmap_bucket_number("user_id").alias("bkt"),
-        F.bitmap_bit_position("user_id").alias("pos"),
-    )
-    bm = persist_tracked(
-        ev.groupBy("day", "bkt").agg(F.bitmap_construct_agg("pos").alias("bm"))
-    )
+    bm = _daily_user_bitmaps(spark, sf)
     days = bm.select(F.col("day").alias("d")).distinct()
     daily = bm.groupBy("day").agg(
         F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users_1d")
