@@ -133,6 +133,7 @@ HEADLINE = [
     "layout_zorder_stats",
     "window_distinct_trailing",
     "join_interval_overlap",
+    "emb_pq_codes",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.
@@ -238,6 +239,7 @@ FIRST_BENCHED = {
             "layout_zorder_stats",
             "window_distinct_trailing",
             "join_interval_overlap",
+            "emb_pq_codes",
         )
     },
 }

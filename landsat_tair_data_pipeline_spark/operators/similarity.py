@@ -853,6 +853,136 @@ def _compose_emb_stratified_sql() -> str:
     return _EMB_STRATIFIED_SQL.format(hash=_MULT_HASH_SQL)
 
 
+#: PQ geometry: 64-dim vectors split into 4 subspaces of 16 dims,
+#: 16 codes per subspace → a 64x4-byte float vector compresses to 4
+#: one-byte codes (64:1 with float32 storage).
+_PQ_SUBDIM = 16
+_PQ_CODES = 16
+
+
+def emb_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """PRODUCT QUANTIZATION code assignment — the third leg of the
+    ANN quantization family (emb_quantize_int8 = scalar, sim_ivf_* =
+    coarse cells, this = subspace codes; IVF-PQ is the canonical
+    10^9-vector recipe). Each 64-dim vector splits into 4 subspaces
+    of 16 dims; every subspace is encoded as the id of its nearest
+    codebook entry, so a vector stores as 4 bytes and asymmetric
+    distance scans read codebook-distance tables instead of floats.
+
+    Kept deterministic so the driver can hash it: the codebook is the
+    16 corpus vectors ranked first by the house multiplicative-hash
+    permutation of vec_id (the sample_stratified key — reproducible
+    in any engine, unlike KMeans init), and assignment distances are
+    ROUNDED before the argmin (code-id tiebreak) so sub-rounding
+    float noise can never flip a winner between engines.
+
+    Scale shape: the exploded (vec, dim) frame is persisted once and
+    feeds both codebook extraction (a broadcast 16-row semi-join) and
+    assignment; assignment is the dim-stream join against the
+    1024-row broadcast codebook + ONE hash aggregate per (vec,
+    subspace, code) + a min(struct) argmin — linear shuffles, no
+    vector x codebook array crossing, the emb_nearest_centroid shape
+    that survives 10^9 vectors. Surface: per subspace, codes_used /
+    avg / max squared quantization error — the codebook-quality
+    profile a PQ tuner reads."""
+    from ..util import persist_tracked
+    from .augment import _mult_hash_key
+
+    emb = _emb(spark, sf)
+    ex = persist_tracked(
+        emb.select("vec_id", F.posexplode("v").alias("d0", "x")).select(
+            "vec_id",
+            (F.col("d0") + 1).alias("d"),
+            "x",
+        )
+    )
+    seeds = (
+        emb.select("vec_id", _mult_hash_key("vec_id").alias("hk"))
+        .orderBy(F.asc("hk"), F.asc("vec_id"))
+        .limit(_PQ_CODES)
+    )
+    w = Window.orderBy(F.asc("hk"), F.asc("vec_id"))
+    codebook = (
+        seeds.withColumn("code", F.row_number().over(w))
+        .select(F.col("vec_id").alias("cvid"), "code")
+        .join(ex, F.col("cvid") == F.col("vec_id"))
+        .select("code", "d", F.col("x").alias("c"))
+    )
+    d2 = (
+        ex.join(F.broadcast(codebook), "d")
+        .groupBy(
+            "vec_id",
+            # exact integer division: DuckDB `/` is float division and
+            # its INT cast ROUNDS (0.5 -> 1), Spark's cast truncates —
+            # both sides use integer div so subspace ids can't diverge
+            F.expr(f"(d - 1) div {_PQ_SUBDIM}").cast("int").alias("sub"),
+            "code",
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+                + 1e-9,
+                6,
+            ).alias("dist")
+        )
+    )
+    best = d2.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("dist", "code")).alias("b")
+    )
+    return best.groupBy("sub").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.countDistinct("b.code").cast("bigint").alias("codes_used"),
+        F.round(F.avg("b.dist") + 1e-9, 6).alias("avg_sq_err"),
+        F.round(F.max("b.dist") + 1e-9, 6).alias("max_sq_err"),
+    )
+
+
+_PQ_CODES_SQL = f"""
+WITH e AS ({_EMB_SQL}),
+ex AS (
+  SELECT vec_id,
+         generate_subscripts(v, 1) AS d,
+         CAST(unnest(v) AS DOUBLE) AS x
+  FROM e),
+hk AS (
+  SELECT vec_id,
+         {{hash}} AS hk
+  FROM (SELECT vec_id,
+               ((vec_id % 4294967296) + 4294967296) % 4294967296 AS a
+        FROM e) t),
+seeds AS (
+  SELECT vec_id AS cvid,
+         ROW_NUMBER() OVER (ORDER BY hk, vec_id) AS code
+  FROM hk ORDER BY hk, vec_id LIMIT {_PQ_CODES}),
+cb AS (
+  SELECT s.code, ex.d, ex.x AS c
+  FROM seeds s JOIN ex ON ex.vec_id = s.cvid),
+d2 AS (
+  SELECT ex.vec_id,
+         CAST((ex.d - 1) // {_PQ_SUBDIM} AS INT) AS sub,
+         cb.code,
+         ROUND(SUM((ex.x - cb.c) * (ex.x - cb.c)) + 1e-9, 6) AS dist
+  FROM ex JOIN cb USING (d)
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT vec_id, sub, dist, code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                            ORDER BY dist, code) AS rn
+  FROM d2)
+SELECT sub,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(DISTINCT code) AS BIGINT) AS codes_used,
+       ROUND(AVG(dist) + 1e-9, 6) AS avg_sq_err,
+       ROUND(MAX(dist) + 1e-9, 6) AS max_sq_err
+FROM best WHERE rn = 1
+GROUP BY sub
+"""
+
+from .augment import _MULT_HASH_SQL as _PQ_HASH_SQL  # noqa: E402
+
+_PQ_CODES_SQL = _PQ_CODES_SQL.format(hash=_PQ_HASH_SQL)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "emb_quantize_int8": QuerySpec(
         "emb_quantize_int8", emb_quantize_int8, _QUANTIZE_SQL
@@ -887,4 +1017,5 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_kmeans_converged": QuerySpec(
         "emb_kmeans_converged", emb_kmeans_converged, _KMEANS_CONV_SQL
     ),
+    "emb_pq_codes": QuerySpec("emb_pq_codes", emb_pq_codes, _PQ_CODES_SQL),
 }

@@ -684,3 +684,18 @@ def test_interval_overlap_is_binned_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
     assert "CartesianProduct" not in plan
     assert plan.count("Generate") == 2, plan.count("Generate")
+
+
+def test_pq_codes_is_dim_stream_broadcast_assignment(spark):
+    """emb_pq_codes' scale contract: the exploded (vec, dim) frame is
+    persisted once (cache scan) and assignment runs as a dim-stream
+    join against the BROADCAST 1024-row codebook plus hash aggregates
+    — never a sort-merge join or a vector x codebook nested loop, and
+    bounded shuffles (the emb_nearest_centroid shape)."""
+    plan = _plan(spark, "emb_pq_codes")
+    assert "InMemoryTableScan" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert _shuffles(plan) <= 6, _shuffles(plan)
