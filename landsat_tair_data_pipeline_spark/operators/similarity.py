@@ -978,9 +978,11 @@ FROM best WHERE rn = 1
 GROUP BY sub
 """
 
-from .augment import _MULT_HASH_SQL as _PQ_HASH_SQL  # noqa: E402
 
-_PQ_CODES_SQL = _PQ_CODES_SQL.format(hash=_PQ_HASH_SQL)
+def _compose_pq_sql() -> str:
+    from .augment import _MULT_HASH_SQL
+
+    return _PQ_CODES_SQL.format(hash=_MULT_HASH_SQL)
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -1017,5 +1019,5 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_kmeans_converged": QuerySpec(
         "emb_kmeans_converged", emb_kmeans_converged, _KMEANS_CONV_SQL
     ),
-    "emb_pq_codes": QuerySpec("emb_pq_codes", emb_pq_codes, _PQ_CODES_SQL),
+    "emb_pq_codes": QuerySpec("emb_pq_codes", emb_pq_codes, _compose_pq_sql()),
 }
