@@ -134,6 +134,7 @@ HEADLINE = [
     "window_distinct_trailing",
     "join_interval_overlap",
     "emb_pq_codes",
+    "sim_pq_recall",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.
@@ -240,6 +241,7 @@ FIRST_BENCHED = {
             "window_distinct_trailing",
             "join_interval_overlap",
             "emb_pq_codes",
+            "sim_pq_recall",
         )
     },
 }

@@ -860,54 +860,52 @@ _PQ_SUBDIM = 16
 _PQ_CODES = 16
 
 
-def emb_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
-    """PRODUCT QUANTIZATION code assignment — the third leg of the
-    ANN quantization family (emb_quantize_int8 = scalar, sim_ivf_* =
-    coarse cells, this = subspace codes; IVF-PQ is the canonical
-    10^9-vector recipe). Each 64-dim vector splits into 4 subspaces
-    of 16 dims; every subspace is encoded as the id of its nearest
-    codebook entry, so a vector stores as 4 bytes and asymmetric
-    distance scans read codebook-distance tables instead of floats.
-
-    Kept deterministic so the driver can hash it: the codebook is the
-    16 corpus vectors ranked first by the house multiplicative-hash
-    permutation of vec_id (the sample_stratified key — reproducible
-    in any engine, unlike KMeans init), and assignment distances are
-    ROUNDED before the argmin (code-id tiebreak) so sub-rounding
-    float noise can never flip a winner between engines.
-
-    Scale shape: the exploded (vec, dim) frame is persisted once and
-    feeds both codebook extraction (a broadcast 16-row semi-join) and
-    assignment; assignment is the dim-stream join against the
-    1024-row broadcast codebook + ONE hash aggregate per (vec,
-    subspace, code) + a min(struct) argmin — linear shuffles, no
-    vector x codebook array crossing, the emb_nearest_centroid shape
-    that survives 10^9 vectors. Surface: per subspace, codes_used /
-    avg / max squared quantization error — the codebook-quality
-    profile a PQ tuner reads."""
-    from ..util import persist_tracked
-    from .augment import _mult_hash_key
-
-    emb = _emb(spark, sf)
-    ex = persist_tracked(
-        emb.select("vec_id", F.posexplode("v").alias("d0", "x")).select(
+def _pq_exploded(emb: DataFrame) -> DataFrame:
+    """(vec_id, d, x) dim-stream of the corpus, 1-based dims.
+    Repartitioned before the explode: the embeddings table is one
+    parquet file locally, and every downstream PQ join is broadcast
+    (codebook, ADC tables, probe dims) — without the explicit
+    shuffle the whole fan-out × hash-agg pipeline would run on ONE
+    task (the NOTES single-file trap; a no-op at real scale)."""
+    return (
+        emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+        .select("vec_id", F.posexplode("v").alias("d0", "x"))
+        .select(
             "vec_id",
             (F.col("d0") + 1).alias("d"),
             "x",
         )
     )
+
+
+def _pq_codebook(emb: DataFrame, ex: DataFrame) -> DataFrame:
+    """(code, d, c) — the deterministic PQ codebook: the _PQ_CODES
+    corpus vectors ranked first by the house multiplicative-hash
+    permutation of vec_id (reproducible in any engine, unlike KMeans
+    init), code = 1-based hash rank."""
+    from .augment import _mult_hash_key
+
     seeds = (
         emb.select("vec_id", _mult_hash_key("vec_id").alias("hk"))
         .orderBy(F.asc("hk"), F.asc("vec_id"))
         .limit(_PQ_CODES)
     )
     w = Window.orderBy(F.asc("hk"), F.asc("vec_id"))
-    codebook = (
+    return (
         seeds.withColumn("code", F.row_number().over(w))
         .select(F.col("vec_id").alias("cvid"), "code")
         .join(ex, F.col("cvid") == F.col("vec_id"))
         .select("code", "d", F.col("x").alias("c"))
     )
+
+
+def _pq_best(ex: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, sub, b{dist, code}) — nearest codebook entry per
+    subspace: dim-stream join against the broadcast codebook + ONE
+    hash aggregate per (vec, subspace, code) + a min(struct) argmin.
+    Distances are ROUNDED before the argmin (code-id tiebreak) so
+    sub-rounding float noise can never flip a winner between
+    engines."""
     d2 = (
         ex.join(F.broadcast(codebook), "d")
         .groupBy(
@@ -926,9 +924,35 @@ def emb_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("dist")
         )
     )
-    best = d2.groupBy("vec_id", "sub").agg(
+    return d2.groupBy("vec_id", "sub").agg(
         F.min(F.struct("dist", "code")).alias("b")
     )
+
+
+def emb_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """PRODUCT QUANTIZATION code assignment — the third leg of the
+    ANN quantization family (emb_quantize_int8 = scalar, sim_ivf_* =
+    coarse cells, this = subspace codes; IVF-PQ is the canonical
+    10^9-vector recipe). Each 64-dim vector splits into 4 subspaces
+    of 16 dims; every subspace is encoded as the id of its nearest
+    codebook entry, so a vector stores as 4 bytes and asymmetric
+    distance scans read codebook-distance tables instead of floats.
+
+    Kept deterministic so the driver can hash it: codebook + argmin
+    discipline in _pq_codebook/_pq_best (shared with sim_pq_recall).
+
+    Scale shape: the exploded (vec, dim) frame is persisted once and
+    feeds both codebook extraction (a broadcast 16-row semi-join) and
+    assignment; assignment is linear shuffles, no vector x codebook
+    array crossing, the emb_nearest_centroid shape that survives 10^9
+    vectors. Surface: per subspace, codes_used / avg / max squared
+    quantization error — the codebook-quality profile a PQ tuner
+    reads."""
+    from ..util import persist_tracked
+
+    emb = _emb(spark, sf)
+    ex = persist_tracked(_pq_exploded(emb))
+    best = _pq_best(ex, _pq_codebook(emb, ex))
     return best.groupBy("sub").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
         F.countDistinct("b.code").cast("bigint").alias("codes_used"),
@@ -937,8 +961,10 @@ def emb_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_PQ_CODES_SQL = f"""
-WITH e AS ({_EMB_SQL}),
+# Shared PQ CTE prefix (SQL twin of _pq_exploded + _pq_codebook +
+# _pq_best) — composed into BOTH PQ oracles so the codebook/argmin
+# text cannot drift between them.
+_PQ_COMMON_SQL = f"""e AS ({_EMB_SQL}),
 ex AS (
   SELECT vec_id,
          generate_subscripts(v, 1) AS d,
@@ -968,7 +994,10 @@ best AS (
   SELECT vec_id, sub, dist, code,
          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
                             ORDER BY dist, code) AS rn
-  FROM d2)
+  FROM d2)"""
+
+_PQ_CODES_SQL = f"""
+WITH {_PQ_COMMON_SQL}
 SELECT sub,
        CAST(COUNT(*) AS BIGINT) AS n_vectors,
        CAST(COUNT(DISTINCT code) AS BIGINT) AS codes_used,
@@ -983,6 +1012,156 @@ def _compose_pq_sql() -> str:
     from .augment import _MULT_HASH_SQL
 
     return _PQ_CODES_SQL.format(hash=_MULT_HASH_SQL)
+
+
+#: ADC probe-set geometry: 20 query vectors, top-10 recall.
+_ADC_NQ = 20
+_ADC_K = 10
+
+
+def sim_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ ASYMMETRIC-DISTANCE (ADC) top-k recall vs the exact L2
+    top-k — the search half of the PQ story (emb_pq_codes profiles
+    the codebook; this measures what the 4-byte codes cost in
+    ranking quality). For each of the first 20 vectors as queries:
+    exact squared-L2 top-10 over the corpus (self excluded) vs the
+    ADC top-10, where ADC(q, v) = Σ_sub table[q, sub, code(v, sub)]
+    and the table holds the query's squared distance to every
+    codebook entry per subspace — the scan reads 4 codes per vector,
+    never the floats. Entirely deterministic (hash-ranked codebook,
+    rounded distances, vec_id tiebreaks), so unlike sim_ivf_recall
+    the recall VALUE itself is oracle-checked, not just a floor.
+
+    Scale shape: the ADC distance tables are (queries × 4 × 16) rows
+    — broadcast; the scan is codes ⋈ broadcast-table + one hash agg
+    per (query, vec) — linear in corpus size, the shape that makes
+    PQ worth it at 10^9 vectors. The exact side is the dim-stream
+    join against the broadcast probe dims (bounded query count)."""
+    from ..util import persist_tracked
+
+    emb = _emb(spark, sf)
+    ex = persist_tracked(_pq_exploded(emb))
+    cb = _pq_codebook(emb, ex)
+    codes = _pq_best(ex, cb).select("vec_id", "sub", F.col("b.code").alias("code"))
+    pex = ex.where(F.col("vec_id") < _ADC_NQ).select(
+        F.col("vec_id").alias("query_id"), "d", F.col("x").alias("qx")
+    )
+    exd = (
+        ex.join(F.broadcast(pex), "d")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")))
+                + 1e-9,
+                6,
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    exk = persist_tracked(
+        exd.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _ADC_K)
+        .select("query_id", "vec_id")
+    )
+    adc = (
+        pex.join(cb, "d")
+        .groupBy(
+            "query_id",
+            F.expr(f"(d - 1) div {_PQ_SUBDIM}").cast("int").alias("sub"),
+            "code",
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c")))
+                + 1e-9,
+                6,
+            ).alias("pdist")
+        )
+    )
+    adcd = (
+        codes.join(F.broadcast(adc), ["sub", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        # 4 already-6dp-rounded terms: re-round so last-ULP summation
+        # noise can't diverge between engines
+        .agg(F.round(F.sum("pdist") + 1e-9, 6).alias("adist"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    adck = (
+        adcd.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= _ADC_K)
+        .select("query_id", "vec_id")
+    )
+    hits = exk.join(adck, ["query_id", "vec_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("_n_hits")
+    )
+    totals = exk.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_exact"),
+    )
+    return totals.crossJoin(F.broadcast(hits)).select(
+        "n_queries",
+        F.col("_n_exact").alias("n_exact_pairs"),
+        F.col("_n_hits").cast("bigint").alias("n_hits"),
+        F.round(F.col("_n_hits") / F.col("_n_exact") + 1e-9, 4).alias("recall"),
+    )
+
+
+_PQ_RECALL_SQL = f"""
+WITH {_PQ_COMMON_SQL},
+codes AS (SELECT vec_id, sub, code FROM best WHERE rn = 1),
+pex AS (
+  SELECT vec_id AS query_id, d, x AS qx FROM ex WHERE vec_id < {_ADC_NQ}),
+exd AS (
+  SELECT pex.query_id, ex.vec_id,
+         ROUND(SUM((ex.x - pex.qx) * (ex.x - pex.qx)) + 1e-9, 6) AS dist
+  FROM ex JOIN pex USING (d)
+  WHERE ex.vec_id != pex.query_id
+  GROUP BY 1, 2),
+exk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dist, vec_id) AS rn
+    FROM exd) t
+  WHERE rn <= {_ADC_K}),
+adc AS (
+  SELECT pex.query_id,
+         CAST((cb.d - 1) // {_PQ_SUBDIM} AS INT) AS sub,
+         cb.code,
+         ROUND(SUM((pex.qx - cb.c) * (pex.qx - cb.c)) + 1e-9, 6) AS pdist
+  FROM pex JOIN cb USING (d)
+  GROUP BY 1, 2, 3),
+adcd AS (
+  SELECT adc.query_id, codes.vec_id,
+         ROUND(SUM(pdist) + 1e-9, 6) AS adist
+  FROM codes JOIN adc USING (sub, code)
+  WHERE codes.vec_id != adc.query_id
+  GROUP BY 1, 2),
+adck AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist, vec_id) AS rn
+    FROM adcd) t
+  WHERE rn <= {_ADC_K}),
+hits AS (
+  SELECT COUNT(*) AS n_hits
+  FROM exk JOIN adck USING (query_id, vec_id))
+SELECT (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM exk)
+           AS n_queries,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM exk) AS n_exact_pairs,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       ROUND(n_hits / (SELECT COUNT(*) FROM exk) + 1e-9, 4) AS recall
+FROM hits
+"""
+
+
+def _compose_pq_recall_sql() -> str:
+    from .augment import _MULT_HASH_SQL
+
+    return _PQ_RECALL_SQL.format(hash=_MULT_HASH_SQL)
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -1020,4 +1199,7 @@ QUERIES: dict[str, QuerySpec] = {
         "emb_kmeans_converged", emb_kmeans_converged, _KMEANS_CONV_SQL
     ),
     "emb_pq_codes": QuerySpec("emb_pq_codes", emb_pq_codes, _compose_pq_sql()),
+    "sim_pq_recall": QuerySpec(
+        "sim_pq_recall", sim_pq_recall, _compose_pq_recall_sql()
+    ),
 }
