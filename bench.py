@@ -135,6 +135,7 @@ HEADLINE = [
     "join_interval_overlap",
     "emb_pq_codes",
     "sim_pq_recall",
+    "pack_shards_bytes",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.
@@ -242,6 +243,7 @@ FIRST_BENCHED = {
             "join_interval_overlap",
             "emb_pq_codes",
             "sim_pq_recall",
+            "pack_shards_bytes",
         )
     },
 }

@@ -1057,6 +1057,91 @@ WITH t AS (
 """.format(toks=_TOKENS_SQL, tail=_CHUNK_TAIL_SQL.strip())
 
 
+#: Shard-manifest geometry: byte budget per training shard (n_chars
+#: as the byte proxy) and the number of independent writer buckets.
+_SHARD_TARGET = 2048
+_SHARD_BUCKETS = 2
+
+
+def pack_shards_bytes(spark: SparkSession, sf: str) -> DataFrame:
+    """WebDataset-style SHARD MANIFEST: assign every document to a
+    training shard of ~_SHARD_TARGET bytes, packing in a
+    deterministic hash-shuffled order, and summarize each shard
+    (docs, bytes, id span). Complements pack_chunks (global
+    token-budget windows): shards are cut by BYTES within
+    (source, writer-bucket) groups — the layout a multi-writer shard
+    job produces, where each writer packs its own slice
+    independently and no global order exists. A doc belongs to the
+    shard where its starting offset falls (floor(start / target)),
+    the standard cut rule; the pack order is the house
+    multiplicative-hash permutation (reproducible shuffle — the
+    reason the whole manifest is oracle-checkable).
+
+    Scale shape: ONE shuffle on (source, bucket) for the running-sum
+    window; writers are independent, so parallelism = sources x
+    buckets and a bigger cluster just raises _SHARD_BUCKETS — no
+    global prefix sum, no single-partition window (the trap
+    pack_chunks' distributed prefix sum exists to avoid; here the
+    group key makes it unnecessary)."""
+    from .augment import _mult_hash_key
+
+    docs = table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    hk = _mult_hash_key("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        hk.alias("hk"),
+        F.pmod(hk, F.lit(_SHARD_BUCKETS)).cast("int").alias("bucket"),
+    )
+    w = Window.partitionBy("source", "bucket").orderBy("hk", "doc_id")
+    cum = keyed.withColumn("cum", F.sum("n_chars").over(w))
+    shard = F.floor(
+        (F.col("cum") - F.col("n_chars")) / F.lit(float(_SHARD_TARGET))
+    )
+    return (
+        cum.withColumn("shard", shard.cast("bigint"))
+        .groupBy("source", "bucket", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+_SHARDS_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars, {{hash}} AS hk
+  FROM (SELECT doc_id, source, n_chars,
+               ((doc_id % 4294967296) + 4294967296) % 4294967296 AS a
+        FROM documents) t),
+b AS (
+  SELECT doc_id, source, n_chars, hk,
+         CAST(hk % {buckets} AS INT) AS bucket
+  FROM keyed),
+c AS (
+  SELECT doc_id, source, n_chars, bucket,
+         CAST(SUM(n_chars) OVER (PARTITION BY source, bucket
+                                 ORDER BY hk, doc_id) AS BIGINT) AS cum
+  FROM b)
+SELECT source, bucket,
+       CAST(floor((cum - n_chars) / {target}.0) AS BIGINT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c GROUP BY 1, 2, 3
+""".format(buckets=_SHARD_BUCKETS, target=_SHARD_TARGET)
+
+
+def _compose_shards_sql() -> str:
+    from .augment import _MULT_HASH_SQL
+
+    return _SHARDS_SQL.format(hash=_MULT_HASH_SQL)
+
+
 def llm_data_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The end-to-end training-data preparation pipeline as ONE
     composed query — the shape a real corpus build runs nightly:
@@ -1793,6 +1878,9 @@ QUERIES: dict[str, QuerySpec] = {
     # appended post-r2: must stay AFTER the first 50 merged keys so the
     # driver's correctness window keeps covering the planned surface
     "pack_chunks": QuerySpec("pack_chunks", pack_chunks, _PACK_SQL),
+    "pack_shards_bytes": QuerySpec(
+        "pack_shards_bytes", pack_shards_bytes, _compose_shards_sql()
+    ),
     "llm_data_pipeline": QuerySpec(
         "llm_data_pipeline", llm_data_pipeline, _PIPELINE_SQL
     ),
