@@ -136,6 +136,7 @@ HEADLINE = [
     "emb_pq_codes",
     "sim_pq_recall",
     "pack_shards_bytes",
+    "dedup_edit_distance_pairs",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.
@@ -244,6 +245,7 @@ FIRST_BENCHED = {
             "emb_pq_codes",
             "sim_pq_recall",
             "pack_shards_bytes",
+            "dedup_edit_distance_pairs",
         )
     },
 }

@@ -1142,6 +1142,90 @@ def _compose_shards_sql() -> str:
     return _SHARDS_SQL.format(hash=_MULT_HASH_SQL)
 
 
+#: Edit-distance blocking geometry: candidate pairs share a 16-char
+#: content prefix and sit within a 32-char length band; a pair is a
+#: near-dup when lev*5 <= max(len) (integer form of lev <= 0.2*len —
+#: exact on both engines, no float threshold).
+_EDIT_PREFIX = 16
+_EDIT_LEN_BAND = 32
+
+
+def dedup_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """EDIT-DISTANCE near-dup pairs via blocking + verify — the
+    string-metric member of the near-dup family (jaccard = token
+    sets, simhash/minhash = sketches, containment = directional;
+    this catches small in-place edits those miss ranking-wise).
+    Candidates = pairs sharing a _EDIT_PREFIX-char content prefix
+    within a _EDIT_LEN_BAND length band (lev(a,b) >= |len(a)-len(b)|,
+    so the band is a lossless filter for the threshold at these
+    lengths); verify = exact Levenshtein (JVM-side, no Python),
+    keep pairs with lev*5 <= max(len) (similarity >= 0.8).
+
+    Scale shape: ONE equi-shuffle on the prefix key — never an
+    all-pairs cross; per-block work is O(block^2) pairs x O(len^2)
+    DP cells, both bounded (blocks are prefix-exact, the length band
+    caps the DP rectangle). The scale knobs are prefix length (block
+    granularity) and the band; a pathological hot block (one shared
+    prefix dominating the corpus) would need a secondary key — here
+    max block size is 10 at sf0.1, measured."""
+    docs = table(spark, sf, "documents").select(
+        F.substring("text", 1, _EDIT_PREFIX).alias("p"),
+        "doc_id",
+        "text",
+        "n_chars",
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.p") == F.col("b.p"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+            <= F.lit(_EDIT_LEN_BAND)
+        ),
+    )
+    # `+ 0*rand` = the house value-neutral nondeterminism taint: it
+    # stops Catalyst from substituting the downstream lev filter back
+    # through this projection INTO the join condition, where the
+    # O(len^2) levenshtein would run FIRST on every same-prefix pair
+    # — including each doc against itself — before the cheap id/band
+    # predicates prune (measured: 7.1 s -> 0.6 s warm at sf0.1).
+    scored = cand.select(
+        F.col("a.doc_id").alias("a_id"),
+        F.col("b.doc_id").alias("b_id"),
+        (
+            F.levenshtein(F.col("a.text"), F.col("b.text"))
+            + (F.rand(0) * 0).cast("int")
+        )
+        .cast("bigint")
+        .alias("lev"),
+        F.greatest(F.col("a.n_chars"), F.col("b.n_chars")).alias("mx"),
+    )
+    return scored.where(F.col("lev") * 5 <= F.col("mx")).select(
+        "a_id",
+        "b_id",
+        "lev",
+        F.round(1.0 - F.col("lev") / F.col("mx") + 1e-9, 4).alias("sim"),
+    )
+
+
+_EDIT_PAIRS_SQL = """
+WITH p AS (
+  SELECT substr(text, 1, {prefix}) AS p, doc_id, text, n_chars
+  FROM documents),
+scored AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+         greatest(a.n_chars, b.n_chars) AS mx
+  FROM p a JOIN p b
+    ON a.p = b.p AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= {band})
+SELECT a_id, b_id, lev,
+       ROUND(1.0 - lev / mx + 1e-9, 4) AS sim
+FROM scored WHERE lev * 5 <= mx
+""".format(prefix=_EDIT_PREFIX, band=_EDIT_LEN_BAND)
+
+
 def llm_data_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The end-to-end training-data preparation pipeline as ONE
     composed query — the shape a real corpus build runs nightly:
@@ -1880,6 +1964,11 @@ QUERIES: dict[str, QuerySpec] = {
     "pack_chunks": QuerySpec("pack_chunks", pack_chunks, _PACK_SQL),
     "pack_shards_bytes": QuerySpec(
         "pack_shards_bytes", pack_shards_bytes, _compose_shards_sql()
+    ),
+    "dedup_edit_distance_pairs": QuerySpec(
+        "dedup_edit_distance_pairs",
+        dedup_edit_distance_pairs,
+        _EDIT_PAIRS_SQL,
     ),
     "llm_data_pipeline": QuerySpec(
         "llm_data_pipeline", llm_data_pipeline, _PIPELINE_SQL

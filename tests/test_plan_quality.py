@@ -699,3 +699,27 @@ def test_pq_codes_is_dim_stream_broadcast_assignment(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert _shuffles(plan) <= 6, _shuffles(plan)
+
+
+def test_edit_distance_lev_stays_out_of_join_condition(spark):
+    """dedup_edit_distance_pairs' O(len^2) levenshtein must evaluate
+    in the post-join projection, ONCE per banded candidate — without
+    the rand taint Catalyst substitutes the threshold filter back
+    into the BroadcastHashJoin condition, where it runs FIRST on
+    every same-prefix pair (including each doc against itself: ~5000
+    x 250k DP cells at sf0.1; measured 7.1 s -> 1.0 s warm)."""
+    plan = _plan(spark, "dedup_edit_distance_pairs")
+    join_lines = [line for line in plan.splitlines() if "Join" in line]
+    assert join_lines, plan[:900]
+    assert all("levenshtein" not in line for line in join_lines), join_lines
+    assert plan.count("levenshtein") == 1, plan.count("levenshtein")
+
+
+def test_pack_shards_single_group_shuffle(spark):
+    """pack_shards_bytes is ONE shuffle on (source, bucket) for the
+    running-sum window plus the final partial-merged aggregate — no
+    global single-partition window (the pack_chunks trap its group
+    key exists to avoid)."""
+    plan = _plan(spark, "pack_shards_bytes")
+    assert "SinglePartition" not in plan, plan[:900]
+    assert _shuffles(plan) <= 2, _shuffles(plan)
