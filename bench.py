@@ -137,6 +137,7 @@ HEADLINE = [
     "sim_pq_recall",
     "pack_shards_bytes",
     "dedup_edit_distance_pairs",
+    "agg_moments_merge",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.
@@ -246,6 +247,7 @@ FIRST_BENCHED = {
             "sim_pq_recall",
             "pack_shards_bytes",
             "dedup_edit_distance_pairs",
+            "agg_moments_merge",
         )
     },
 }
