@@ -138,6 +138,7 @@ HEADLINE = [
     "pack_shards_bytes",
     "dedup_edit_distance_pairs",
     "agg_moments_merge",
+    "sample_negative_pairs",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.
@@ -248,6 +249,7 @@ FIRST_BENCHED = {
             "pack_shards_bytes",
             "dedup_edit_distance_pairs",
             "agg_moments_merge",
+            "sample_negative_pairs",
         )
     },
 }

@@ -591,6 +591,116 @@ LIMIT {k}
 """.format(hash=_MULT_HASH_SQL, k=_WEIGHTED_K)
 
 
+#: Contrastive-sampling geometry: 16 anchors, a 64-doc candidate
+#: pool, 4 negatives per anchor.
+_NEG_ANCHORS = 16
+_NEG_POOL = 64
+_NEG_K = 4
+
+
+def sample_negative_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """CONTRASTIVE NEGATIVE MINING: for each anchor document, draw k
+    pseudo-random negatives from a bounded candidate pool, excluding
+    the anchor's own source (the in-batch-negatives recipe of
+    embedding/contrastive training, made reproducible). Anchors are
+    the first _NEG_ANCHORS docs of the house multiplicative-hash
+    permutation, the pool is the next _NEG_POOL; each (anchor, cand)
+    pair draws a key by hashing the PAIR (16-bit id mix keeps every
+    intermediate under 2^32 — no overflow divergence between engines
+    at any id scale; collisions just tie, broken by cand_id), and
+    the k smallest draws win.
+
+    Scale shape: anchor and pool selection are TakeOrdered top-m (no
+    global sort); the pair space is anchors x pool — both bounded
+    constants — via a broadcast nested-loop over the 64-row pool,
+    then one bounded per-anchor top-k window. Nothing touches the
+    full corpus except the two top-m scans."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    keyed = docs.select(
+        "doc_id", "source", _mult_hash_key("doc_id").alias("hk")
+    )
+    top = keyed.orderBy(F.asc("hk"), F.asc("doc_id")).limit(
+        _NEG_ANCHORS + _NEG_POOL
+    )
+    w = Window.orderBy(F.asc("hk"), F.asc("doc_id"))
+    ranked = top.withColumn("rk", F.row_number().over(w))
+    anchors = ranked.where(F.col("rk") <= _NEG_ANCHORS).select(
+        F.col("doc_id").alias("anchor_id"), F.col("source").alias("anchor_src")
+    )
+    pool = ranked.where(F.col("rk") > _NEG_ANCHORS).select(
+        F.col("doc_id").alias("cand_id"), F.col("source").alias("cand_src")
+    )
+    pairs = (
+        anchors.crossJoin(F.broadcast(pool))
+        .where(F.col("cand_src") != F.col("anchor_src"))
+        .withColumn(
+            "_pk",
+            F.pmod(F.col("anchor_id"), F.lit(65536)) * F.lit(65536)
+            + F.pmod(F.col("cand_id"), F.lit(65536)),
+        )
+    )
+    drawn = pairs.withColumn("draw_key", _mult_hash_key("_pk"))
+    wk = Window.partitionBy("anchor_id").orderBy(
+        F.asc("draw_key"), F.asc("cand_id")
+    )
+    return (
+        drawn.withColumn("neg_rank", F.row_number().over(wk).cast("long"))
+        .where(F.col("neg_rank") <= _NEG_K)
+        .select(
+            "anchor_id",
+            "anchor_src",
+            F.col("cand_id").alias("neg_id"),
+            F.col("cand_src").alias("neg_src"),
+            "neg_rank",
+            "draw_key",
+        )
+    )
+
+
+_NEGATIVES_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source, {hash} AS hk
+  FROM (SELECT doc_id, source,
+               ((doc_id % 4294967296) + 4294967296) % 4294967296 AS a
+        FROM documents) t),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS rk
+  FROM keyed ORDER BY hk, doc_id LIMIT {top}),
+anchors AS (
+  SELECT doc_id AS anchor_id, source AS anchor_src
+  FROM ranked WHERE rk <= {na}),
+pool AS (
+  SELECT doc_id AS cand_id, source AS cand_src
+  FROM ranked WHERE rk > {na}),
+pairs AS (
+  SELECT anchor_id, anchor_src, cand_id, cand_src,
+         ((anchor_id % 65536) + 65536) % 65536 * 65536
+           + ((cand_id % 65536) + 65536) % 65536 AS a
+  FROM anchors CROSS JOIN pool
+  WHERE cand_src != anchor_src),
+drawn AS (
+  SELECT anchor_id, anchor_src, cand_id, cand_src,
+         {hash} AS draw_key
+  FROM pairs)
+SELECT anchor_id, anchor_src, cand_id AS neg_id, cand_src AS neg_src,
+       neg_rank, draw_key
+FROM (
+  SELECT anchor_id, anchor_src, cand_id, cand_src, draw_key,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+                            ORDER BY draw_key, cand_id) AS neg_rank
+  FROM drawn) t
+WHERE neg_rank <= {k}
+""".format(
+    hash=_MULT_HASH_SQL,
+    top=_NEG_ANCHORS + _NEG_POOL,
+    na=_NEG_ANCHORS,
+    k=_NEG_K,
+)
+
+
 def aug_train_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """split → 4× augment the train slice ONLY → union test back
     (main.py:74-98; augmentation after split — the code wins over the
@@ -702,5 +812,11 @@ QUERIES: dict[str, QuerySpec] = {
     # round-8 addition (fronted in registry._ROUND8_FRONT on arrival)
     "sample_weighted": QuerySpec(
         "sample_weighted", sample_weighted, _WEIGHTED_SQL
+    ),
+    # round-9 addition (fronted in registry._ROUND9_FRONT on arrival)
+    "sample_negative_pairs": QuerySpec(
+        "sample_negative_pairs",
+        sample_negative_pairs,
+        _NEGATIVES_SQL,
     ),
 }
