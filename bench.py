@@ -139,6 +139,9 @@ HEADLINE = [
     "dedup_edit_distance_pairs",
     "agg_moments_merge",
     "sample_negative_pairs",
+    "join_scd2_pointintime",
+    "events_ab_welch",
+    "join_nn_radius_2d",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.
@@ -250,6 +253,9 @@ FIRST_BENCHED = {
             "dedup_edit_distance_pairs",
             "agg_moments_merge",
             "sample_negative_pairs",
+            "join_scd2_pointintime",
+            "events_ab_welch",
+            "join_nn_radius_2d",
         )
     },
 }

@@ -1282,15 +1282,10 @@ FROM events
 """
 
 
-def scd2_user_history(spark: SparkSession, sf: str) -> DataFrame:
-    """Slowly-Changing-Dimension Type 2 from an event stream — the
-    dimension-maintenance staple every warehouse pipeline needs: each
-    user's 'signup' events become validity intervals (valid_from =
-    event time, valid_to = the NEXT change's time, NULL while
-    current) with an is_current flag. One window shuffle on user_id;
-    the event_id tiebreak makes interval edges deterministic under
-    equal timestamps. At scale this is the standard lead()-window
-    formulation — no self-join, no per-user collect."""
+def _scd2_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """The SCD2 validity-interval dimension from signup events —
+    shared by scd2_user_history (surfaces it) and
+    join_scd2_pointintime (joins facts against it)."""
     ev = (
         table(spark, sf, "events")
         .where(F.col("event_type") == "signup")
@@ -1305,6 +1300,18 @@ def scd2_user_history(spark: SparkSession, sf: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+def scd2_user_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 from an event stream — the
+    dimension-maintenance staple every warehouse pipeline needs: each
+    user's 'signup' events become validity intervals (valid_from =
+    event time, valid_to = the NEXT change's time, NULL while
+    current) with an is_current flag. One window shuffle on user_id;
+    the event_id tiebreak makes interval edges deterministic under
+    equal timestamps. At scale this is the standard lead()-window
+    formulation — no self-join, no per-user collect."""
+    return _scd2_dim(spark, sf)
 
 
 _SCD2_SQL = """
@@ -2424,6 +2431,137 @@ FROM g JOIN d USING (event_type)
 """
 
 
+def join_scd2_pointintime(spark: SparkSession, sf: str) -> DataFrame:
+    """POINT-IN-TIME (as-of-dimension) join: enrich each purchase
+    with the signup attribute that was VALID AT the purchase instant
+    — the temporal join every SCD2 warehouse exists to serve, and
+    the one a naive latest-attribute join silently gets wrong for
+    historical facts. Intervals come from the shared SCD2 dim
+    (lead() windows, half-open [valid_from, valid_to)); each fact
+    matches AT MOST one interval because the per-user intervals
+    partition the timeline (zero-length [t, t) intervals from
+    equal-ts changes match nothing — t < valid_to fails). LEFT join
+    keeps pre-signup purchases with NULL attribute.
+
+    Scale shape: one equi-shuffle on user_id with the interval
+    predicates as residual conditions — per-user interval counts are
+    small (change events, not raw events), so the residual scan is
+    bounded; no range-join pair blowup, no window over facts."""
+    dim = _scd2_dim(spark, sf).select(
+        "user_id", "attr_value", "valid_from", "valid_to"
+    )
+    fact = (
+        table(spark, sf, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value")
+    )
+    j = fact.alias("f").join(
+        dim.alias("d"),
+        (F.col("f.user_id") == F.col("d.user_id"))
+        & (F.col("d.valid_from") <= F.col("f.ts"))
+        & (F.col("d.valid_to").isNull() | (F.col("f.ts") < F.col("d.valid_to"))),
+        "left",
+    )
+    return j.select(
+        F.col("f.event_id").alias("event_id"),
+        F.col("f.user_id").alias("user_id"),
+        F.col("f.ts").alias("purchase_ts"),
+        F.col("f.value").alias("purchase_value"),
+        F.col("d.attr_value").alias("attr_value"),
+        F.col("d.valid_from").alias("valid_from"),
+        F.col("d.valid_from").isNotNull().alias("matched"),
+    )
+
+
+_SCD2_PIT_SQL = """
+WITH dim AS ({scd2}),
+f AS (
+  SELECT user_id, event_id, ts, value FROM events
+  WHERE event_type = 'purchase')
+SELECT f.event_id, f.user_id, f.ts AS purchase_ts,
+       f.value AS purchase_value,
+       d.attr_value, d.valid_from,
+       d.valid_from IS NOT NULL AS matched
+FROM f LEFT JOIN dim d
+  ON d.user_id = f.user_id
+ AND d.valid_from <= f.ts
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+""".format(scd2=_SCD2_SQL.strip())
+
+
+def events_ab_welch(spark: SparkSession, sf: str) -> DataFrame:
+    """A/B EXPERIMENT READOUT: split users into two arms by the house
+    multiplicative-hash parity (the reproducible form of random
+    assignment), then per event type compare the value means with the
+    WELCH t statistic — unequal variances, unequal arm sizes, the
+    test every experimentation pipeline computes. Entirely algebraic
+    over per-arm (n, mean, var_samp) aggregates, so the statistic
+    itself is oracle-checked.
+
+    Deliberately NO `significant` boolean: the margin audit (the
+    sim_ivf_recall rule) measured |t| up to 1.91 at sf0.001 against
+    the 1.96 cut — null-data t is ~N(0,1), so ANY fixed cut sits
+    ~5% per type per testdata regeneration from a spurious flip. The
+    VALUE is pinned at 4dp instead; consumers apply their own cut.
+
+    Scale shape: one hash aggregate over (event_type) with
+    conditional per-arm aggregates — map-side combinable, no
+    shuffle beyond the 5 group keys, no window."""
+    from .augment import _mult_hash_key
+
+    ev = table(spark, sf, "events").select("event_type", "user_id", "value")
+    keyed = ev.withColumn("b", F.pmod(_mult_hash_key("user_id"), F.lit(2)))
+    va = F.when(F.col("b") == 0, F.col("value"))
+    vb = F.when(F.col("b") == 1, F.col("value"))
+    g = keyed.groupBy("event_type").agg(
+        F.count(va).cast("bigint").alias("n_a"),
+        F.count(vb).cast("bigint").alias("n_b"),
+        F.avg(va).alias("_ma"),
+        F.avg(vb).alias("_mb"),
+        F.var_samp(va).alias("_va"),
+        F.var_samp(vb).alias("_vb"),
+    )
+    t = (F.col("_ma") - F.col("_mb")) / F.sqrt(
+        F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b")
+    )
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(F.col("_ma") + 1e-9, 4).alias("mean_a"),
+        F.round(F.col("_mb") + 1e-9, 4).alias("mean_b"),
+        F.round(t + 1e-9, 4).alias("t_stat"),
+    )
+
+
+_AB_WELCH_SQL = """
+WITH k AS (
+  SELECT event_type, value, {hash} % 2 AS b
+  FROM (SELECT event_type, value,
+               ((user_id % 4294967296) + 4294967296) % 4294967296 AS a
+        FROM events) t)
+SELECT event_type,
+       CAST(COUNT(CASE WHEN b = 0 THEN value END) AS BIGINT) AS n_a,
+       CAST(COUNT(CASE WHEN b = 1 THEN value END) AS BIGINT) AS n_b,
+       ROUND(AVG(CASE WHEN b = 0 THEN value END) + 1e-9, 4) AS mean_a,
+       ROUND(AVG(CASE WHEN b = 1 THEN value END) + 1e-9, 4) AS mean_b,
+       ROUND((AVG(CASE WHEN b = 0 THEN value END)
+              - AVG(CASE WHEN b = 1 THEN value END))
+             / sqrt(VAR_SAMP(CASE WHEN b = 0 THEN value END)
+                      / COUNT(CASE WHEN b = 0 THEN value END)
+                    + VAR_SAMP(CASE WHEN b = 1 THEN value END)
+                      / COUNT(CASE WHEN b = 1 THEN value END))
+             + 1e-9, 4) AS t_stat
+FROM k GROUP BY event_type
+"""
+
+
+def _compose_ab_welch_sql() -> str:
+    from .augment import _MULT_HASH_SQL
+
+    return _AB_WELCH_SQL.format(hash=_MULT_HASH_SQL)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec("events_tumbling", events_tumbling, _TUMBLING_SQL),
     "events_sliding": QuerySpec("events_sliding", events_sliding, _SLIDING_SQL),
@@ -2552,5 +2690,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "agg_moments_merge": QuerySpec(
         "agg_moments_merge", agg_moments_merge, _MOMENTS_MERGE_SQL
+    ),
+    "join_scd2_pointintime": QuerySpec(
+        "join_scd2_pointintime", join_scd2_pointintime, _SCD2_PIT_SQL
+    ),
+    "events_ab_welch": QuerySpec(
+        "events_ab_welch", events_ab_welch, _compose_ab_welch_sql()
     ),
 }

@@ -1164,6 +1164,116 @@ def _compose_pq_recall_sql() -> str:
     return _PQ_RECALL_SQL.format(hash=_MULT_HASH_SQL)
 
 
+#: Radius-NN geometry: neighbors within euclidean 0.02 in the first
+#: two embedding dims; grid cell edge = the radius, so the 3x3
+#: neighborhood is a lossless candidate superset.
+_NN_R = 0.02
+
+
+def join_nn_radius_2d(spark: SparkSession, sf: str) -> DataFrame:
+    """GRID-BINNED RADIUS NEAREST NEIGHBOR — the spatial-join
+    primitive (geo points, 2D projections of embeddings): for every
+    point, the nearest other point within radius R in the (dim1,
+    dim2) plane, found by snapping points to an R-edge grid and
+    joining each point's 3x3 cell neighborhood — an EQUI join on the
+    cell key, never an all-pairs distance cross. The 3x3 ring is
+    lossless for radius R (any point within R lies in an adjacent
+    cell), and each candidate pair arises from exactly ONE offset
+    (the offset is determined by the two cells), so no dedup pass is
+    needed. floor() (not int cast) bins negative coordinates
+    correctly in both engines; distances round at 6dp before the
+    radius cut and the argmin (nn_id tiebreak), the house ranking
+    discipline. Points with no in-radius neighbor drop out
+    (424-435/500 match at sf0.01, measured non-trivial).
+
+    Scale shape: one equi-shuffle on the cell key; the 9x fan-out is
+    a constant; per-cell candidate counts are density-bounded. This
+    is the same binned-equi recipe as join_range_interval (1D time)
+    and join_interval_overlap (intervals), extended to 2D."""
+    emb = _emb(spark, sf)
+    pts = emb.select(
+        "vec_id",
+        F.element_at("v", 1).alias("x"),
+        F.element_at("v", 2).alias("y"),
+    ).select(
+        "vec_id",
+        "x",
+        "y",
+        F.floor(F.col("x") / F.lit(_NN_R)).cast("int").alias("cx"),
+        F.floor(F.col("y") / F.lit(_NN_R)).cast("int").alias("cy"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = pts.select(
+        "vec_id", "x", "y", "cx", "cy", F.explode(offs).alias("o")
+    ).select(
+        "vec_id",
+        "x",
+        "y",
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    b = pts.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = F.round(
+        (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+        + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
+        + 1e-9,
+        6,
+    )
+    scored = (
+        a.join(b, ["jx", "jy"])
+        .where(F.col("nn_id") != F.col("vec_id"))
+        .select("vec_id", "nn_id", d2.alias("d2"))
+        .where(F.col("d2") <= F.lit(_NN_R * _NN_R))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "nn_id", F.col("d2").alias("nn_dist2"))
+    )
+
+
+_NN_RADIUS_SQL = f"""
+WITH e AS ({_EMB_SQL}),
+p AS (
+  SELECT vec_id, CAST(v[1] AS DOUBLE) AS x, CAST(v[2] AS DOUBLE) AS y
+  FROM e),
+c AS (
+  SELECT vec_id, x, y,
+         CAST(floor(x / {_NN_R}) AS INT) AS cx,
+         CAST(floor(y / {_NN_R}) AS INT) AS cy
+  FROM p),
+a AS (
+  SELECT c.vec_id, c.x, c.y,
+         c.cx + dx.o AS jx, c.cy + dy.o AS jy
+  FROM c, (VALUES (-1), (0), (1)) dx(o), (VALUES (-1), (0), (1)) dy(o)),
+cand AS (
+  SELECT a.vec_id, b.vec_id AS nn_id,
+         ROUND((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+               + 1e-9, 6) AS d2
+  FROM a JOIN c b ON b.cx = a.jx AND b.cy = a.jy
+                 AND b.vec_id != a.vec_id)
+SELECT vec_id, nn_id, d2 AS nn_dist2 FROM (
+  SELECT vec_id, nn_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2, nn_id) AS rk
+  FROM cand WHERE d2 <= {_NN_R * _NN_R}) t
+WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "emb_quantize_int8": QuerySpec(
         "emb_quantize_int8", emb_quantize_int8, _QUANTIZE_SQL
@@ -1201,5 +1311,8 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_pq_codes": QuerySpec("emb_pq_codes", emb_pq_codes, _compose_pq_sql()),
     "sim_pq_recall": QuerySpec(
         "sim_pq_recall", sim_pq_recall, _compose_pq_recall_sql()
+    ),
+    "join_nn_radius_2d": QuerySpec(
+        "join_nn_radius_2d", join_nn_radius_2d, _NN_RADIUS_SQL
     ),
 }

@@ -137,6 +137,9 @@ _ROUND9_FRONT = [
     "dedup_edit_distance_pairs",
     "agg_moments_merge",
     "sample_negative_pairs",
+    "join_scd2_pointintime",
+    "events_ab_welch",
+    "join_nn_radius_2d",
     # r5-vintage: testdata-reading documents/text block (8)
     "text_token_count",
     "text_rolling_hash",
@@ -172,9 +175,6 @@ _ROUND9_FRONT = [
     # risk — fixtures are in-repo; displaced first by new keys)
     "proj_sensor_flag",
     "filt_band_cardinality",
-    "filt_metadata_keys",
-    "filt_skip_first",
-    "filt_load_errors",
     # (as new r9 keys land above, the tail of this fixture-backed
     # block is trimmed to keep the list at exactly 50; trimmed so
     # far: agg_count, proj_date_parts_csv, proj_scene_id_from_filename,
@@ -182,8 +182,9 @@ _ROUND9_FRONT = [
     # filt_sentinel_gt, map_bt_pixels, map_concat_features,
     # join_gt_lookup, join_station_dim, join_scene_assets,
     # proj_scene_date_parse, src_json_metadata, src_station_txt,
-    # src_dir_listing, agg_minmax_scene_dates — they keep their
-    # r5-green rows and rotate in r10)
+    # src_dir_listing, agg_minmax_scene_dates, filt_metadata_keys,
+    # filt_skip_first, filt_load_errors — they keep their r5-green
+    # rows and rotate in r10)
 ]
 
 # Historical r8 order kept for reference (drove CORRECTNESS_r08) —
