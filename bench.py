@@ -142,6 +142,9 @@ HEADLINE = [
     "join_scd2_pointintime",
     "events_ab_welch",
     "join_nn_radius_2d",
+    "events_user_overlap_jaccard",
+    "profile_join_key_skew",
+    "est_join_cardinality",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.
@@ -256,6 +259,9 @@ FIRST_BENCHED = {
             "join_scd2_pointintime",
             "events_ab_welch",
             "join_nn_radius_2d",
+            "events_user_overlap_jaccard",
+            "profile_join_key_skew",
+            "est_join_cardinality",
         )
     },
 }

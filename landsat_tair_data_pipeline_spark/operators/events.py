@@ -2562,6 +2562,190 @@ def _compose_ab_welch_sql() -> str:
     return _AB_WELCH_SQL.format(hash=_MULT_HASH_SQL)
 
 
+def events_user_overlap_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """AUDIENCE OVERLAP: exact jaccard between the user sets of every
+    event-type pair — the segment-overlap matrix (which behaviors
+    co-occur in the same users) that drives dataset mixing and
+    experiment-contamination checks. Set intersection is an equi
+    join on user_id over the DISTINCT (type, user) frame — per-user
+    type lists are bounded by the type cardinality, so the per-user
+    pair fan-out is a constant, never |A| x |B|.
+
+    Scale shape: one distinct shuffle + one user_id shuffle + a
+    types²-sized aggregate; the 1-row-per-type size frame joins in
+    broadcast. Exact, so fully oracled."""
+    us = (
+        table(spark, sf, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sizes = us.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = us.select(F.col("event_type").alias("type_a"), "user_id")
+    b = us.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                + 1e-9,
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_USER_OVERLAP_SQL = """
+WITH us AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM us GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM us a JOIN us b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b,
+       sa.n AS n_a, sb.n AS n_b, n_common,
+       ROUND(n_common / (sa.n + sb.n - n_common) + 1e-9, 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+"""
+
+
+def profile_join_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """JOIN-KEY SKEW PROFILE for events.user_id — the diagnostic a
+    planner (or a human) reads before deciding whether a shuffle
+    join needs salting (join_salted_skew / agg_salted_skew are the
+    cures; this is the thermometer): key cardinality, the heaviest
+    key's share of all rows, exact p50/p99 key frequencies
+    (interpolated percentile, the agg_percentiles convention), and
+    skew_ratio = heaviest/mean — the multiple by which the hottest
+    reduce task outweighs the average one.
+
+    Scale shape: one hash aggregate to per-key counts, then a
+    types-of-aggregate pass over the (much smaller) count frame;
+    the exact percentile shuffles only key counts, not rows."""
+    counts = (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("top1_count"),
+        F.round(F.max("c") / F.sum("c") + 1e-9, 6).alias("top1_share"),
+        F.round(F.expr("percentile(c, 0.5)") + 1e-9, 4).alias("p50_count"),
+        F.round(F.expr("percentile(c, 0.99)") + 1e-9, 4).alias("p99_count"),
+        F.round(F.max("c") * F.count(F.lit(1)) / F.sum("c") + 1e-9, 4).alias(
+            "skew_ratio"
+        ),
+    )
+
+
+_KEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1)
+SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(c) AS BIGINT) AS top1_count,
+       ROUND(MAX(c) / SUM(c) + 1e-9, 6) AS top1_share,
+       ROUND(quantile_cont(c, 0.5) + 1e-9, 4) AS p50_count,
+       ROUND(quantile_cont(c, 0.99) + 1e-9, 4) AS p99_count,
+       ROUND(MAX(c) * COUNT(*) / SUM(c) + 1e-9, 4) AS skew_ratio
+FROM counts
+"""
+
+
+#: Cardinality-estimation sampling rate: 1-in-16 of join keys.
+_EST_MOD = 16
+
+
+def est_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """SAMPLED JOIN-CARDINALITY ESTIMATE vs exact — the planner
+    technique for sizing a join before running it: take a 1/16
+    KEY-hash sample of users (sampling KEYS, not rows — row sampling
+    breaks join estimates because both sides must keep the SAME
+    keys), count the purchase x click per-user pair join on the
+    sample, scale by 16, and surface the estimate next to the exact
+    count with their ratio. The sample is the house hash permutation
+    (deterministic), so estimate AND exact are both oracle-checked —
+    this key pins the estimator's bias on live data every round.
+
+    Scale shape: the estimate path scans 1/16 of the keys through
+    the same one-shuffle join as the exact path; both are per-user
+    bounded fan-outs (purchases x clicks within a user), never a
+    cross join."""
+    from .augment import _mult_hash_key
+
+    ev = table(spark, sf, "events").select("event_type", "user_id")
+    p = ev.where(F.col("event_type") == "purchase").select("user_id")
+    c = ev.where(F.col("event_type") == "click").select("user_id")
+    pairs = p.join(c, "user_id")
+    exact = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    keep = F.pmod(_mult_hash_key("user_id"), F.lit(_EST_MOD)) == 0
+    sampled = p.where(keep).join(c.where(keep), "user_id")
+    est = sampled.agg(
+        (F.count(F.lit(1)) * _EST_MOD).cast("bigint").alias("n_est")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_exact",
+        "n_est",
+        F.round(F.col("n_est") / F.col("n_exact") + 1e-9, 4).alias(
+            "est_over_exact"
+        ),
+    )
+
+
+_EST_JOIN_CARD_SQL = """
+WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+hk AS (
+  SELECT DISTINCT user_id FROM (
+    SELECT user_id, {{hash}} % {mod} AS m
+    FROM (SELECT user_id,
+                 ((user_id % 4294967296) + 4294967296) % 4294967296 AS a
+          FROM events) t) s
+  WHERE m = 0),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM p JOIN c USING (user_id)),
+est AS (
+  SELECT CAST(COUNT(*) * {mod} AS BIGINT) AS n_est
+  FROM (SELECT p.user_id FROM p JOIN hk USING (user_id)) ps
+  JOIN (SELECT c.user_id FROM c JOIN hk USING (user_id)) cs
+    USING (user_id))
+SELECT n_exact, n_est,
+       ROUND(n_est / n_exact + 1e-9, 4) AS est_over_exact
+FROM exact CROSS JOIN est
+""".format(mod=_EST_MOD)
+
+
+def _compose_est_join_card_sql() -> str:
+    from .augment import _MULT_HASH_SQL
+
+    return _EST_JOIN_CARD_SQL.format(hash=_MULT_HASH_SQL)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec("events_tumbling", events_tumbling, _TUMBLING_SQL),
     "events_sliding": QuerySpec("events_sliding", events_sliding, _SLIDING_SQL),
@@ -2696,5 +2880,18 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_ab_welch": QuerySpec(
         "events_ab_welch", events_ab_welch, _compose_ab_welch_sql()
+    ),
+    "events_user_overlap_jaccard": QuerySpec(
+        "events_user_overlap_jaccard",
+        events_user_overlap_jaccard,
+        _USER_OVERLAP_SQL,
+    ),
+    "profile_join_key_skew": QuerySpec(
+        "profile_join_key_skew", profile_join_key_skew, _KEY_SKEW_SQL
+    ),
+    "est_join_cardinality": QuerySpec(
+        "est_join_cardinality",
+        est_join_cardinality,
+        _compose_est_join_card_sql(),
     ),
 }

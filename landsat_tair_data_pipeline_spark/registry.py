@@ -140,6 +140,9 @@ _ROUND9_FRONT = [
     "join_scd2_pointintime",
     "events_ab_welch",
     "join_nn_radius_2d",
+    "events_user_overlap_jaccard",
+    "profile_join_key_skew",
+    "est_join_cardinality",
     # r5-vintage: testdata-reading documents/text block (8)
     "text_token_count",
     "text_rolling_hash",
@@ -168,13 +171,8 @@ _ROUND9_FRONT = [
     "sample_stratified",
     "dedup_keep_best",
     "sink_parquet_partitioned",
-    # r5-vintage: src/mm ingest (2)
+    # r5-vintage: src ingest
     "src_pt_real",
-    "mm_feature_extract",
-    # r5-vintage: fixture-backed domain/mapping block (least at
-    # risk — fixtures are in-repo; displaced first by new keys)
-    "proj_sensor_flag",
-    "filt_band_cardinality",
     # (as new r9 keys land above, the tail of this fixture-backed
     # block is trimmed to keep the list at exactly 50; trimmed so
     # far: agg_count, proj_date_parts_csv, proj_scene_id_from_filename,
@@ -183,8 +181,10 @@ _ROUND9_FRONT = [
     # join_gt_lookup, join_station_dim, join_scene_assets,
     # proj_scene_date_parse, src_json_metadata, src_station_txt,
     # src_dir_listing, agg_minmax_scene_dates, filt_metadata_keys,
-    # filt_skip_first, filt_load_errors — they keep their r5-green
-    # rows and rotate in r10)
+    # filt_skip_first, filt_load_errors, proj_sensor_flag,
+    # filt_band_cardinality, mm_feature_extract — they keep their
+    # r5-green rows and rotate in r10; the whole former
+    # fixture-backed block is now displaced)
 ]
 
 # Historical r8 order kept for reference (drove CORRECTNESS_r08) —
