@@ -233,37 +233,11 @@ FIRST_BENCHED = {
             "emb_pca_power",
         )
     },
-    **{
-        k: 9
-        for k in (
-            "ext_dedup_near",
-            "dedup_near_recall",
-            "stream_scd2",
-            "emb_kmeans_converged",
-            "graph_label_propagation",
-            "graph_triangle_count",
-            "events_rfm_segment",
-            "dedup_containment_pairs",
-            "text_heavy_hitters",
-            "agg_bitmap_distinct",
-            "join_asof_tolerance",
-            "layout_zorder_stats",
-            "window_distinct_trailing",
-            "join_interval_overlap",
-            "emb_pq_codes",
-            "sim_pq_recall",
-            "pack_shards_bytes",
-            "dedup_edit_distance_pairs",
-            "agg_moments_merge",
-            "sample_negative_pairs",
-            "join_scd2_pointintime",
-            "events_ab_welch",
-            "join_nn_radius_2d",
-            "events_user_overlap_jaccard",
-            "profile_join_key_skew",
-            "est_join_cardinality",
-        )
-    },
+    # every HEADLINE key from ext_dedup_near on entered in round 9 —
+    # derived from HEADLINE itself (a key appended there but missed
+    # here would silently default to THIS_ROUND and drop out of the
+    # like-for-like subtotal forever)
+    **{k: 9 for k in HEADLINE[HEADLINE.index("ext_dedup_near"):]},
 }
 
 THIS_ROUND = max(FIRST_BENCHED.values())

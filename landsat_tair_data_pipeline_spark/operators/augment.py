@@ -605,10 +605,16 @@ def sample_negative_pairs(spark: SparkSession, sf: str) -> DataFrame:
     embedding/contrastive training, made reproducible). Anchors are
     the first _NEG_ANCHORS docs of the house multiplicative-hash
     permutation, the pool is the next _NEG_POOL; each (anchor, cand)
-    pair draws a key by hashing the PAIR (16-bit id mix keeps every
-    intermediate under 2^32 — no overflow divergence between engines
-    at any id scale; collisions just tie, broken by cand_id), and
-    the k smallest draws win.
+    pair draws a key by re-hashing the XOR of the two elements' own
+    hashes (everything stays under 2^32 — no overflow divergence
+    between engines at any id scale; collisions just tie, broken by
+    cand_id), and the k smallest draws win. XOR-then-hash, not
+    hash-of-an-affine-combination: a multiplicative hash of
+    f(anchor)+g(cand) is affine in the cand term, which would rank
+    the pool in ONE fixed circular order merely rotated per anchor —
+    nearby anchors would draw overlapping negative sets. The XOR
+    flips different bit patterns per anchor, so per-anchor orders
+    are genuinely independent.
 
     Scale shape: anchor and pool selection are TakeOrdered top-m (no
     global sort); the pair space is anchors x pool — both bounded
@@ -627,19 +633,19 @@ def sample_negative_pairs(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.orderBy(F.asc("hk"), F.asc("doc_id"))
     ranked = top.withColumn("rk", F.row_number().over(w))
     anchors = ranked.where(F.col("rk") <= _NEG_ANCHORS).select(
-        F.col("doc_id").alias("anchor_id"), F.col("source").alias("anchor_src")
+        F.col("doc_id").alias("anchor_id"),
+        F.col("source").alias("anchor_src"),
+        F.col("hk").alias("ah"),
     )
     pool = ranked.where(F.col("rk") > _NEG_ANCHORS).select(
-        F.col("doc_id").alias("cand_id"), F.col("source").alias("cand_src")
+        F.col("doc_id").alias("cand_id"),
+        F.col("source").alias("cand_src"),
+        F.col("hk").alias("ch"),
     )
     pairs = (
         anchors.crossJoin(F.broadcast(pool))
         .where(F.col("cand_src") != F.col("anchor_src"))
-        .withColumn(
-            "_pk",
-            F.pmod(F.col("anchor_id"), F.lit(65536)) * F.lit(65536)
-            + F.pmod(F.col("cand_id"), F.lit(65536)),
-        )
+        .withColumn("_pk", F.col("ah").bitwiseXOR(F.col("ch")))
     )
     drawn = pairs.withColumn("draw_key", _mult_hash_key("_pk"))
     wk = Window.partitionBy("anchor_id").orderBy(
@@ -666,19 +672,18 @@ WITH keyed AS (
                ((doc_id % 4294967296) + 4294967296) % 4294967296 AS a
         FROM documents) t),
 ranked AS (
-  SELECT doc_id, source,
+  SELECT doc_id, source, hk,
          ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS rk
   FROM keyed ORDER BY hk, doc_id LIMIT {top}),
 anchors AS (
-  SELECT doc_id AS anchor_id, source AS anchor_src
+  SELECT doc_id AS anchor_id, source AS anchor_src, hk AS ah
   FROM ranked WHERE rk <= {na}),
 pool AS (
-  SELECT doc_id AS cand_id, source AS cand_src
+  SELECT doc_id AS cand_id, source AS cand_src, hk AS ch
   FROM ranked WHERE rk > {na}),
 pairs AS (
   SELECT anchor_id, anchor_src, cand_id, cand_src,
-         ((anchor_id % 65536) + 65536) % 65536 * 65536
-           + ((cand_id % 65536) + 65536) % 65536 AS a
+         xor(ah, ch) AS a
   FROM anchors CROSS JOIN pool
   WHERE cand_src != anchor_src),
 drawn AS (

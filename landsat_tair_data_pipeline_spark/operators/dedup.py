@@ -1087,12 +1087,19 @@ def pack_shards_bytes(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = table(spark, sf, "documents").select("doc_id", "source", "n_chars")
     hk = _mult_hash_key("doc_id")
+    # bucket by HIGH hash bits: the Knuth hash passes the input's low
+    # 16 bits through unmixed (K*2^16 has zero low bits), so
+    # `hk % buckets` would be plain doc_id % buckets — id-parity
+    # structure (sharded/striped id allocation) would collapse into
+    # one writer. The top bits are fully mixed.
     keyed = docs.select(
         "doc_id",
         "source",
         "n_chars",
         hk.alias("hk"),
-        F.pmod(hk, F.lit(_SHARD_BUCKETS)).cast("int").alias("bucket"),
+        F.floor(hk / F.lit(4294967296 // _SHARD_BUCKETS))
+        .cast("int")
+        .alias("bucket"),
     )
     w = Window.partitionBy("source", "bucket").orderBy("hk", "doc_id")
     cum = keyed.withColumn("cum", F.sum("n_chars").over(w))
@@ -1119,7 +1126,7 @@ WITH keyed AS (
         FROM documents) t),
 b AS (
   SELECT doc_id, source, n_chars, hk,
-         CAST(hk % {buckets} AS INT) AS bucket
+         CAST(hk // {stride} AS INT) AS bucket
   FROM keyed),
 c AS (
   SELECT doc_id, source, n_chars, bucket,
@@ -1133,7 +1140,7 @@ SELECT source, bucket,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM c GROUP BY 1, 2, 3
-""".format(buckets=_SHARD_BUCKETS, target=_SHARD_TARGET)
+""".format(stride=4294967296 // _SHARD_BUCKETS, target=_SHARD_TARGET)
 
 
 def _compose_shards_sql() -> str:
@@ -1143,11 +1150,14 @@ def _compose_shards_sql() -> str:
 
 
 #: Edit-distance blocking geometry: candidate pairs share a 16-char
-#: content prefix and sit within a 32-char length band; a pair is a
-#: near-dup when lev*5 <= max(len) (integer form of lev <= 0.2*len —
-#: exact on both engines, no float threshold).
+#: content prefix and sit within the lossless length band
+#: |len(a)-len(b)|*5 <= max(len); a pair is a near-dup when
+#: lev*5 <= max(len) (integer form of lev <= 0.2*len — exact on both
+#: engines, no float threshold). The band is implied by the
+#: threshold (lev >= |len(a)-len(b)|), so it prunes without losing a
+#: single qualifying pair at ANY document length — a fixed-width
+#: band would silently drop long near-dups with large insertions.
 _EDIT_PREFIX = 16
-_EDIT_LEN_BAND = 32
 
 
 def dedup_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1156,10 +1166,11 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
     sets, simhash/minhash = sketches, containment = directional;
     this catches small in-place edits those miss ranking-wise).
     Candidates = pairs sharing a _EDIT_PREFIX-char content prefix
-    within a _EDIT_LEN_BAND length band (lev(a,b) >= |len(a)-len(b)|,
-    so the band is a lossless filter for the threshold at these
-    lengths); verify = exact Levenshtein (JVM-side, no Python),
-    keep pairs with lev*5 <= max(len) (similarity >= 0.8).
+    whose length gap alone couldn't pass the threshold
+    (lev(a,b) >= |len(a)-len(b)|, so |len gap|*5 <= max(len) is a
+    LOSSLESS pre-filter for the verify cut at any length); verify =
+    exact Levenshtein (JVM-side, no Python), keep pairs with
+    lev*5 <= max(len) (similarity >= 0.8).
 
     Scale shape: ONE equi-shuffle on the prefix key — never an
     all-pairs cross; per-block work is O(block^2) pairs x O(len^2)
@@ -1180,8 +1191,8 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("a.p") == F.col("b.p"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & (
-            F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
-            <= F.lit(_EDIT_LEN_BAND)
+            F.abs(F.col("a.n_chars") - F.col("b.n_chars")) * 5
+            <= F.greatest(F.col("a.n_chars"), F.col("b.n_chars"))
         ),
     )
     # `+ 0*rand` = the house value-neutral nondeterminism taint: it
@@ -1219,11 +1230,11 @@ scored AS (
          greatest(a.n_chars, b.n_chars) AS mx
   FROM p a JOIN p b
     ON a.p = b.p AND a.doc_id < b.doc_id
-   AND abs(a.n_chars - b.n_chars) <= {band})
+   AND abs(a.n_chars - b.n_chars) * 5 <= greatest(a.n_chars, b.n_chars))
 SELECT a_id, b_id, lev,
        ROUND(1.0 - lev / mx + 1e-9, 4) AS sim
 FROM scored WHERE lev * 5 <= mx
-""".format(prefix=_EDIT_PREFIX, band=_EDIT_LEN_BAND)
+""".format(prefix=_EDIT_PREFIX)
 
 
 def llm_data_pipeline(spark: SparkSession, sf: str) -> DataFrame:

@@ -2490,9 +2490,10 @@ FROM f LEFT JOIN dim d
 
 
 def events_ab_welch(spark: SparkSession, sf: str) -> DataFrame:
-    """A/B EXPERIMENT READOUT: split users into two arms by the house
-    multiplicative-hash parity (the reproducible form of random
-    assignment), then per event type compare the value means with the
+    """A/B EXPERIMENT READOUT: split users into two arms by the TOP
+    BIT of the house multiplicative hash (the reproducible form of
+    random assignment; see the arm comment below for why not the low
+    bit), then per event type compare the value means with the
     WELCH t statistic — unequal variances, unequal arm sizes, the
     test every experimentation pipeline computes. Entirely algebraic
     over per-arm (n, mean, var_samp) aggregates, so the statistic
@@ -2510,7 +2511,13 @@ def events_ab_welch(spark: SparkSession, sf: str) -> DataFrame:
     from .augment import _mult_hash_key
 
     ev = table(spark, sf, "events").select("event_type", "user_id", "value")
-    keyed = ev.withColumn("b", F.pmod(_mult_hash_key("user_id"), F.lit(2)))
+    # arm = the hash's TOP bit: the Knuth hash leaves the input's low
+    # 16 bits unmixed (hash % 2 IS user_id % 2), so a low-bit arm
+    # would inherit any id-parity structure (striped shards,
+    # alternating cohorts) — the top bit is fully mixed
+    keyed = ev.withColumn(
+        "b", F.floor(_mult_hash_key("user_id") / F.lit(2147483648)).cast("int")
+    )
     va = F.when(F.col("b") == 0, F.col("value"))
     vb = F.when(F.col("b") == 1, F.col("value"))
     g = keyed.groupBy("event_type").agg(
@@ -2536,7 +2543,7 @@ def events_ab_welch(spark: SparkSession, sf: str) -> DataFrame:
 
 _AB_WELCH_SQL = """
 WITH k AS (
-  SELECT event_type, value, {hash} % 2 AS b
+  SELECT event_type, value, {hash} // 2147483648 AS b
   FROM (SELECT event_type, value,
                ((user_id % 4294967296) + 4294967296) % 4294967296 AS a
         FROM events) t)
@@ -2702,7 +2709,14 @@ def est_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     c = ev.where(F.col("event_type") == "click").select("user_id")
     pairs = p.join(c, "user_id")
     exact = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
-    keep = F.pmod(_mult_hash_key("user_id"), F.lit(_EST_MOD)) == 0
+    # sample on the TOP 4 hash bits (hash % 16 would be plain
+    # user_id % 16 — the Knuth hash's low bits are the input's own,
+    # so a modulus sample would inherit round-robin/block id layout
+    # instead of randomizing over it)
+    keep = (
+        F.floor(_mult_hash_key("user_id") / F.lit(4294967296 // _EST_MOD))
+        == 0
+    )
     sampled = p.where(keep).join(c.where(keep), "user_id")
     est = sampled.agg(
         (F.count(F.lit(1)) * _EST_MOD).cast("bigint").alias("n_est")
@@ -2721,7 +2735,7 @@ WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
 c AS (SELECT user_id FROM events WHERE event_type = 'click'),
 hk AS (
   SELECT DISTINCT user_id FROM (
-    SELECT user_id, {{hash}} % {mod} AS m
+    SELECT user_id, {{hash}} // {stride} AS m
     FROM (SELECT user_id,
                  ((user_id % 4294967296) + 4294967296) % 4294967296 AS a
           FROM events) t) s
@@ -2737,7 +2751,7 @@ est AS (
 SELECT n_exact, n_est,
        ROUND(n_est / n_exact + 1e-9, 4) AS est_over_exact
 FROM exact CROSS JOIN est
-""".format(mod=_EST_MOD)
+""".format(mod=_EST_MOD, stride=4294967296 // _EST_MOD)
 
 
 def _compose_est_join_card_sql() -> str:
