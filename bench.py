@@ -145,6 +145,8 @@ HEADLINE = [
     "events_user_overlap_jaccard",
     "profile_join_key_skew",
     "est_join_cardinality",
+    "pack_batches_padding",
+    "ts_changepoint_cusum",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.

@@ -1118,6 +1118,154 @@ def pack_shards_bytes(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _global_rank(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Distributed global ROW_NUMBER consistent with ORDER BY
+    order_cols: range-partition on the FULL order key (ties included,
+    so partition boundaries respect the total order — ranging on a
+    prefix would let equal-key runs straddle a boundary in the wrong
+    tiebreak order), rank locally, add broadcast per-partition count
+    offsets. Materialized once before the offsets/join fan-out
+    (persist_tracked) — repartitionByRange boundaries are
+    rdd.id-seeded, so re-executing the range shuffle in a second
+    branch can desync the offsets (the exact_split r7 bug)."""
+    num = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(num, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wloc = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = persist_tracked(
+        ranged.withColumn("_lrn", F.row_number().over(wloc))
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .withColumn("rn", (F.col("_off") + F.col("_lrn")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+#: Dynamic-batching geometry: batch capacity in sequences.
+_BATCH_SIZE = 32
+
+
+def pack_batches_padding(spark: SparkSession, sf: str) -> DataFrame:
+    """PADDING-WASTE AUDIT of training batch composition — the
+    quantified case for length-bucketed batching: split the corpus
+    into consecutive _BATCH_SIZE-doc batches under (a) the house
+    hash-shuffled order (what naive random batching does) and (b)
+    length-sorted order; each batch pads every sequence to the batch
+    max, so waste = Σ(batch_rows x batch_max − batch_tokens). The
+    two strategies are surfaced side by side (total tokens invariant
+    across them is an implicit self-check; pad_ratio = wasted cells
+    over padded cells).
+
+    Scale shape: each strategy is ONE distributed global rank
+    (_global_rank: range shuffle + local window + broadcast offsets
+    — no single-partition window) plus two bounded hash aggregates.
+    The batch assignment depends only on the global order, so the
+    result is partition-count-independent."""
+    from .augment import _mult_hash_key
+
+    docs = table(spark, sf, "documents").select(
+        "doc_id", F.size(TOKENS()).alias("n_tok")
+    )
+    base = docs.withColumn("hk", _mult_hash_key("doc_id"))
+    outs = []
+    for strategy, order in (
+        ("hash_order", ["hk", "doc_id"]),
+        ("length_sorted", ["n_tok", "doc_id"]),
+    ):
+        ranked = _global_rank(base, order)
+        per = (
+            ranked.withColumn(
+                "batch", F.expr(f"(rn - 1) div {_BATCH_SIZE}")
+            )
+            .groupBy("batch")
+            .agg(
+                F.count(F.lit(1)).alias("bn"),
+                F.max("n_tok").alias("mx"),
+                F.sum("n_tok").alias("tok"),
+            )
+        )
+        outs.append(
+            per.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+                F.sum("tok").cast("bigint").alias("total_tokens"),
+                F.sum(F.col("bn") * F.col("mx") - F.col("tok"))
+                .cast("bigint")
+                .alias("total_padding"),
+                F.round(
+                    F.sum(F.col("bn") * F.col("mx") - F.col("tok"))
+                    / F.sum(F.col("bn") * F.col("mx"))
+                    + 1e-9,
+                    4,
+                ).alias("pad_ratio"),
+            ).select(F.lit(strategy).alias("strategy"), "*")
+        )
+    return outs[0].unionByName(outs[1])
+
+
+_BATCH_PAD_TAIL_SQL = """
+  SELECT CAST((rn - 1) // {bs} AS BIGINT) AS batch,
+         COUNT(*) AS bn, MAX(n_tok) AS mx, SUM(n_tok) AS tok
+  FROM {src} GROUP BY 1"""
+
+_BATCH_PAD_SQL = """
+WITH t AS (
+  SELECT doc_id, len({toks}) AS n_tok FROM documents),
+keyed AS (
+  SELECT doc_id, n_tok, {{hash}} AS hk
+  FROM (SELECT doc_id, n_tok,
+               ((doc_id % 4294967296) + 4294967296) % 4294967296 AS a
+        FROM t) s),
+h AS (
+  SELECT n_tok, ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS rn FROM keyed),
+l AS (
+  SELECT n_tok, ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS rn FROM keyed),
+hb AS ({hb}),
+lb AS ({lb})
+SELECT 'hash_order' AS strategy,
+       CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(bn * mx - tok) AS BIGINT) AS total_padding,
+       ROUND(SUM(bn * mx - tok) / SUM(bn * mx) + 1e-9, 4) AS pad_ratio
+FROM hb
+UNION ALL
+SELECT 'length_sorted',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(tok) AS BIGINT),
+       CAST(SUM(bn * mx - tok) AS BIGINT),
+       ROUND(SUM(bn * mx - tok) / SUM(bn * mx) + 1e-9, 4)
+FROM lb
+""".format(
+    toks=_TOKENS_SQL,
+    hb=_BATCH_PAD_TAIL_SQL.format(bs=_BATCH_SIZE, src="h").strip(),
+    lb=_BATCH_PAD_TAIL_SQL.format(bs=_BATCH_SIZE, src="l").strip(),
+)
+
+
+def _compose_batch_pad_sql() -> str:
+    from .augment import _MULT_HASH_SQL
+
+    return _BATCH_PAD_SQL.format(hash=_MULT_HASH_SQL)
+
+
 _SHARDS_SQL = """
 WITH keyed AS (
   SELECT doc_id, source, n_chars, {{hash}} AS hk
@@ -1980,6 +2128,9 @@ QUERIES: dict[str, QuerySpec] = {
         "dedup_edit_distance_pairs",
         dedup_edit_distance_pairs,
         _EDIT_PAIRS_SQL,
+    ),
+    "pack_batches_padding": QuerySpec(
+        "pack_batches_padding", pack_batches_padding, _compose_batch_pad_sql()
     ),
     "llm_data_pipeline": QuerySpec(
         "llm_data_pipeline", llm_data_pipeline, _PIPELINE_SQL

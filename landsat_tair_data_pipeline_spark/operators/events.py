@@ -2760,6 +2760,87 @@ def _compose_est_join_card_sql() -> str:
     return _EST_JOIN_CARD_SQL.format(hash=_MULT_HASH_SQL)
 
 
+def ts_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM CHANGEPOINT SCAN per event type — the sequential
+    statistic behind drift detection on metric series: center each
+    type's daily-mean series on its own mean, accumulate the running
+    sum of deviations, and surface the day where |CUSUM| peaks (the
+    classic single-changepoint locator) with the peak magnitude and
+    the series length. Daily means round at 6dp BEFORE the running
+    sum (so accumulation-order noise cannot compound across days)
+    and the CUSUM itself rounds at 6dp before the argmax, day
+    tiebreak — the house ranking discipline.
+
+    Scale shape: one hash aggregate to (type, day), a per-type
+    window over day-count-bounded groups (series length, not event
+    count), and a 1-row-per-type argmax. Events never flow through
+    a window."""
+    ev = table(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    d = ev.groupBy("event_type", "day").agg(
+        F.round(F.avg("value") + 1e-9, 6).alias("x")
+    )
+    mu = d.groupBy("event_type").agg(
+        F.round(F.avg("x") + 1e-9, 6).alias("mu")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    c = (
+        d.join(F.broadcast(mu), "event_type")
+        .withColumn(
+            "cusum",
+            F.round(F.sum(F.col("x") - F.col("mu")).over(w) + 1e-9, 6),
+        )
+        .withColumn(
+            "n_days",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("event_type").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).cast("bigint"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day").asc()
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("day").alias("changepoint_day"),
+            F.round(F.abs(F.col("cusum")) + 1e-9, 4).alias("max_abs_cusum"),
+        )
+    )
+
+
+_CUSUM_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(AVG(value) + 1e-9, 6) AS x
+  FROM events GROUP BY 1, 2),
+mu AS (
+  SELECT event_type, ROUND(AVG(x) + 1e-9, 6) AS mu FROM d GROUP BY 1),
+c AS (
+  SELECT d.event_type, d.day,
+         ROUND(SUM(x - mu) OVER (PARTITION BY d.event_type ORDER BY d.day
+               ROWS UNBOUNDED PRECEDING) + 1e-9, 6) AS cusum,
+         CAST(COUNT(*) OVER (PARTITION BY d.event_type) AS BIGINT)
+           AS n_days
+  FROM d JOIN mu USING (event_type))
+SELECT event_type, n_days,
+       day AS changepoint_day,
+       ROUND(abs(cusum) + 1e-9, 4) AS max_abs_cusum
+FROM (
+  SELECT event_type, n_days, day, cusum,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(cusum) DESC, day) AS rk
+  FROM c) t
+WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec("events_tumbling", events_tumbling, _TUMBLING_SQL),
     "events_sliding": QuerySpec("events_sliding", events_sliding, _SLIDING_SQL),
@@ -2907,5 +2988,8 @@ QUERIES: dict[str, QuerySpec] = {
         "est_join_cardinality",
         est_join_cardinality,
         _compose_est_join_card_sql(),
+    ),
+    "ts_changepoint_cusum": QuerySpec(
+        "ts_changepoint_cusum", ts_changepoint_cusum, _CUSUM_SQL
     ),
 }

@@ -143,6 +143,8 @@ _ROUND9_FRONT = [
     "events_user_overlap_jaccard",
     "profile_join_key_skew",
     "est_join_cardinality",
+    "pack_batches_padding",
+    "ts_changepoint_cusum",
     # r5-vintage: testdata-reading documents/text block (8)
     "text_token_count",
     "text_rolling_hash",
@@ -170,9 +172,6 @@ _ROUND9_FRONT = [
     "text_repetition",
     "sample_stratified",
     "dedup_keep_best",
-    "sink_parquet_partitioned",
-    # r5-vintage: src ingest
-    "src_pt_real",
     # (as new r9 keys land above, the tail of this fixture-backed
     # block is trimmed to keep the list at exactly 50; trimmed so
     # far: agg_count, proj_date_parts_csv, proj_scene_id_from_filename,
@@ -182,9 +181,10 @@ _ROUND9_FRONT = [
     # proj_scene_date_parse, src_json_metadata, src_station_txt,
     # src_dir_listing, agg_minmax_scene_dates, filt_metadata_keys,
     # filt_skip_first, filt_load_errors, proj_sensor_flag,
-    # filt_band_cardinality, mm_feature_extract — they keep their
-    # r5-green rows and rotate in r10; the whole former
-    # fixture-backed block is now displaced)
+    # filt_band_cardinality, mm_feature_extract, src_pt_real,
+    # sink_parquet_partitioned — they keep their r5-green rows and
+    # rotate in r10; the whole former fixture-backed block plus the
+    # src/sink ingest pair is now displaced)
 ]
 
 # Historical r8 order kept for reference (drove CORRECTNESS_r08) —
