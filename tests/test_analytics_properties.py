@@ -217,3 +217,49 @@ def test_quant_expr_constant_dim_is_single_bin_both_engines(spark):
     q = f"SELECT {expr} AS q FROM (SELECT 5 AS x, 5 AS lo, 5 AS hi) t"
     assert spark.sql(q).collect()[0]["q"] == 0
     assert duckdb.sql(q).fetchone()[0] == 0
+
+
+def _mult_hash_py(x: int) -> int:
+    """Pure-python twin of augment._mult_hash_key for property tests."""
+    a = x % 4294967296
+    lo, hi = a % 65536, (a // 65536) % 65536
+    return (lo * 2654435761 + hi * 2041643008) % 4294967296
+
+
+def test_high_bit_splits_mix_low_bit_structured_ids():
+    """The r9 review finding, pinned: the Knuth hash passes an input's
+    low bits through unmixed (h(x) % 2^k == x % 2^k), so arm/bucket/
+    sample splits must read the TOP bits. All-even ids (one ingestion
+    stripe) must still split ~50/50 on the top bit — a low-bit arm
+    would put 100% in arm 0."""
+    ids = [2 * i for i in range(10000)]
+    # the broken form: low-bit arm inherits parity exactly
+    assert all(_mult_hash_py(x) % 2 == x % 2 for x in ids)
+    top = sum(_mult_hash_py(x) // 2147483648 for x in ids)
+    assert 0.45 < top / len(ids) < 0.55
+    # the 1/16 sampler: top-4-bit sample keeps ~1/16 of a mod-16
+    # stripe (a low-bit sampler would keep 0% or 100% of it)
+    stripe = [16 * i for i in range(10000)]
+    kept = sum(1 for x in stripe if _mult_hash_py(x) // 268435456 == 0)
+    assert 0.04 < kept / len(stripe) < 0.085
+
+
+def test_negative_pair_draw_is_not_a_rotation():
+    """sample_negative_pairs' XOR-then-hash draw: per-anchor candidate
+    orders must NOT be one fixed circular order rotated per anchor
+    (the affine-combination defect the r9 review caught). For a pool
+    of m candidates, a rotation family has the property that every
+    anchor's ranking is a cyclic shift of one base sequence — refute
+    it by exhibiting two anchors whose orders are not cyclic shifts
+    of each other."""
+    pool = list(range(100, 164))
+    def order(anchor):
+        ah = _mult_hash_py(anchor)
+        keyed = sorted(
+            (( _mult_hash_py(ah ^ _mult_hash_py(c)), c) for c in pool)
+        )
+        return [c for _, c in keyed]
+    o1, o2 = order(1), order(2)
+    m = len(pool)
+    is_rotation = any(o1[k:] + o1[:k] == o2 for k in range(m))
+    assert not is_rotation
