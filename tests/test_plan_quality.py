@@ -723,3 +723,47 @@ def test_pack_shards_single_group_shuffle(spark):
     plan = _plan(spark, "pack_shards_bytes")
     assert "SinglePartition" not in plan, plan[:900]
     assert _shuffles(plan) <= 2, _shuffles(plan)
+
+
+def test_pq_recall_stays_broadcast_and_parallel(spark):
+    """sim_pq_recall's scale contract: every PQ-side join is broadcast
+    (codebook, ADC tables, probe dims — the corpus never shuffles for
+    them), the exploded dim-stream carries the explicit round-robin
+    repartition (single-file trap: with only broadcast joins
+    downstream nothing else spreads the fan-out), and there is no
+    distance cross join."""
+    plan = _plan(spark, "sim_pq_recall")
+    assert "CartesianProduct" not in plan
+    assert "RoundRobinPartitioning" in plan, plan[:900]
+    assert plan.count("BroadcastHashJoin") >= 4, plan.count("BroadcastHashJoin")
+
+
+def test_scd2_pit_join_is_equi_with_residual(spark):
+    """join_scd2_pointintime must execute as an EQUI join on user_id
+    with the interval predicates as residual conditions — never a
+    nested-loop over facts x intervals (the naive range-join plan
+    that dies at fact scale)."""
+    plan = _plan(spark, "join_scd2_pointintime")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:900]
+    assert "CartesianProduct" not in plan
+    assert "LeftOuter" in plan, plan[:900]
+
+
+def test_nn_radius_join_is_binned_equi(spark):
+    """join_nn_radius_2d's candidate join must be an equi join on the
+    (jx, jy) cell key — the 3x3 grid neighborhood as join keys, never
+    a nested-loop distance predicate over all point pairs."""
+    plan = _plan(spark, "join_nn_radius_2d")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:900]
+    assert "CartesianProduct" not in plan
+
+
+def test_batch_padding_rank_is_distributed(spark):
+    """pack_batches_padding's two global ranks must run as the
+    distributed range-partitioned form (_global_rank), with the
+    ranked frames cached for the offsets fan-out — a single
+    SinglePartition window over the raw docs would be the classic
+    global ROW_NUMBER scalability trap."""
+    plan = _plan(spark, "pack_batches_padding")
+    assert "rangepartitioning" in plan, plan[:900]
+    assert "InMemoryTableScan" in plan, plan[:900]
