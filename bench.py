@@ -147,6 +147,8 @@ HEADLINE = [
     "est_join_cardinality",
     "pack_batches_padding",
     "ts_changepoint_cusum",
+    "agg_histogram_equidepth",
+    "text_ngram_novelty",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.

@@ -2841,6 +2841,69 @@ WHERE rk = 1
 """
 
 
+#: Equi-depth histogram bucket count (boundaries at i/8 quantiles).
+_EQD_BUCKETS = 8
+
+
+def agg_histogram_equidepth(spark: SparkSession, sf: str) -> DataFrame:
+    """EQUI-DEPTH HISTOGRAM per event type — the ANALYZE-statistics
+    shape query optimizers estimate selectivity from (equal-FREQUENCY
+    buckets track skew where agg_value_histogram's equal-WIDTH
+    buckets go empty): boundaries are the exact interpolated i/8
+    quantiles (the agg_percentiles convention), each value lands in
+    bucket = #boundaries strictly below it, and per-bucket counts
+    come out ~n/8 by construction — the surfaced count spread IS the
+    tie-density diagnostic.
+
+    Scale shape: one exact-percentile aggregate per type (values
+    shuffle once on the 5 type keys), boundaries broadcast back as a
+    7-element array, bucket assignment a per-row array filter (JVM
+    higher-order, constant-size), one counting aggregate. Boundaries
+    round at 6dp on BOTH engines before the comparison so the bucket
+    cut is engine-identical."""
+    ev = table(spark, sf, "events").select("event_type", "value")
+    fr = [i / _EQD_BUCKETS for i in range(1, _EQD_BUCKETS)]
+    bounds = ev.groupBy("event_type").agg(
+        F.expr(
+            "transform(percentile(value, array({fs})), b -> round(b + 1e-9, 6))".format(
+                fs=", ".join(str(f) for f in fr)
+            )
+        ).alias("bounds")
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    bucket = F.expr("size(filter(bounds, b -> value > b))")
+    return (
+        j.withColumn("bucket", bucket.cast("int"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("value") + 1e-9, 6).alias("lo"),
+            F.round(F.max("value") + 1e-9, 6).alias("hi"),
+        )
+    )
+
+
+_EQD_SQL = """
+WITH b AS (
+  SELECT event_type,
+         list_transform(quantile_cont(value, [{fs}]),
+                        b -> ROUND(b + 1e-9, 6)) AS bounds
+  FROM events GROUP BY 1),
+j AS (
+  SELECT e.event_type, e.value,
+         CAST(len(list_filter(b.bounds, x -> e.value > x)) AS INT)
+           AS bucket
+  FROM events e JOIN b USING (event_type))
+SELECT event_type, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(value) + 1e-9, 6) AS lo,
+       ROUND(MAX(value) + 1e-9, 6) AS hi
+FROM j GROUP BY 1, 2
+""".format(
+    fs=", ".join(str(i / _EQD_BUCKETS) for i in range(1, _EQD_BUCKETS))
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec("events_tumbling", events_tumbling, _TUMBLING_SQL),
     "events_sliding": QuerySpec("events_sliding", events_sliding, _SLIDING_SQL),
@@ -2991,5 +3054,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ts_changepoint_cusum": QuerySpec(
         "ts_changepoint_cusum", ts_changepoint_cusum, _CUSUM_SQL
+    ),
+    "agg_histogram_equidepth": QuerySpec(
+        "agg_histogram_equidepth", agg_histogram_equidepth, _EQD_SQL
     ),
 }

@@ -849,6 +849,76 @@ HAVING COUNT(*) * {phi} > (SELECT n FROM tot)
 """.format(toks=_TOKS_SQL, phi=_HH_PHI)
 
 
+#: Novelty n-gram order — long grams, so "first corpus occurrence"
+#: means a genuinely new passage, not a common phrase.
+_NOVELTY_N = 8
+
+
+def text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """PASSAGE-NOVELTY SCORE per document — the curation signal next
+    to dedup: the fraction of a doc's distinct word 8-grams whose
+    FIRST corpus occurrence (lowest doc_id holding the gram) is this
+    doc. A near-duplicate of earlier material scores ~0, fresh text
+    scores ~1 — the streaming-ingest notion of "how much does this
+    add" computed batch-side (the events_cumulative_uniques
+    first-seen reduction applied to text shingles). Docs with no
+    8-gram (< 8 tokens) drop, matching the oracle's inner join.
+
+    Scale shape: one explode + distinct to the inverted (gram, doc)
+    frame, a min-reduction per gram (map-side combinable), and one
+    gram-keyed join back — Zipf skew on common grams is bounded by
+    the 8-gram order (long grams are rare) and AQE's skew split
+    handles the residue. No corpus broadcast, no window."""
+    docs = table(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    g = persist_tracked(
+        docs.select(
+            "doc_id", F.explode(_word_ngrams(_NOVELTY_N)).alias("gram")
+        ).distinct()
+    )
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(
+                        0
+                    )
+                )
+                / F.count(F.lit(1))
+                + 1e-9,
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
+def _novelty_sql() -> str:
+    return """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (SELECT DISTINCT doc_id, gram FROM (
+  SELECT doc_id, unnest({ngrams}) AS gram FROM t)),
+f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       ROUND(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+             / COUNT(*) + 1e-9, 4) AS novelty
+FROM g JOIN f USING (gram)
+GROUP BY doc_id
+""".format(toks=_TOKS_SQL, ngrams=_ngrams_sql(_NOVELTY_N))
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(
         "text_token_count", text_token_count, _TOKEN_COUNT_SQL
@@ -882,5 +952,8 @@ QUERIES: dict[str, QuerySpec] = {
     # round-9 addition (fronted in registry._ROUND9_FRONT on arrival)
     "text_heavy_hitters": QuerySpec(
         "text_heavy_hitters", text_heavy_hitters, _HH_SQL
+    ),
+    "text_ngram_novelty": QuerySpec(
+        "text_ngram_novelty", text_ngram_novelty, _novelty_sql()
     ),
 }

@@ -145,6 +145,8 @@ _ROUND9_FRONT = [
     "est_join_cardinality",
     "pack_batches_padding",
     "ts_changepoint_cusum",
+    "agg_histogram_equidepth",
+    "text_ngram_novelty",
     # r5-vintage: testdata-reading documents/text block (8)
     "text_token_count",
     "text_rolling_hash",
@@ -170,8 +172,6 @@ _ROUND9_FRONT = [
     "llm_data_pipeline_v2",
     "text_contamination",
     "text_repetition",
-    "sample_stratified",
-    "dedup_keep_best",
     # (as new r9 keys land above, the tail of this fixture-backed
     # block is trimmed to keep the list at exactly 50; trimmed so
     # far: agg_count, proj_date_parts_csv, proj_scene_id_from_filename,
@@ -182,9 +182,10 @@ _ROUND9_FRONT = [
     # src_dir_listing, agg_minmax_scene_dates, filt_metadata_keys,
     # filt_skip_first, filt_load_errors, proj_sensor_flag,
     # filt_band_cardinality, mm_feature_extract, src_pt_real,
-    # sink_parquet_partitioned — they keep their r5-green rows and
-    # rotate in r10; the whole former fixture-backed block plus the
-    # src/sink ingest pair is now displaced)
+    # sink_parquet_partitioned, sample_stratified, dedup_keep_best —
+    # they keep their r5-green rows and rotate in r10; the whole
+    # former fixture-backed block plus the src/sink ingest pair is
+    # now displaced)
 ]
 
 # Historical r8 order kept for reference (drove CORRECTNESS_r08) —
