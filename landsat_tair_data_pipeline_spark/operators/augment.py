@@ -112,64 +112,29 @@ def exact_split(
     scan between branch executions. A content hash is branch-stable,
     retry-stable, and session-independent.
 
-    The ranked frame is then materialized ONCE (persist_tracked,
-    MEMORY_AND_DISK — deliberately NOT localCheckpoint: persist keeps
-    lineage, so an executor loss recomputes against the SAME
-    rdd.id/boundaries instead of failing the job on an unreplicated
-    block) before the offsets/join fan-out: repartitionByRange
-    SAMPLES its
-    boundaries with an rdd.id-seeded random, and rdd ids advance per
-    session, so two separate executions of the same range shuffle can
-    place boundary rows in different partitions — offsets computed
-    under one boundary set applied to the other make _gidx a
-    non-permutation and the split counts silently wrong (observed
-    live at sf0.1 ONLY under a long session: 4022/5000 train rows;
-    green standalone — r7). Materializing pins one physical
-    partitioning for every consumer; same fix in dedup._chunk_summary.
+    The distributed ranking itself (range partition + local window +
+    broadcast offsets, ranked frame materialized ONCE before the
+    offsets fan-out — the r7 rdd.id boundary-desync fix, observed
+    live as 4022/5000 train rows in a long session) lives in
+    util.global_prefix, shared with dedup._chunk_summary and
+    dedup._global_rank; see its docstring for the full mechanics.
     """
-    if num_ranges is None:
-        num_ranges = df.sparkSession.sparkContext.defaultParallelism
+    from ..util import global_prefix
+
     keyed = df.withColumn(
         "_r", F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
     )
-    ranged = (
-        keyed.repartitionByRange(num_ranges, "_r")
-        .sortWithinPartitions("_r")
-        .withColumn("_pid", F.spark_partition_id())
+    indexed = global_prefix(keyed, ["_r"], num_ranges=num_ranges).withColumn(
+        "_gidx", F.col("_prefix") - 1
     )
-    local = persist_tracked(
-        ranged.withColumn(
-            "_lrn",
-            F.row_number().over(Window.partitionBy("_pid").orderBy("_r")),
-        )
-    )
-    offsets = (
-        local.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_cnt").over(
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .withColumn("_n", F.sum("_cnt").over(Window.partitionBy()))
-    )
-    indexed = local.join(
-        F.broadcast(offsets.select("_pid", "_off", "_n")), "_pid"
-    ).withColumn("_gidx", F.col("_lrn") + F.col("_off") - 1)
     labeled = indexed.withColumn(
         "split",
         F.when(
-            F.col("_gidx") < F.floor(F.col("_n") * F.lit(train_ratio)),
+            F.col("_gidx") < F.floor(F.col("_total") * F.lit(train_ratio)),
             F.lit("train"),
         ).otherwise(F.lit("test")),
     )
-    return labeled.drop("_r", "_pid", "_lrn", "_off", "_n", "_gidx")
+    return labeled.drop("_r", "_prefix", "_total", "_gidx")
 
 
 # ---------------------------------------------------------------------------

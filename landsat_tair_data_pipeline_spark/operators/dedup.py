@@ -985,43 +985,15 @@ def pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
 
 def _chunk_summary(docs: DataFrame, capacity: int = 512) -> DataFrame:
     """(doc_id, n_tok) → per-chunk packing summary via the distributed
-    prefix sum described in pack_chunks. The range fan-out follows the
-    cluster's parallelism (it only shapes the prefix-sum partitioning;
-    chunk assignment depends on the global doc_id order alone, so the
-    result is partition-count-independent)."""
-    num_ranges = docs.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        docs.repartitionByRange(num_ranges, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    wloc = Window.partitionBy("_pid").orderBy("doc_id")
-    # materialize BEFORE the offsets/join fan-out: range-boundary
-    # sampling is rdd.id-seeded, so re-executing the range shuffle in
-    # the second branch can move boundary rows across partitions and
-    # desync the offsets (the exact_split bug, augment.py — r7).
-    # persist, not localCheckpoint: lineage kept → executor loss
-    # recomputes against the SAME rdd.id/boundaries
-    local = persist_tracked(
-        ranged.withColumn("_lcum", F.sum("n_tok").over(wloc))
-    )
-    offsets = (
-        local.groupBy("_pid")
-        .agg(F.sum("n_tok").alias("_cnt"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_cnt").over(
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-    )
-    cum = local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
-    start = F.col("_off") + F.col("_lcum") - F.col("n_tok")
+    prefix sum described in pack_chunks (util.global_prefix — the
+    shared range-partition + local-window + broadcast-offsets core,
+    materialized once against the r7 rdd.id boundary desync). Chunk
+    assignment depends on the global doc_id order alone, so the
+    result is partition-count-independent."""
+    from ..util import global_prefix
+
+    cum = global_prefix(docs, ["doc_id"], "n_tok")
+    start = F.col("_prefix") - F.col("n_tok")
     chunked = cum.withColumn(
         "chunk_id", F.floor(start / F.lit(float(capacity)))
     )
@@ -1120,43 +1092,15 @@ def pack_shards_bytes(spark: SparkSession, sf: str) -> DataFrame:
 
 def _global_rank(df: DataFrame, order_cols: list[str]) -> DataFrame:
     """Distributed global ROW_NUMBER consistent with ORDER BY
-    order_cols: range-partition on the FULL order key (ties included,
-    so partition boundaries respect the total order — ranging on a
-    prefix would let equal-key runs straddle a boundary in the wrong
-    tiebreak order), rank locally, add broadcast per-partition count
-    offsets. Materialized once before the offsets/join fan-out
-    (persist_tracked) — repartitionByRange boundaries are
-    rdd.id-seeded, so re-executing the range shuffle in a second
-    branch can desync the offsets (the exact_split r7 bug)."""
-    num = df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(num, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    wloc = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = persist_tracked(
-        ranged.withColumn("_lrn", F.row_number().over(wloc))
-    )
-    offsets = (
-        local.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_cnt").over(
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-    )
+    order_cols — util.global_prefix's prefix COUNT, renamed `rn`
+    (see its docstring for the range-partition / tie / rdd.id-desync
+    mechanics it shares with exact_split and _chunk_summary)."""
+    from ..util import global_prefix
+
     return (
-        local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
-        .withColumn("rn", (F.col("_off") + F.col("_lrn")).cast("bigint"))
-        .drop("_pid", "_lrn", "_off")
+        global_prefix(df, order_cols)
+        .withColumn("rn", F.col("_prefix").cast("bigint"))
+        .drop("_prefix", "_total")
     )
 
 
@@ -1306,6 +1250,7 @@ def _compose_shards_sql() -> str:
 #: single qualifying pair at ANY document length — a fixed-width
 #: band would silently drop long near-dups with large insertions.
 _EDIT_PREFIX = 16
+_EDIT_SIM_MULT = 5  # lev * MULT <= max(len)  <=>  similarity >= 1 - 1/MULT
 
 
 def dedup_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1339,7 +1284,7 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("a.p") == F.col("b.p"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & (
-            F.abs(F.col("a.n_chars") - F.col("b.n_chars")) * 5
+            F.abs(F.col("a.n_chars") - F.col("b.n_chars")) * _EDIT_SIM_MULT
             <= F.greatest(F.col("a.n_chars"), F.col("b.n_chars"))
         ),
     )
@@ -1360,7 +1305,7 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .alias("lev"),
         F.greatest(F.col("a.n_chars"), F.col("b.n_chars")).alias("mx"),
     )
-    return scored.where(F.col("lev") * 5 <= F.col("mx")).select(
+    return scored.where(F.col("lev") * _EDIT_SIM_MULT <= F.col("mx")).select(
         "a_id",
         "b_id",
         "lev",
@@ -1378,11 +1323,11 @@ scored AS (
          greatest(a.n_chars, b.n_chars) AS mx
   FROM p a JOIN p b
     ON a.p = b.p AND a.doc_id < b.doc_id
-   AND abs(a.n_chars - b.n_chars) * 5 <= greatest(a.n_chars, b.n_chars))
+   AND abs(a.n_chars - b.n_chars) * {mult} <= greatest(a.n_chars, b.n_chars))
 SELECT a_id, b_id, lev,
        ROUND(1.0 - lev / mx + 1e-9, 4) AS sim
-FROM scored WHERE lev * 5 <= mx
-""".format(prefix=_EDIT_PREFIX)
+FROM scored WHERE lev * {mult} <= mx
+""".format(prefix=_EDIT_PREFIX, mult=_EDIT_SIM_MULT)
 
 
 def llm_data_pipeline(spark: SparkSession, sf: str) -> DataFrame:

@@ -63,6 +63,73 @@ def persist_tracked(df, level=None):
     return df
 
 
+def global_prefix(df, order_cols, value_col=None, num_ranges=None):
+    """Distributed INCLUSIVE prefix aggregate consistent with
+    ``ORDER BY order_cols`` over the whole frame: prefix COUNT (the
+    global ROW_NUMBER) when ``value_col`` is None, else prefix
+    SUM(value_col). Adds ``_prefix`` (inclusive running value) and
+    ``_total`` (grand total) to ``df``'s columns.
+
+    The one scalable shape for a corpus-wide running quantity —
+    shared by augment.exact_split (rank → split boundary),
+    dedup._chunk_summary (token cumsum → chunk cut), and
+    dedup._global_rank (rank → batch cut), which used to carry three
+    copies of it:
+
+    - range-partition on the FULL order key (a prefix of the order
+      would let equal-key runs straddle a boundary out of tiebreak
+      order), aggregate within partitions (explicit ROWS frame: the
+      default RANGE frame gives ties equal running values, changing
+      row_number semantics),
+    - MATERIALIZE the ranked frame once (persist_tracked, lineage
+      kept) before the offsets/join fan-out — repartitionByRange
+      samples boundaries with an rdd.id-seeded random, so two
+      executions of the same range shuffle can split boundary rows
+      differently and desync the offsets (observed live in r7:
+      4022/5000 train rows, session-dependent),
+    - broadcast the tiny per-partition offsets back.
+
+    Never a single-partition global window; the only unpartitioned
+    windows run over O(#partitions) offset rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    num = num_ranges or df.sparkSession.sparkContext.defaultParallelism
+    val = F.lit(1) if value_col is None else F.col(value_col)
+    ranged = (
+        df.repartitionByRange(num, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = persist_tracked(ranged.withColumn("_lpre", F.sum(val).over(wloc)))
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.sum(val).alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_total", F.sum("_cnt").over(Window.partitionBy()))
+    )
+    return (
+        local.join(F.broadcast(offsets.select("_pid", "_off", "_total")), "_pid")
+        .withColumn("_prefix", F.col("_lpre") + F.col("_off"))
+        .drop("_pid", "_lpre", "_off")
+    )
+
+
 def release_other_scopes(current: str) -> None:
     """Unpersist every OTHER scope's tracked frames — unless a Spark
     job is still running, in which case defer: unpersisting a frame

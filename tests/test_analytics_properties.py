@@ -228,10 +228,12 @@ def _mult_hash_py(x: int) -> int:
 
 def test_high_bit_splits_mix_low_bit_structured_ids():
     """The r9 review finding, pinned: the Knuth hash passes an input's
-    low bits through unmixed (h(x) % 2^k == x % 2^k), so arm/bucket/
-    sample splits must read the TOP bits. All-even ids (one ingestion
-    stripe) must still split ~50/50 on the top bit — a low-bit arm
-    would put 100% in arm 0."""
+    low bits through unmixed — h(x) % 2^k depends only on x's low 16
+    bits, and h(x) == x (mod 2^k) exactly for k <= 4 since the
+    multiplier is 1 mod 16 — so arm/bucket/sample splits must read
+    the TOP bits. All-even ids (one ingestion stripe) must still
+    split ~50/50 on the top bit — a low-bit arm would put 100% in
+    arm 0."""
     ids = [2 * i for i in range(10000)]
     # the broken form: low-bit arm inherits parity exactly
     assert all(_mult_hash_py(x) % 2 == x % 2 for x in ids)

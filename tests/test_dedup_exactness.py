@@ -197,58 +197,61 @@ def test_global_rank_is_order_consistent_permutation(spark):
 
 
 def test_edit_distance_band_is_lossless_for_threshold(spark):
-    """The relative length band |Δlen|*5 <= max(len) must never drop a
-    pair the verify cut lev*5 <= max(len) would keep: brute-force all
-    same-prefix pairs of a synthetic corpus WITHOUT the band and
-    assert the banded operator returns the identical pair set. The
-    corpus includes a long doc with a >32-char insertion — the case a
-    fixed-width band silently loses."""
+    """The relative length band |Δlen|*MULT <= max(len) must never
+    drop a pair the verify cut lev*MULT <= max(len) would keep:
+    brute-force all same-prefix pairs of a synthetic corpus WITHOUT
+    the band and assert the banded operator's own pipeline returns
+    the identical pair set. Built from the OPERATOR'S constants
+    (_EDIT_PREFIX/_EDIT_SIM_MULT), so tuning them cannot silently
+    stale this pin. The corpus includes a long doc with a large
+    insertion — the case a fixed-width band silently loses."""
     from pyspark.sql import functions as F
 
-    base = "prefix_sixteen__" + "x" * 400
+    from landsat_tair_data_pipeline_spark.operators.dedup import (
+        _EDIT_PREFIX,
+        _EDIT_SIM_MULT,
+    )
+
+    base = "x" * _EDIT_PREFIX + "x" * 400
+    gap = 3 * _EDIT_PREFIX  # insertion larger than any fixed band
     docs = [
         (0, base),
-        (1, base + "y" * 60),            # lev=60, max=476, 300<=476 pass
-        (2, base[:200]),                  # len gap 216 — band prunes
-        (3, "prefix_sixteen__" + "z" * 400),  # lev=400 fail verify
+        (1, base + "y" * gap),  # same prefix, big insertion: must pass
+        (2, base[: len(base) // 2]),  # huge len gap — band prunes
+        (3, "x" * _EDIT_PREFIX + "z" * 400),  # lev too high: verify cuts
     ]
     df = spark.createDataFrame(
-        [(i, t, len(t)) for i, t in docs], "doc_id long, text string, n_chars long"
+        [(i, t, len(t)) for i, t in docs],
+        "doc_id long, text string, n_chars long",
     )
     p = df.select(
-        F.substring("text", 1, 16).alias("p"), "doc_id", "text", "n_chars"
+        F.substring("text", 1, _EDIT_PREFIX).alias("p"),
+        "doc_id",
+        "text",
+        "n_chars",
     )
     a, b = p.alias("a"), p.alias("b")
-    brute = (
-        a.join(
-            b,
-            (F.col("a.p") == F.col("b.p"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("lev"),
-            F.greatest(F.col("a.n_chars"), F.col("b.n_chars")).alias("mx"),
-        )
-        .where(F.col("lev") * 5 <= F.col("mx"))
+    verify = (
+        F.levenshtein(F.col("a.text"), F.col("b.text")) * _EDIT_SIM_MULT
+        <= F.greatest(F.col("a.n_chars"), F.col("b.n_chars"))
     )
-    want = {(r["a_id"], r["b_id"]) for r in brute.collect()}
-    assert (0, 1) in want  # the >32-char-insertion pair must qualify
-    # run the REAL operator's candidate+verify pipeline on this frame
-    cand = a.join(
-        b,
-        (F.col("a.p") == F.col("b.p"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (
-            F.abs(F.col("a.n_chars") - F.col("b.n_chars")) * 5
-            <= F.greatest(F.col("a.n_chars"), F.col("b.n_chars"))
-        ),
-    ).select(
-        F.col("a.doc_id").alias("a_id"),
-        F.col("b.doc_id").alias("b_id"),
-        F.levenshtein(F.col("a.text"), F.col("b.text")).alias("lev"),
-        F.greatest(F.col("a.n_chars"), F.col("b.n_chars")).alias("mx"),
-    ).where(F.col("lev") * 5 <= F.col("mx"))
-    got = {(r["a_id"], r["b_id"]) for r in cand.collect()}
+    band = (
+        F.abs(F.col("a.n_chars") - F.col("b.n_chars")) * _EDIT_SIM_MULT
+        <= F.greatest(F.col("a.n_chars"), F.col("b.n_chars"))
+    )
+    same_block = (F.col("a.p") == F.col("b.p")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    pair = [F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")]
+    want = {
+        (r["a_id"], r["b_id"])
+        for r in a.join(b, same_block & verify).select(*pair).collect()
+    }
+    assert (0, 1) in want  # the big-insertion pair must qualify
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in a.join(b, same_block & band & verify)
+        .select(*pair)
+        .collect()
+    }
     assert got == want

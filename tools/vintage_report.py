@@ -35,7 +35,7 @@ def main() -> None:
     from landsat_tair_data_pipeline_spark.registry import all_queries
 
     latest: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
         try:
             d = json.load(open(f))
