@@ -92,8 +92,8 @@ def all_queries() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query id {name!r}")
             merged[name] = spec
 
-    front = [k for k in _ROUND9_FRONT if k in merged]
-    missing = [k for k in _ROUND9_FRONT if k not in merged]
+    front = [k for k in _ROUND10_FRONT if k in merged]
+    missing = [k for k in _ROUND10_FRONT if k not in merged]
     if missing:
         raise ValueError(f"front-ordered keys missing from registry: {missing}")
     ordered = {k: merged[k] for k in front}
@@ -101,7 +101,78 @@ def all_queries() -> dict[str, QuerySpec]:
     return ordered
 
 
-# First 50 slots of the driver's correctness window for round 9 —
+# First 50 slots of the driver's correctness window for round 10 —
+# the final r5 drain plus the start of the r6 drain (VERDICT r9 items
+# 1 and 4). Ordering: (1) new r10 keys, fronted on arrival (the r8
+# lesson: a key that misses its round's window is next round's
+# backlog); (2) the 27 r5-vintage fixture-backed keys displaced from
+# the r9 front (computed from the CORRECTNESS_r*.json union via
+# tools/vintage_report.py) — after they land, NO key's latest driver
+# row predates r6; (3) the oldest r6-vintage keys,
+# most-data-sensitive first (dedup/text/events testdata readers
+# before the relational agg/window/setop families — testdata
+# regenerates every round, in-repo fixtures never do). New-key slots
+# displace from the END of the r6 fill; displaced keys rotate in r11.
+_ROUND10_FRONT = [
+    # new in r10, fronted on arrival
+    # (each new key displaces one r6-vintage key from the tail)
+    # r5-vintage fixture-backed drain (27) — the whole remaining block
+    "agg_count",
+    "agg_domain_grouped",
+    "agg_minmax_scene_dates",
+    "dedup_keep_best",
+    "domain_pipeline_summary",
+    "filt_band_cardinality",
+    "filt_load_errors",
+    "filt_metadata_keys",
+    "filt_sentinel_gt",
+    "filt_skip_first",
+    "join_gt_lookup",
+    "join_scene_assets",
+    "join_station_dim",
+    "map_bt_pixels",
+    "map_concat_features",
+    "mm_feature_extract",
+    "proj_date_parts_csv",
+    "proj_scene_date_parse",
+    "proj_scene_id_from_filename",
+    "proj_sensor_flag",
+    "sample_stratified",
+    "sink_parquet_partitioned",
+    "src_dir_listing",
+    "src_json_metadata",
+    "src_pt_real",
+    "src_pt_tensor",
+    "src_station_txt",
+    # r6-vintage fill, most-data-sensitive first (23 slots at zero new
+    # keys; trimmed from the tail as r10 keys land above — trimmed
+    # keys keep their r6-green rows and lead the r11 front)
+    "llm_data_pipeline_v3",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_normalized",
+    "dedup_shared_ngram_pairs",
+    "ext_sim_search",
+    "sim_lsh_buckets",
+    "emb_quantize_int8",
+    "text_chunk_stride",
+    "text_pii_scrub",
+    "sample_source_mix",
+    "src_jsonl_documents",
+    "stream_static_join",
+    "events_top_paths",
+    "events_anomaly_zscore",
+    "events_retention",
+    "events_sliding",
+    "events_dedup_first",
+    "events_json_extract",
+    "events_rate_per_user",
+    "ts_resample_ohlc",
+    "mm_dedup_binary",
+]
+
+# Historical r9 order kept for reference (drove CORRECTNESS_r09) —
 # the rotation-debt drain (VERDICT r8 items 1-2). Ordering: (1)
 # emb_pca_power — the ONLY key of 199 without a driver row (added
 # after the r8 window filled; judge-verified hash-green at sf0.01,
@@ -165,7 +236,8 @@ _ROUND9_FRONT = [
     "stream_stream_join",
     "ext_stream_window",
     "stream_sink_parquet",
-    # r5-vintage: testdata-reading events/relational/dedup (9)
+    # r5-vintage: testdata-reading events/relational/dedup (6 — the
+    # block started at 9 and was trimmed as new r9 keys landed)
     "join_asof",
     "ts_gapfill",
     "upsert_snapshot",

@@ -128,6 +128,23 @@ def run_to_memory(
             f"finish within {timeout_s}s"
         )
     if max_input_batches is not None:
+        # recentProgress is capped at spark.sql.streaming
+        # .numRecentProgressUpdates (default 100) — a drain spanning
+        # more micro-batches than the retention window would evade the
+        # fed-batch count below. lastProgress's batchId is not capped
+        # (batchId + 1 = total batches run), so first prove the
+        # retention window saw the WHOLE drain, then count fed batches.
+        last = q.lastProgress
+        total_batches = (last["batchId"] + 1) if last is not None else 0
+        if total_batches > len(q.recentProgress):
+            raise RuntimeError(
+                f"run_to_memory({name!r}): drain ran {total_batches} "
+                f"micro-batches but recentProgress retains only "
+                f"{len(q.recentProgress)} — the batch-count precondition "
+                "check below would be blind; raise "
+                "spark.sql.streaming.numRecentProgressUpdates for this "
+                "drain or remove the trigger cap"
+            )
         fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
         if len(fed) > max_input_batches:
             raise RuntimeError(

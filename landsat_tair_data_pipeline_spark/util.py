@@ -94,6 +94,16 @@ def global_prefix(df, order_cols, value_col=None, num_ranges=None):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # exact_split is a public API over arbitrary caller frames — a
+    # caller column shadowing one of the fixed helper names would
+    # silently produce duplicate/ambiguous columns downstream
+    reserved = {"_pid", "_lpre", "_off", "_prefix", "_total", "_cnt"}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_prefix: input columns collide with reserved helper "
+            f"names {sorted(clash)}; rename them before calling"
+        )
     num = num_ranges or df.sparkSession.sparkContext.defaultParallelism
     val = F.lit(1) if value_col is None else F.col(value_col)
     ranged = (

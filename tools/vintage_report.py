@@ -2,7 +2,7 @@
 """Per-key driver-evidence vintage report — the rotation-planning
 computation NOTES prescribes every round, as one command.
 
-Reads every CORRECTNESS_r0*.json, records each key's LATEST driver
+Reads every CORRECTNESS_r*.json, records each key's LATEST driver
 round, joins against the current registry, and prints:
   - a vintage histogram (how many keys last verified in each round),
   - keys with NO driver row yet (must be inside the next front-50),
