@@ -149,6 +149,8 @@ HEADLINE = [
     "ts_changepoint_cusum",
     "agg_histogram_equidepth",
     "text_ngram_novelty",
+    # r10 new-operator keys (append-only)
+    "dedup_containment_asym",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.
@@ -242,6 +244,8 @@ FIRST_BENCHED = {
     # here would silently default to THIS_ROUND and drop out of the
     # like-for-like subtotal forever)
     **{k: 9 for k in HEADLINE[HEADLINE.index("ext_dedup_near"):]},
+    # r10 keys override the r9 slice above (dict literal: later wins)
+    **{k: 10 for k in HEADLINE[HEADLINE.index("dedup_containment_asym"):]},
 }
 
 THIS_ROUND = max(FIRST_BENCHED.values())

@@ -282,10 +282,9 @@ def dedup_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     dedup_jaccard_pairs (exact for jaccard >= 0.4 after rounding), so
     the jaccard floor is part of the surface — a LOW-jaccard
     high-containment pair (tiny doc quoted inside a huge one) is out
-    of scope by definition here; the asymmetric-prefix containment
-    join (prefix on the contained side only, PPJoin's containment
-    variant) is the standard extension if that pair class is ever
-    needed. Reuses the intersect counts the candidate join already
+    of scope by definition here; dedup_containment_asym closes exactly
+    that class via the one-sided prefix join (PPJoin's containment
+    variant). Reuses the intersect counts the candidate join already
     computed — zero extra shuffles beyond dedup_jaccard_pairs."""
     docs = table(spark, sf, "documents").select(
         "doc_id",
@@ -344,6 +343,202 @@ s AS (
 SELECT doc_a, doc_b, jaccard, containment_a, containment_b,
        (containment_a >= 0.8 OR containment_b >= 0.8) AS near_subset
 FROM s WHERE jaccard >= 0.4
+""".format(toks=_TOKENS_SQL)
+
+
+def _asym_containment_candidates(
+    docs: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """Asymmetric-prefix containment candidate join — PPJoin's
+    containment variant (Xiao et al. WWW'08 §6), the extension
+    dedup_containment_pairs' docstring names: the prefix filter runs on
+    the CONTAINED side only, against the container side's FULL token
+    index, so a low-jaccard high-containment pair (a 50-token quote
+    inside a 5,000-token article: jaccard ≪ 0.4, containment ≈ 1.0) is
+    found — the one near-dup pair class the symmetric jaccard-floored
+    candidates can never emit.
+
+    Theorem (one-sided prefix): containment(A in B) >= t means
+    |A∩B| >= α with α = ceil(t·|A|), so at most |A| − α of A's tokens
+    miss B; under any consistent global token order, among A's first
+    |A| − α + 1 tokens at least one is in B. Joining A's
+    (|A| − α + 1)-prefix against ALL of B's tokens therefore yields
+    every qualifying ordered pair — exactness preserved, which is why
+    the quadratic DuckDB oracle certifies the rewrite.
+
+    Per-occurrence prunes (a pair is kept if ANY occurrence passes, as
+    in _prefix_filter_pairs, so only hopeless occurrences drop):
+    - |B| >= α (the overlap can never exceed the container's size);
+    - positional filter at the pair's first shared token: every shared
+      token ranks >= the match on BOTH sides (the global order is
+      consistent, and an earlier shared A-prefix token would itself
+      have been the first match), so
+      |A∩B| <= 1 + min(|A| − rk_a, |B| − rk_b).
+
+    Scale shape: the container-side index is the whole tokenized
+    corpus — ONE linear (source, tok) shuffle, the same volume the
+    wordcount stage already moves; candidate volume is
+    Σ_{prefix occurrences} df(token), minimized by the rarest-first
+    order (a doc's prefix is its ~(1−t) rarest tokens). No corpus
+    broadcast, no all-pairs join; the only broadcast is the bounded
+    65,536-row top-K frequency map shared with _prefix_filter_pairs.
+
+    ``t_num/t_den`` is the relaxed rational (7999/10000 for 0.8): the
+    final filter compares the ROUNDED containment, so a true value of
+    0.79995 must survive candidate pruning.
+
+    Returns ordered candidates (doc_a=contained, doc_b=container,
+    sz_a, sz_b, inter) — callers apply rounding and the semantic
+    threshold."""
+    docs = persist_tracked(docs)
+    tok = docs.select(
+        "doc_id", "source", "sz", F.explode("toks").alias("tok")
+    )
+    topk = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(65536)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.asc("ofreq"), F.asc("tok"))
+    ranked = (
+        tok.join(F.broadcast(topk), "tok", "left")
+        .withColumn("ofreq", F.coalesce("freq", F.lit(1)))
+        .withColumn("rnk", F.row_number().over(w))
+        .select("source", "tok", "doc_id", "sz", "rnk")
+    )
+    # α = ceil(t·sz) in exact integer math, on the CONTAINED side
+    alpha_a = F.floor(
+        (F.lit(t_num) * F.col("pza") + F.lit(t_den - 1)) / F.lit(t_den)
+    ).cast("int")
+    a = ranked.where(
+        # prefix cut: rnk <= sz − ceil(t·sz) + 1, kept in integer form
+        F.col("rnk")
+        <= F.col("sz")
+        - F.floor(
+            (F.lit(t_num) * F.col("sz") + F.lit(t_den - 1)) / F.lit(t_den)
+        ).cast("int")
+        + 1
+    ).select(
+        "source",
+        "tok",
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("pza"),
+        F.col("rnk").alias("rka"),
+    )
+    b = ranked.select(
+        "source",
+        "tok",
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("pzb"),
+        F.col("rnk").alias("rkb"),
+    )
+    ubound = 1 + F.least(
+        F.col("pza") - F.col("rka"), F.col("pzb") - F.col("rkb")
+    )
+    cand = (
+        a.join(b, ["source", "tok"])
+        .where(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("pzb") >= alpha_a)
+            & (ubound >= alpha_a)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    pairs = cand.join(ta, "doc_a").join(tb, "doc_b")
+    # the `+ 0*rand` taint keeps the O(|toks|) intersect out of
+    # re-substituted join conditions / duplicate evaluation (the r1
+    # jaccard trap; plan-pinned)
+    inter = (
+        F.size(F.array_intersect("toks_a", "toks_b"))
+        + (F.rand(0) * 0).cast("int")
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "sz_a", "sz_b", inter.alias("inter")
+    )
+
+
+def dedup_containment_asym(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered containment pairs WITHOUT a jaccard floor: every
+    within-source (contained, container) pair whose rounded containment
+    |A∩B|/|A| reaches 0.8 — including the low-jaccard quote-in-article
+    class dedup_containment_pairs' symmetric candidates cannot reach
+    (flagged by ``beyond_jaccard_scope``). Candidates via the
+    asymmetric one-sided prefix join (_asym_containment_candidates);
+    tokens pre-hashed to int64 as in dedup_jaccard_pairs.
+
+    Margin audit (the r8 rule): at sf0.001/sf0.01 the closest
+    non-passing containment is 0.7931 — 69 rounding steps below the
+    0.8 cut — and passing values at exactly 0.8 are identical exact
+    rationals in both engines; threshold flakes need a data change,
+    not a regeneration."""
+    docs = (
+        table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(
+                F.transform(TOKENS(), lambda t: F.xxhash64(t))
+            ).alias("toks"),
+        )
+        .withColumn("sz", F.size("toks"))
+    )
+    pairs = _asym_containment_candidates(docs, 7999, 10000)
+    containment = F.round(
+        F.col("inter").cast("double") / F.col("sz_a").cast("double") + 1e-9,
+        4,
+    )
+    jaccard = F.round(
+        F.col("inter").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+        + 1e-9,
+        4,
+    )
+    return (
+        pairs.withColumn("containment", containment)
+        .withColumn("jaccard", jaccard)
+        .where(F.col("containment") >= 0.8)
+        .select(
+            F.col("doc_a").alias("doc_contained"),
+            F.col("doc_b").alias("doc_container"),
+            "containment",
+            "jaccard",
+            (F.col("jaccard") < 0.4).alias("beyond_jaccard_scope"),
+        )
+    )
+
+
+_CONTAINMENT_ASYM_SQL = """
+WITH t AS (
+  SELECT doc_id, source, list_distinct({toks}) AS toks FROM documents
+),
+p AS (
+  SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
+         len(list_intersect(a.toks, b.toks)) AS inter,
+         len(a.toks) AS sz_a, len(b.toks) AS sz_b
+  FROM t a JOIN t b ON a.source = b.source AND a.doc_id <> b.doc_id
+),
+s AS (
+  SELECT doc_contained, doc_container,
+         ROUND(CAST(inter AS DOUBLE) / sz_a + 1e-9, 4) AS containment,
+         ROUND(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) + 1e-9, 4)
+           AS jaccard
+  FROM p
+)
+SELECT doc_contained, doc_container, containment, jaccard,
+       (jaccard < 0.4) AS beyond_jaccard_scope
+FROM s WHERE containment >= 0.8
 """.format(toks=_TOKENS_SQL)
 
 
@@ -2112,5 +2307,11 @@ QUERIES: dict[str, QuerySpec] = {
     # r9: directional containment over the exact near-dup pairs
     "dedup_containment_pairs": QuerySpec(
         "dedup_containment_pairs", dedup_containment_pairs, _CONTAINMENT_SQL
+    ),
+    # r10: containment WITHOUT the jaccard floor — one-sided prefix join
+    "dedup_containment_asym": QuerySpec(
+        "dedup_containment_asym",
+        dedup_containment_asym,
+        _CONTAINMENT_ASYM_SQL,
     ),
 }

@@ -116,6 +116,7 @@ def all_queries() -> dict[str, QuerySpec]:
 _ROUND10_FRONT = [
     # new in r10, fronted on arrival
     # (each new key displaces one r6-vintage key from the tail)
+    "dedup_containment_asym",
     # r5-vintage fixture-backed drain (27) — the whole remaining block
     "agg_count",
     "agg_domain_grouped",
@@ -169,7 +170,6 @@ _ROUND10_FRONT = [
     "events_json_extract",
     "events_rate_per_user",
     "ts_resample_ohlc",
-    "mm_dedup_binary",
 ]
 
 # Historical r9 order kept for reference (drove CORRECTNESS_r09) —

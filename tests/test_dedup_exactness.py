@@ -74,6 +74,84 @@ def test_prefix_filter_finds_every_qualifying_pair(spark, seed):
     assert got == _brute_pairs(docs_py), f"seed {seed}"
 
 
+def _brute_containment_pairs(docs, thresh=0.8):
+    want = set()
+    for (ia, sa, ta), (ib, sb, tb) in itertools.permutations(docs, 2):
+        if sa != sb:
+            continue
+        inter = len(set(ta) & set(tb))
+        if len(ta) and round(inter / len(ta) + 1e-9, 4) >= thresh:
+            want.add((ia, ib))
+    return want
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1337])
+def test_asym_prefix_finds_every_qualifying_containment_pair(spark, seed):
+    """Brute-force exactness for the ONE-SIDED prefix join
+    (_asym_containment_candidates): the prefix cut on the contained
+    side, the |B| >= α prune and the first-shared-token positional
+    bound must together keep every ORDERED pair whose rounded
+    containment reaches the threshold — including pairs whose jaccard
+    is far below any symmetric floor."""
+    from landsat_tair_data_pipeline_spark.operators.dedup import (
+        _asym_containment_candidates,
+    )
+
+    docs_py = _random_corpus(seed)
+    df = spark.createDataFrame(
+        [(i, s, t, len(t)) for i, s, t in docs_py],
+        "doc_id long, source string, toks array<long>, sz int",
+    )
+    pairs = _asym_containment_candidates(df, 7999, 10000)
+    cont = F.round(
+        F.col("inter").cast("double") / F.col("sz_a").cast("double") + 1e-9,
+        4,
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in pairs.withColumn("c", cont)
+        .where(F.col("c") >= 0.8)
+        .collect()
+    }
+    assert got == _brute_containment_pairs(docs_py), f"seed {seed}"
+
+
+def test_asym_containment_finds_quote_in_article_pair(spark):
+    """The VERDICT r9 scope-contract probe: a short doc fully quoted
+    inside a much larger one (containment 1.0, jaccard ≈ 0.1) MUST be
+    found by dedup_containment_asym and CANNOT be emitted by
+    dedup_containment_pairs (whose candidates carry the jaccard >= 0.4
+    floor by construction)."""
+    from landsat_tair_data_pipeline_spark.operators.dedup import (
+        _asym_containment_candidates,
+        _prefix_filter_pairs,
+    )
+
+    quote = list(range(100, 110))          # 10 tokens
+    article = list(range(100, 200))        # 100 tokens, superset
+    other = list(range(500, 560))          # unrelated filler
+    df = spark.createDataFrame(
+        [
+            (1, "s0", quote, len(quote)),
+            (2, "s0", article, len(article)),
+            (3, "s0", other, len(other)),
+        ],
+        "doc_id long, source string, toks array<long>, sz int",
+    )
+    asym = {
+        (r["doc_a"], r["doc_b"])
+        for r in _asym_containment_candidates(df, 7999, 10000)
+        .where(F.col("inter") * 10000 >= F.lit(7999) * F.col("sz_a"))
+        .collect()
+    }
+    assert (1, 2) in asym, asym
+    sym = _prefix_filter_pairs(df, 3999, 10000)
+    sym_pairs = {(r["doc_a"], r["doc_b"]) for r in sym.collect()}
+    # jaccard(quote, article) = 10/100 = 0.1 — below the symmetric
+    # candidates' floor even BEFORE the final filter
+    assert (1, 2) not in sym_pairs and (2, 1) not in sym_pairs, sym_pairs
+
+
 # ---------------------------------------------------------------------------
 # Connected-components overflow path: large-star/small-star must produce
 # exactly the same labels as union-find on a graph whose diameter exceeds

@@ -587,6 +587,28 @@ def test_triangle_count_reuses_oriented_cache_no_cartesian(spark):
     )
 
 
+def test_containment_asym_intersect_once_and_bounded_broadcasts(spark):
+    """dedup_containment_asym: the O(|toks|) intersect must appear
+    exactly once (the rand-taint contract), and — because the
+    container side is the FULL token index, not a prefix — the only
+    broadcast allowed is still the bounded 65,536-row top-K frequency
+    map; anything else is a corpus-sized broadcast or an all-pairs
+    join sneaking in."""
+    plan = _plan(spark, "dedup_containment_asym")
+    assert plan.count("array_intersect") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    df = SPECS["dedup_containment_asym"].fn(spark, SF)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    lines = logical.splitlines()
+    hint_idx = [i for i, ln in enumerate(lines) if "ResolvedHint" in ln]
+    assert hint_idx, "expected the bounded top-K broadcast hint"
+    for i in hint_idx:
+        assert i + 1 < len(lines) and "GlobalLimit 65536" in lines[i + 1], (
+            lines[i : i + 2]
+        )
+
+
 def test_containment_broadcasts_only_bounded_frames(spark):
     """dedup_containment_pairs reuses the prefix-filter candidate
     machinery — the same bounded-broadcast contract as
