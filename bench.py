@@ -151,6 +151,13 @@ HEADLINE = [
     "text_ngram_novelty",
     # r10 new-operator keys (append-only)
     "dedup_containment_asym",
+    "dedup_simhash_hamming",
+    "text_entropy",
+    "agg_mad_outlier_days",
+    "events_cooccurrence_lift",
+    "join_asof_nearest",
+    "emb_matryoshka_recall",
+    "src_orc_events",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.
@@ -331,6 +338,7 @@ def main() -> None:
     SINK_SCRATCH_GLOBS = {
         "sink_parquet_partitioned": f"{SCRATCH_DIR}/events_part_*",
         "src_jsonl_documents": f"{SCRATCH_DIR}/documents_jsonl_*",
+        "src_orc_events": f"{SCRATCH_DIR}/events_orc_*",
     }
 
     def clear_sink_scratch(name: str) -> None:

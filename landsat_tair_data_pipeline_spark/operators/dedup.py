@@ -672,6 +672,137 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return sums.select("doc_id", sig.alias("simhash")).orderBy("doc_id")
 
 
+def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded Hamming-distance near-dup pairs over ORACLED SimHash
+    signatures — the multi-index recipe every perceptual-hash (pHash /
+    dHash image dedup) pipeline runs at scale, exercised here on text
+    so the whole pipeline is hash-checkable (dedup_simhash's xxhash64
+    signatures are engine-specific → rows-only; this variant derives
+    its 32-bit signature from md5, identical in both engines, closing
+    that gap with a fully oracled signature + pair join).
+
+    Signature: bit j (1..32) of a doc = sign of Σ over its DISTINCT
+    tokens of ±1 by the parity of hex digit j of md5(token) — the
+    classic Charikar sign-random-projection, exact integer math
+    throughout (no float ties; a Σ of ±1 over n tokens is 0 only at
+    even n, and ties break to 0 identically in both engines).
+
+    Pair search: Hamming distance ≤ 3 via the PIGEONHOLE multi-index
+    (Gong et al.; faiss IndexBinaryMultiHash): 4 disjoint 8-bit bands —
+    ≤3 differing bits leave ≥1 band untouched, so the band-equality
+    equi join finds EVERY qualifying pair (exact recall, certified by
+    the quadratic oracle). Each surviving pair is emitted exactly once
+    via the canonical-band rule (its FIRST equal band) — a pure column
+    predicate, no dedup shuffle; at 10⁹ items this is 4 linear
+    shuffles of 1-long rows instead of an all-pairs scan."""
+    docs = table(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(TOKENS()).alias("toks")
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("tok")).select(
+        "doc_id", F.md5("tok").alias("m")
+    )
+    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
+    bit_sums = [
+        F.sum(
+            F.when(F.substring(F.col("m"), j, 1).isin(*odd), 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(1, 33)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for j in range(1, 33):
+        term = F.shiftleft(
+            F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+            j - 1,
+        )
+        sig = term if sig is None else sig + term
+    sigs = persist_tracked(sums.select("doc_id", sig.alias("sig")))
+
+    def band(side: str, k_col: str, bv_col: str):
+        s = sigs.select(
+            F.col("doc_id").alias(f"doc_{side}"),
+            F.col("sig").alias(f"sig_{side}"),
+        )
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    F.shiftright(f"sig_{side}", 8 * k)
+                    .bitwiseAND(F.lit(255))
+                    .alias("bv"),
+                )
+                for k in range(4)
+            ]
+        )
+        return s.select(
+            f"doc_{side}",
+            f"sig_{side}",
+            F.explode(bands).alias("_b"),
+        ).select(
+            f"doc_{side}",
+            f"sig_{side}",
+            F.col("_b.k").alias(k_col),
+            F.col("_b.bv").alias(bv_col),
+        )
+
+    a = band("a", "k", "bv")
+    b = band("b", "k", "bv")
+    joined = a.join(b, ["k", "bv"]).where(F.col("doc_a") < F.col("doc_b"))
+    # canonical-band rule: emit only at the FIRST band where the two
+    # signatures agree (both sides' full signatures are in hand, so
+    # earlier-band equality is a pure column predicate — no distinct())
+    fb = F.when(
+        F.shiftright("sig_a", 0).bitwiseAND(F.lit(255))
+        == F.shiftright("sig_b", 0).bitwiseAND(F.lit(255)),
+        F.lit(0),
+    )
+    for k in range(1, 4):
+        fb = fb.when(
+            F.shiftright("sig_a", 8 * k).bitwiseAND(F.lit(255))
+            == F.shiftright("sig_b", 8 * k).bitwiseAND(F.lit(255)),
+            F.lit(k),
+        )
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ).cast("int")
+    return (
+        joined.where(F.col("k") == fb)
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_SIMHASH_HAMMING_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct({toks})) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS m FROM tok),
+b AS (
+  SELECT doc_id, g.j,
+         CASE WHEN substr(m, g.j, 1) IN ('1','3','5','7','9','b','d','f')
+              THEN 1 ELSE -1 END AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS j) g
+),
+t AS (SELECT doc_id, j, CAST(SUM(s) AS BIGINT) AS tot FROM b GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN tot > 0
+                       THEN (CAST(1 AS BIGINT) << (j - 1))
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM t GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+""".format(toks=_TOKENS_SQL)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (SURVEY §2.12): vectors whose
     cosine similarity >= 0.4 (the testdata's embeddings are random, so
@@ -2313,5 +2444,9 @@ QUERIES: dict[str, QuerySpec] = {
         "dedup_containment_asym",
         dedup_containment_asym,
         _CONTAINMENT_ASYM_SQL,
+    ),
+    # r10: fully-oracled SimHash + pigeonhole banded Hamming pair join
+    "dedup_simhash_hamming": QuerySpec(
+        "dedup_simhash_hamming", dedup_simhash_hamming, _SIMHASH_HAMMING_SQL
     ),
 }

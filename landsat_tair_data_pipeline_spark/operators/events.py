@@ -811,6 +811,48 @@ GROUP BY 1
 """
 
 
+def src_orc_events(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC source/sink roundtrip — Spark's second built-in columnar
+    format (the Hive-ecosystem interchange surface next to parquet):
+    events written to ORC (snappy, Spark default), read back, and
+    aggregated per (event_type, day). Hash-equality with the
+    parquet-derived oracle certifies the WHOLE roundtrip — row
+    fidelity, µs timestamp semantics through the ORC writer/reader,
+    and double values bit-faithful (the counts and 2dp sums match the
+    oracle that never saw ORC).
+
+    Same scratch discipline as sink_parquet_partitioned: the dir is
+    content-addressed by the source vintage (a regenerated testdata
+    can't read back a stale write) and interrupted writes are
+    scrubbed (util.prepare_scratch_dir)."""
+    from ..util import assert_readback_complete, prepare_scratch_dir
+
+    out_dir, reused = prepare_scratch_dir("events_orc", f"{sf}/events.parquet")
+    ev = table(spark, sf, "events")
+    ev.write.mode("ignore").orc(out_dir)
+    back = spark.read.orc(out_dir)
+    if reused:
+        assert_readback_complete(ev, back, "src_orc_events")
+    return (
+        back.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value") + 1e-9, 2).alias("sum_value"),
+        )
+    )
+
+
+_ORC_SQL = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value) + 1e-9, 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 _RANGE_BIN_S = 600  # 10-min grid; interval durations are < _RANGE_BIN_S
 
 
@@ -2904,6 +2946,275 @@ FROM j GROUP BY 1, 2
 )
 
 
+def agg_mad_outlier_days(spark: SparkSession, sf: str) -> DataFrame:
+    """ROBUST anomaly scan per event type — median/MAD instead of
+    mean/stddev (events_anomaly_zscore's z-score is itself dragged by
+    the outliers it hunts; the median absolute deviation has a 50%
+    breakdown point, the textbook robust alternative): each (type,
+    day)'s daily mean scored as robust_z = (x − median) / MAD over
+    that type's daily series.
+
+    The readout is the VALUE, not a significance boolean (the r9
+    events_ab_welch rule: a hash-pinned boolean near a cut flakes per
+    regeneration; consumers apply their own 3.5·1.4826 cut). Daily
+    means round at 6dp BEFORE the medians (the cusum discipline);
+    robust_z is NULL when MAD = 0 (a constant series has no scale —
+    NULLIF on both engines).
+
+    Scale shape: one hash aggregate to (type, day) — events never
+    flow through a window — then two exact-percentile aggregates over
+    the day-count-bounded series (types × days rows) and a broadcast
+    join back. Spark `percentile` and DuckDB `quantile_cont` share
+    interpolation semantics."""
+    ev = table(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    d = ev.groupBy("event_type", "day").agg(
+        F.round(F.avg("value") + 1e-9, 6).alias("x")
+    )
+    med = d.groupBy("event_type").agg(
+        F.round(F.percentile("x", 0.5) + 1e-9, 6).alias("med")
+    )
+    dev = d.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.round(F.abs(F.col("x") - F.col("med")) + 1e-9, 6)
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", 0.5) + 1e-9, 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("x").alias("daily_mean"),
+            "med",
+            "mad",
+            F.round(
+                (F.col("x") - F.col("med"))
+                / F.nullif(F.col("mad"), F.lit(0.0))
+                + 1e-9,
+                4,
+            ).alias("robust_z"),
+        )
+    )
+
+
+_MAD_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(AVG(value) + 1e-9, 6) AS x
+  FROM events GROUP BY 1, 2),
+med AS (
+  SELECT event_type, ROUND(quantile_cont(x, 0.5) + 1e-9, 6) AS med
+  FROM d GROUP BY 1),
+dev AS (
+  SELECT d.event_type, d.day, d.x, med.med,
+         ROUND(abs(d.x - med.med) + 1e-9, 6) AS adev
+  FROM d JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type, ROUND(quantile_cont(adev, 0.5) + 1e-9, 6) AS mad
+  FROM dev GROUP BY 1)
+SELECT dev.event_type, dev.day, dev.x AS daily_mean, dev.med, mad.mad,
+       ROUND((dev.x - dev.med) / NULLIF(mad.mad, 0.0) + 1e-9, 4)
+         AS robust_z
+FROM dev JOIN mad USING (event_type)
+"""
+
+
+def events_cooccurrence_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association over user behavior: for every ordered
+    event-type pair (a < b), the number of users who did BOTH, the
+    pair's support, and its LIFT = P(a∧b) / (P(a)·P(b)) — the
+    co-occurrence strength recommendation and cross-sell analyses read
+    (lift > 1: the behaviors attract; < 1: they repel).
+
+    Exact counts throughout: n_a/n_b are distinct-user counts per
+    type, n_ab from a per-user type-set self-join. Scale shape: the
+    DISTINCT (user, type) frame is one hash aggregate off the events
+    scan; the self-join fans out per user bounded by the TYPE
+    cardinality squared (a handful), never by event count; the 1-row-
+    per-type marginals broadcast. No window, no all-pairs over users."""
+    from ..util import persist_tracked
+
+    ut = persist_tracked(
+        table(spark, sf, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    # 1-row broadcast singleton, the house pattern for scalar totals
+    # (no driver-side count at plan-build time)
+    u = ut.agg(F.count_distinct("user_id").alias("n_users"))
+    marg = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pair = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ma = marg.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    mb = marg.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(u))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab") / F.col("n_users").cast("double") + 1e-9, 6
+            ).alias("support"),
+            F.round(
+                (F.col("n_ab").cast("double") * F.col("n_users").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                + 1e-9,
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+_COOCCUR_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+marg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+pair AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_ab, ma.n AS n_a, mb.n AS n_b,
+       ROUND(n_ab / CAST(u.n_users AS DOUBLE) + 1e-9, 6) AS support,
+       ROUND((CAST(n_ab AS DOUBLE) * u.n_users)
+             / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)) + 1e-9, 4)
+         AS lift
+FROM pair
+CROSS JOIN u
+JOIN marg ma ON ma.event_type = pair.type_a
+JOIN marg mb ON mb.event_type = pair.type_b
+"""
+
+
+def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """AS-OF JOIN, direction=NEAREST (pandas ``merge_asof(direction=
+    'nearest')``): each purchase matched to the click minimizing
+    |Δt| in EITHER direction — backward attribution plus the
+    "user clicked right after buying" class the backward-only as-of
+    family erases. Tie-break: equal distances resolve BACKWARD
+    (same-instant clicks sort before the purchase in the merge, so
+    equality is backward by construction — pinned in the oracle's
+    CASE ordering).
+
+    Scale shape: the same single union-merge pass as join_asof — ONE
+    user_id shuffle and one sorted window over it, with the forward
+    candidate read from the mirrored frame (first click strictly
+    after) in the SAME sort; never a range-join pair blowup. LEFT
+    semantics: purchases with no click at all survive with NULLs."""
+    ev = table(spark, sf, "events")
+    wr = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("_rn", F.row_number().over(wr))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("side"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "side",
+        "purchase_id",
+        F.last("click_id", ignorenulls=True).over(wb).alias("bk_id"),
+        F.last("click_ts", ignorenulls=True).over(wb).alias("bk_ts"),
+        F.first("click_id", ignorenulls=True).over(wf).alias("fw_id"),
+        F.first("click_ts", ignorenulls=True).over(wf).alias("fw_ts"),
+    )
+    p = merged.where(F.col("side") == 1)
+    lag_bk = F.unix_micros("ts") - F.unix_micros("bk_ts")
+    lag_fw = F.unix_micros("fw_ts") - F.unix_micros("ts")
+    take_bk = F.col("bk_ts").isNotNull() & (
+        F.col("fw_ts").isNull() | (lag_bk <= lag_fw)
+    )
+    chosen_id = F.when(take_bk, F.col("bk_id")).otherwise(F.col("fw_id"))
+    chosen_ts = F.when(take_bk, F.col("bk_ts")).otherwise(F.col("fw_ts"))
+    direction = F.when(
+        F.col("bk_ts").isNull() & F.col("fw_ts").isNull(),
+        F.lit(None).cast("string"),
+    ).otherwise(F.when(take_bk, F.lit("backward")).otherwise(F.lit("forward")))
+    dist = F.when(take_bk, lag_bk).otherwise(lag_fw)
+    return p.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        chosen_id.alias("click_id"),
+        chosen_ts.alias("click_ts"),
+        direction.alias("direction"),
+        F.round(dist / 1000000.0 + 1e-9, 3).alias("dist_seconds"),
+    )
+
+
+_ASOF_NEAREST_SQL = f"""
+WITH {_ASOF_CTES},
+bk AS (
+  SELECT l.purchase_id, l.user_id, l.ts AS purchase_ts,
+         r.click_id AS bk_id, r.ts AS bk_ts
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+fw AS (
+  SELECT l.purchase_id, r.click_id AS fw_id, r.ts AS fw_ts
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts < r.ts),
+m AS (
+  SELECT bk.purchase_id, bk.user_id, bk.purchase_ts,
+         bk.bk_id, bk.bk_ts, fw.fw_id, fw.fw_ts,
+         epoch_us(bk.purchase_ts) - epoch_us(bk.bk_ts) AS lag_bk,
+         epoch_us(fw.fw_ts) - epoch_us(bk.purchase_ts) AS lag_fw
+  FROM bk JOIN fw USING (purchase_id))
+SELECT purchase_id, user_id, purchase_ts,
+       CASE WHEN bk_ts IS NOT NULL AND (fw_ts IS NULL OR lag_bk <= lag_fw)
+            THEN bk_id ELSE fw_id END AS click_id,
+       CASE WHEN bk_ts IS NOT NULL AND (fw_ts IS NULL OR lag_bk <= lag_fw)
+            THEN bk_ts ELSE fw_ts END AS click_ts,
+       CASE WHEN bk_ts IS NULL AND fw_ts IS NULL THEN NULL
+            WHEN bk_ts IS NOT NULL AND (fw_ts IS NULL OR lag_bk <= lag_fw)
+            THEN 'backward' ELSE 'forward' END AS direction,
+       ROUND(CASE WHEN bk_ts IS NOT NULL AND (fw_ts IS NULL OR lag_bk <= lag_fw)
+                  THEN lag_bk ELSE lag_fw END / 1000000.0 + 1e-9, 3)
+         AS dist_seconds
+FROM m
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec("events_tumbling", events_tumbling, _TUMBLING_SQL),
     "events_sliding": QuerySpec("events_sliding", events_sliding, _SLIDING_SQL),
@@ -3057,5 +3368,18 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "agg_histogram_equidepth": QuerySpec(
         "agg_histogram_equidepth", agg_histogram_equidepth, _EQD_SQL
+    ),
+    # round-10 additions (fronted in registry._ROUND10_FRONT on arrival)
+    "agg_mad_outlier_days": QuerySpec(
+        "agg_mad_outlier_days", agg_mad_outlier_days, _MAD_SQL
+    ),
+    "events_cooccurrence_lift": QuerySpec(
+        "events_cooccurrence_lift", events_cooccurrence_lift, _COOCCUR_SQL
+    ),
+    "join_asof_nearest": QuerySpec(
+        "join_asof_nearest", join_asof_nearest, _ASOF_NEAREST_SQL
+    ),
+    "src_orc_events": QuerySpec(
+        "src_orc_events", src_orc_events, _ORC_SQL
     ),
 }

@@ -49,11 +49,15 @@ def ext_sim_search(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _exact_topk(
-    spark: SparkSession, sf: str, n_queries: int, k: int
+    spark: SparkSession, sf: str, n_queries: int, k: int, dim: int | None = None
 ) -> DataFrame:
     """Shared brute-force scan: exact cosine top-k per query
-    (vec_id < n_queries), query side broadcast."""
+    (vec_id < n_queries), query side broadcast. ``dim`` truncates every
+    vector to its first ``dim`` coordinates BEFORE scoring (the
+    matryoshka-prefix scan; None = full vectors)."""
     emb = _emb(spark, sf)
+    if dim is not None:
+        emb = emb.withColumn("v", F.slice("v", 1, dim))
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -1274,6 +1278,86 @@ WHERE rk = 1
 """
 
 
+#: matryoshka probe shape: 20 query vectors, top-10, 16-dim prefix of 64
+_MRL_QUERIES = 20
+_MRL_K = 10
+_MRL_DIM = 16
+
+
+def emb_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-prefix retrieval quality (Kusupati et al., MRL): how
+    much of the exact full-dimension cosine top-10 survives when the
+    scan uses only each vector's FIRST 16 of 64 coordinates — the
+    4×-cheaper truncated-embedding retrieval modern embedding models
+    are trained to support. Per-query n_hit and recall@10 over a
+    20-query probe set; fully deterministic (both scans round cosines
+    at 6dp with cand_id tiebreak), so the recall VALUES are
+    oracle-checked, not a floor — the sim_pq_recall discipline.
+
+    Scale shape: two broadcast-query brute scans (each linear in the
+    corpus, the exact-baseline recipe of ext_sim_search) joined on
+    (query, candidate); the prefix scan reads 4× fewer floats per
+    candidate, which is the whole MRL trade being measured."""
+    full = _exact_topk(spark, sf, _MRL_QUERIES, _MRL_K).select(
+        "query_id", "cand_id"
+    )
+    pref = (
+        _exact_topk(spark, sf, _MRL_QUERIES, _MRL_K, dim=_MRL_DIM)
+        .select("query_id", "cand_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        full.join(pref, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.lit(float(_MRL_K))
+                + 1e-9,
+                4,
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+_MRL_TOPK_TMPL = """
+SELECT query_id, cand_id FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {cos} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {cos} DESC, c.vec_id) AS rank
+  FROM {src} q JOIN {src} c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {nq}) t
+WHERE rank <= {k}
+"""
+
+_MRL_SQL = """
+WITH e AS ({emb}),
+p AS (SELECT vec_id, label, v[1:{dim}] AS v FROM e),
+fullk AS ({fullk}),
+prefk AS ({prefk})
+SELECT f.query_id,
+       CAST(SUM(CASE WHEN pr.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN pr.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+             / {k}.0 + 1e-9, 4) AS recall_at_10
+FROM fullk f
+LEFT JOIN prefk pr
+  ON pr.query_id = f.query_id AND pr.cand_id = f.cand_id
+GROUP BY 1
+""".format(
+    emb=_EMB_SQL,
+    dim=_MRL_DIM,
+    k=_MRL_K,
+    fullk=_MRL_TOPK_TMPL.format(
+        src="e", cos=_COS_SQL.format(a="q", b="c"), nq=_MRL_QUERIES, k=_MRL_K
+    ),
+    prefk=_MRL_TOPK_TMPL.format(
+        src="p", cos=_COS_SQL.format(a="q", b="c"), nq=_MRL_QUERIES, k=_MRL_K
+    ),
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "emb_quantize_int8": QuerySpec(
         "emb_quantize_int8", emb_quantize_int8, _QUANTIZE_SQL
@@ -1314,5 +1398,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "join_nn_radius_2d": QuerySpec(
         "join_nn_radius_2d", join_nn_radius_2d, _NN_RADIUS_SQL
+    ),
+    # round-10 addition (fronted in registry._ROUND10_FRONT on arrival)
+    "emb_matryoshka_recall": QuerySpec(
+        "emb_matryoshka_recall", emb_matryoshka_recall, _MRL_SQL
     ),
 }

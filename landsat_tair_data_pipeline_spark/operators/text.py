@@ -919,6 +919,73 @@ GROUP BY doc_id
 """.format(toks=_TOKS_SQL, ngrams=_ngrams_sql(_NOVELTY_N))
 
 
+def text_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the quality
+    signal that separates natural prose (high entropy, flat token
+    distribution) from keyword stuffing / boilerplate loops (low
+    entropy, few tokens dominating): H = log2(n) − (Σ c·log2 c)/n over
+    per-doc token counts c, plus the length-normalized ratio
+    H / log2(#distinct) (1.0 = perfectly flat) that quality filters cut
+    on (Gopher/FineWeb-style heuristics).
+
+    Scale shape: explode → (doc, token) hash aggregate → per-doc hash
+    aggregate — both map-side combinable, no window, no broadcast;
+    per-doc state is two running sums. The entropy identity avoids
+    per-row p·log p on the fractions (c and n are exact ints; the one
+    float division happens once per doc, identically in both engines).
+
+    entropy_ratio is NULL for single-token-type docs (log2(1) = 0
+    denominator) rather than forced to a sentinel — the oracle's
+    NULLIF matches."""
+    tok = (
+        table(spark, sf, "documents")
+        .select("doc_id", F.explode(TOKENS()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c").cast("double") * F.log2("c")).alias("_clog"),
+    )
+    entropy = F.log2("n_tokens") - F.col("_clog") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(entropy + 1e-9, 6).alias("entropy"),
+        F.round(
+            entropy
+            / F.nullif(F.log2("n_distinct"), F.lit(0.0))
+            + 1e-9,
+            6,
+        ).alias("entropy_ratio"),
+    )
+
+
+_ENTROPY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents
+),
+c AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+),
+d AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT)    AS n_tokens,
+         CAST(COUNT(*) AS BIGINT)  AS n_distinct,
+         SUM(CAST(c AS DOUBLE) * log2(c)) AS clog
+  FROM c GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_distinct,
+       ROUND(log2(n_tokens) - clog / n_tokens + 1e-9, 6) AS entropy,
+       ROUND((log2(n_tokens) - clog / n_tokens)
+             / NULLIF(log2(n_distinct), 0.0) + 1e-9, 6) AS entropy_ratio
+FROM d
+""".format(toks=_TOKS_SQL)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(
         "text_token_count", text_token_count, _TOKEN_COUNT_SQL
@@ -956,4 +1023,6 @@ QUERIES: dict[str, QuerySpec] = {
     "text_ngram_novelty": QuerySpec(
         "text_ngram_novelty", text_ngram_novelty, _novelty_sql()
     ),
+    # round-10 addition (fronted in registry._ROUND10_FRONT on arrival)
+    "text_entropy": QuerySpec("text_entropy", text_entropy, _ENTROPY_SQL),
 }

@@ -117,6 +117,13 @@ _ROUND10_FRONT = [
     # new in r10, fronted on arrival
     # (each new key displaces one r6-vintage key from the tail)
     "dedup_containment_asym",
+    "dedup_simhash_hamming",
+    "text_entropy",
+    "agg_mad_outlier_days",
+    "events_cooccurrence_lift",
+    "join_asof_nearest",
+    "emb_matryoshka_recall",
+    "src_orc_events",
     # r5-vintage fixture-backed drain (27) — the whole remaining block
     "agg_count",
     "agg_domain_grouped",
@@ -163,13 +170,11 @@ _ROUND10_FRONT = [
     "src_jsonl_documents",
     "stream_static_join",
     "events_top_paths",
-    "events_anomaly_zscore",
-    "events_retention",
-    "events_sliding",
-    "events_dedup_first",
-    "events_json_extract",
-    "events_rate_per_user",
-    "ts_resample_ohlc",
+    # (trimmed from the tail as r10 keys landed — they keep their
+    # r6-green rows and lead the r11 front: events_anomaly_zscore,
+    # events_retention, events_sliding, events_dedup_first,
+    # events_json_extract, events_rate_per_user, ts_resample_ohlc,
+    # mm_dedup_binary)
 ]
 
 # Historical r9 order kept for reference (drove CORRECTNESS_r09) —

@@ -152,6 +152,34 @@ def test_asym_containment_finds_quote_in_article_pair(spark):
     assert (1, 2) not in sym_pairs and (2, 1) not in sym_pairs, sym_pairs
 
 
+def test_hamming_band_pigeonhole_is_lossless():
+    """The dedup_simhash_hamming recall argument: 4 disjoint 8-bit
+    bands of a 32-bit signature — any pair within Hamming distance 3
+    must agree on at least one band (pigeonhole: 3 differing bits can
+    touch at most 3 of 4 bands). Pure arithmetic, no Spark; randomized
+    over signatures and flipped-bit patterns, plus the adversarial
+    one-bit-per-band corner at distance 4 showing the bound is tight."""
+    rng = random.Random(99)
+    for _ in range(2000):
+        sig = rng.getrandbits(32)
+        flips = rng.sample(range(32), rng.randint(0, 3))
+        other = sig
+        for f in flips:
+            other ^= 1 << f
+        bands_equal = any(
+            (sig >> (8 * k)) & 255 == (other >> (8 * k)) & 255
+            for k in range(4)
+        )
+        assert bands_equal, (sig, flips)
+    # tightness: one flipped bit in EVERY band → distance 4, no band
+    # equal — the multi-index genuinely cannot reach distance 4
+    sig = 0
+    other = (1 << 0) | (1 << 8) | (1 << 16) | (1 << 24)
+    assert not any(
+        (sig >> (8 * k)) & 255 == (other >> (8 * k)) & 255 for k in range(4)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Connected-components overflow path: large-star/small-star must produce
 # exactly the same labels as union-find on a graph whose diameter exceeds

@@ -7,8 +7,19 @@ are overhead-dominated); a super-linear ratio flags a pair-space or
 state blowup that 100 TB would amplify.
 
 Usage: python tools/scale_probe.py key1 key2 ... [--factor 10]
+        [--unique-text] [--counts]
 Writes the replicated dir to .scratch/sf_probe_<factor>x (reused if
 present) and prints one JSON line with per-key (base_s, big_s, ratio).
+
+--unique-text (VERDICT r9 item 5): every document copy i gets a
+per-copy 6-char token suffix, making copies token-disjoint AND beyond
+the edit-distance band (one substitution-run per token: lev ≈ 6·n vs
+the lev·5 <= max(len) ≈ 13·n cut), so the near-dup PAIR SPACE grows
+linearly with input instead of quadratically — the probe then measures
+the candidate join's input-linear behavior directly instead of
+output growth. --counts additionally records output rows and (for the
+pair ops) candidate-join rows at both scales, separating blocking cost
+from verify cost.
 """
 
 from __future__ import annotations
@@ -34,7 +45,7 @@ SHIFTS = {
 COPY_AS_IS = ("region", "nation", "supplier", "part")
 
 
-def build(spark, factor: int) -> str:
+def build(spark, factor: int, unique_text: bool = False) -> str:
     import hashlib
 
     from pyspark.sql import functions as F
@@ -43,6 +54,8 @@ def build(spark, factor: int) -> str:
     # replica under a different SPARK_GRAFT_SF_DIR would silently time
     # the wrong data
     tag = hashlib.md5(BASE.encode()).hexdigest()[:8]
+    if unique_text:
+        tag += "_uq"
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scratch",
@@ -58,6 +71,22 @@ def build(spark, factor: int) -> str:
             c = df
             for col, stride in shifts.items():
                 c = c.withColumn(col, F.col(col) + F.lit(i * stride))
+            if unique_text and t == "documents" and i > 0:
+                # per-copy token suffix: copies become token-DISJOINT
+                # (jaccard/containment cross-copy overlap = 0) and
+                # cross-copy edit distance ≈ 6 edits/token — past the
+                # relative band — so pair ops see linear, not squared,
+                # output growth; within-copy pair structure is
+                # preserved exactly (a consistent token renaming)
+                c = c.withColumn(
+                    "text",
+                    F.regexp_replace("text", r"(\S+)", rf"$1_c{i:04d}"),
+                )
+                if "n_chars" in c.columns:
+                    c = c.withColumn(
+                        "n_chars",
+                        F.length("text").cast(dict(df.dtypes)["n_chars"]),
+                    )
             parts.append(c)
         u = parts[0]
         for p in parts[1:]:
@@ -81,9 +110,69 @@ def time_key(spark, fn, sf, reps=2) -> float:
     return round(best, 3)
 
 
+def _candidate_count(spark, key: str, sf: str) -> int | None:
+    """Candidate-join cardinality for the pair ops (the blocking stage,
+    before the expensive verify) — the number that separates blocking
+    cost from verify cost in a probe."""
+    from pyspark.sql import functions as F
+
+    from landsat_tair_data_pipeline_spark.operators import dedup
+    from landsat_tair_data_pipeline_spark.sources.tables import table
+
+    if key in ("dedup_containment_pairs", "dedup_jaccard_pairs",
+               "dedup_containment_asym"):
+        docs = (
+            table(spark, sf, "documents")
+            .select(
+                "doc_id",
+                "source",
+                F.array_distinct(
+                    F.transform(dedup.TOKENS(), lambda t: F.xxhash64(t))
+                ).alias("toks"),
+            )
+            .withColumn("sz", F.size("toks"))
+        )
+        if key == "dedup_containment_asym":
+            cand = dedup._asym_containment_candidates(docs, 7999, 10000)
+        else:
+            cand = dedup._prefix_filter_pairs(docs, 3999, 10000)
+        return cand.select("doc_a", "doc_b").count()
+    if key == "dedup_edit_distance_pairs":
+        # blocking stage: same 16-char prefix + lossless length band,
+        # before the levenshtein verify (mirrors the operator's join)
+        docs = table(spark, sf, "documents").select(
+            "doc_id",
+            F.substring(F.trim(F.lower(F.col("text"))), 1, 16).alias("blk"),
+            F.length(F.trim(F.lower(F.col("text")))).alias("len"),
+        )
+        a = docs.select(
+            F.col("doc_id").alias("doc_a"),
+            "blk",
+            F.col("len").alias("len_a"),
+        )
+        b = docs.select(
+            F.col("doc_id").alias("doc_b"),
+            "blk",
+            F.col("len").alias("len_b"),
+        )
+        return (
+            a.join(b, "blk")
+            .where(
+                (F.col("doc_a") < F.col("doc_b"))
+                & (
+                    F.abs(F.col("len_a") - F.col("len_b")) * 5
+                    <= F.greatest("len_a", "len_b")
+                )
+            )
+            .count()
+        )
+    return None
+
+
 def main() -> None:
     argv = sys.argv[1:]
     factor = 10
+    unique_text = counts = False
     args = []
     i = 0
     while i < len(argv):
@@ -94,6 +183,10 @@ def main() -> None:
             else:
                 factor = int(argv[i + 1])
                 i += 1  # consume the flag's value, not a query key
+        elif a == "--unique-text":
+            unique_text = True
+        elif a == "--counts":
+            counts = True
         else:
             args.append(a)
         i += 1
@@ -108,15 +201,40 @@ def main() -> None:
     missing = [k for k in args if k not in qs]
     if missing:
         raise SystemExit(f"unknown keys: {missing}")
-    big = build(spark, factor)
+    big = build(spark, factor, unique_text)
     # warmup
     qs[args[0]](spark, BASE).write.format("noop").mode("overwrite").save()
     out = {}
     for k in args:
         b = time_key(spark, qs[k], BASE)
         g = time_key(spark, qs[k], big)
-        out[k] = {"base_s": b, "big_s": g, "ratio": round(g / b, 2)}
-    print(json.dumps({"factor": factor, "base": BASE, "keys": out}))
+        out[k] = {
+            "base_s": b,
+            "big_s": g,
+            "ratio": round(g / b, 2),
+            # per-input-row normalized: <= ~2 means the op is
+            # input-linear (local 1x runs are overhead-dominated, so
+            # sub-1 values are common)
+            "ratio_per_input": round(g / (b * factor), 3),
+        }
+        if counts:
+            out[k]["rows_base"] = qs[k](spark, BASE).count()
+            out[k]["rows_big"] = qs[k](spark, big).count()
+            cb = _candidate_count(spark, k, BASE)
+            if cb is not None:
+                out[k]["candidates_base"] = cb
+                out[k]["candidates_big"] = _candidate_count(spark, k, big)
+        print(json.dumps({k: out[k]}), flush=True)
+    print(
+        json.dumps(
+            {
+                "factor": factor,
+                "base": BASE,
+                "unique_text": unique_text,
+                "keys": out,
+            }
+        )
+    )
     spark.stop()
 
 
