@@ -158,6 +158,10 @@ HEADLINE = [
     "join_asof_nearest",
     "emb_matryoshka_recall",
     "src_orc_events",
+    "window_rolling_median",
+    "agg_linreg_trend",
+    "events_cohort_matrix",
+    "text_jsd_source_divergence",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.

@@ -853,6 +853,184 @@ GROUP BY 1, 2
 """
 
 
+def window_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-7-day EXACT median of per-(type, day) daily means —
+    the rolling robust center (the windowed companion of
+    agg_mad_outlier_days' global median): an exact-percentile
+    aggregate over a calendar RANGE frame, the one window shape the
+    avg/sum rolling family (agg_decayed_sum, window_time_range) does
+    not cover.
+
+    Frame semantics: RANGE BETWEEN 6 days PRECEDING AND CURRENT ROW
+    over the DAILY series — missing days simply aren't in the frame
+    (matching the oracle's INTERVAL frame), so the median is over
+    observed days only. Spark's rangeBetween needs a numeric sort key:
+    days since epoch (date_int), one-to-one with the date.
+
+    Scale shape: events reduce to (type, day) FIRST (one hash
+    aggregate); the window runs over day-count-bounded series per
+    type. Daily means round at 6dp before the median (the cusum
+    discipline); the median of 6dp-rounded values interpolates at
+    midpoints, one more bit — round at 6dp again."""
+    ev = table(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    d = ev.groupBy("event_type", "day").agg(
+        F.round(F.avg("value") + 1e-9, 6).alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.datediff("day", F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return d.select(
+        "event_type",
+        "day",
+        F.col("x").alias("daily_mean"),
+        F.round(F.percentile("x", 0.5).over(w) + 1e-9, 6).alias(
+            "rolling_median_7d"
+        ),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_days_in_frame"),
+    )
+
+
+_ROLLING_MEDIAN_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(AVG(value) + 1e-9, 6) AS x
+  FROM events GROUP BY 1, 2)
+SELECT event_type, day, x AS daily_mean,
+       ROUND(quantile_cont(x, 0.5) OVER w + 1e-9, 6) AS rolling_median_7d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_days_in_frame
+FROM d
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+def agg_linreg_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type OLS trend line over the daily-mean series — the
+    statistics ANALYZE/forecasting readers fit first: slope and
+    intercept via the regr_* aggregate family (shared by Spark and
+    DuckDB), fit quality as r² = corr² (computed from corr, whose
+    zero-variance → NULL contract matches across engines — the
+    agg_corr precedent — where the engines' native regr_r2 edge cases
+    do not). x = days since epoch, so the slope is per-day drift in
+    the metric's units.
+
+    One hash aggregate to (type, day), then one 1-row-per-type
+    aggregate over the day-bounded series — never a window, never the
+    raw events through the regression."""
+    ev = table(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    d = ev.groupBy("event_type", "day").agg(
+        F.round(F.avg("value") + 1e-9, 6).alias("x")
+    )
+    di = F.datediff("day", F.lit("1970-01-01")).cast("double")
+    return (
+        d.select("event_type", di.alias("t"), "x")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.regr_slope("x", "t") + 1e-9, 6).alias("slope_per_day"),
+            F.round(F.regr_intercept("x", "t") + 1e-9, 4).alias("intercept"),
+            F.round(F.pow(F.corr("x", "t"), 2) + 1e-9, 6).alias("r2"),
+        )
+    )
+
+
+_LINREG_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(AVG(value) + 1e-9, 6) AS x
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT event_type,
+         CAST(day - DATE '1970-01-01' AS DOUBLE) AS t, x
+  FROM d)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(regr_slope(x, t) + 1e-9, 6)     AS slope_per_day,
+       ROUND(regr_intercept(x, t) + 1e-9, 4) AS intercept,
+       ROUND(POWER(corr(x, t), 2) + 1e-9, 6) AS r2
+FROM t GROUP BY 1
+"""
+
+
+def events_cohort_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """The full cohort-retention MATRIX (long form) — events_retention
+    generalized from two fixed horizons to every (cohort week × week
+    offset) cell: users cohorted by the Monday of their first 'signup'
+    event, each cell = how many were active (any event) in cohort
+    week + offset, with the retention share. The product-analytics
+    triangle chart, exactly.
+
+    Scale shape: one aggregate for cohorts (min signup per user), one
+    DISTINCT (user, week) activity frame, one join on user_id, one
+    counting aggregate — identical to events_retention's two linear
+    shuffles; the matrix fan-out happens at aggregation keys, not
+    rows. Negative offsets (pre-signup activity) are excluded to keep
+    the triangle shape; cohort_size repeats per row by construction
+    (long form is the hash-friendly, skew-free encoding)."""
+    ev = table(spark, sf, "events")
+    cohort = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    j = cohort.join(activity, "user_id").withColumn(
+        "week_offset",
+        (F.datediff("week", "cohort_week") / 7).cast("int"),
+    )
+    size = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        j.where(F.col("week_offset") >= 0)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return cells.join(F.broadcast(size), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "cohort_size",
+        "n_active",
+        F.round(
+            F.col("n_active") / F.col("cohort_size").cast("double") + 1e-9, 4
+        ).alias("share_active"),
+    )
+
+
+_COHORT_MATRIX_SQL = """
+WITH cohort AS (
+  SELECT user_id,
+         CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events),
+size_ AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM cohort GROUP BY 1),
+cells AS (
+  SELECT c.cohort_week,
+         CAST((a.week - c.cohort_week) / 7 AS INT) AS week_offset,
+         CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+  FROM cohort c JOIN activity a USING (user_id)
+  WHERE a.week >= c.cohort_week
+  GROUP BY 1, 2)
+SELECT cells.cohort_week, cells.week_offset, size_.cohort_size,
+       cells.n_active,
+       ROUND(cells.n_active / CAST(size_.cohort_size AS DOUBLE) + 1e-9, 4)
+         AS share_active
+FROM cells JOIN size_ USING (cohort_week)
+"""
+
+
 _RANGE_BIN_S = 600  # 10-min grid; interval durations are < _RANGE_BIN_S
 
 
@@ -3381,5 +3559,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "src_orc_events": QuerySpec(
         "src_orc_events", src_orc_events, _ORC_SQL
+    ),
+    "window_rolling_median": QuerySpec(
+        "window_rolling_median", window_rolling_median, _ROLLING_MEDIAN_SQL
+    ),
+    "agg_linreg_trend": QuerySpec(
+        "agg_linreg_trend", agg_linreg_trend, _LINREG_SQL
+    ),
+    "events_cohort_matrix": QuerySpec(
+        "events_cohort_matrix", events_cohort_matrix, _COHORT_MATRIX_SQL
     ),
 }

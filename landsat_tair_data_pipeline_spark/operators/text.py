@@ -986,6 +986,97 @@ FROM d
 """.format(toks=_TOKS_SQL)
 
 
+def text_jsd_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Jensen–Shannon divergence of each source's token distribution
+    vs the REST of the corpus — the domain-shift thermometer a corpus
+    mixer reads before setting sample_source_mix weights (JSD is
+    symmetric, bounded [0,1] bits, and defined even where KL blows up
+    on zero counts). Per source: unigram distribution p vs the pooled
+    distribution q of every other source, JSD = ½Σp·log2(p/m) +
+    ½Σq·log2(q/m) with m = (p+q)/2; zero-probability terms contribute
+    0 (the 0·log 0 limit, made explicit with CASE in both engines).
+
+    Scale shape: one token wordcount per (source, tok) — map-side
+    combinable — then the corpus vocabulary joined LEFT to each
+    source's counts (vocab × n_sources rows, linear in vocabulary
+    with a small-constant fan-out; sources are a handful by
+    definition) and one summing aggregate per source. The per-token
+    p/q/m terms are exact-integer-derived doubles computed identically
+    in both engines; only the Σ order differs (~1e-13 noise against a
+    6dp readout)."""
+    st = persist_tracked(
+        table(spark, sf, "documents")
+        .select("source", F.explode(TOKENS()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = st.groupBy("tok").agg(F.sum("c").alias("c_tot"))
+    totals = st.groupBy("source").agg(F.sum("c").alias("n_src"))
+    grand = st.agg(F.sum("c").alias("n_all"))
+    sources = totals.crossJoin(F.broadcast(grand))
+    # vocab × sources grid with each source's own count (0 if absent)
+    grid = (
+        vocab.crossJoin(F.broadcast(sources))
+        .join(st, ["source", "tok"], "left")
+        .withColumn("c_s", F.coalesce("c", F.lit(0)))
+    )
+    p = F.col("c_s").cast("double") / F.col("n_src").cast("double")
+    q = (F.col("c_tot") - F.col("c_s")).cast("double") / (
+        F.col("n_all") - F.col("n_src")
+    ).cast("double")
+    m = (p + q) / 2
+    term = F.when(p > 0, 0.5 * p * F.log2(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(q > 0, 0.5 * q * F.log2(q / m)).otherwise(F.lit(0.0))
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("n_src").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("c_s") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("vocab_used"),
+            F.round(F.sum(term) + 1e-9, 6).alias("jsd_vs_rest"),
+        )
+    )
+
+
+_JSD_SQL = """
+WITH st AS (
+  SELECT source, unnest({toks}) AS tok FROM documents
+),
+c AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM st GROUP BY 1, 2
+),
+vocab AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS c_tot FROM c GROUP BY 1),
+totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM c GROUP BY 1),
+grand AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM c),
+grid AS (
+  SELECT v.tok, v.c_tot, t.source, t.n_src, g.n_all,
+         COALESCE(cc.c, 0) AS c_s
+  FROM vocab v
+  CROSS JOIN totals t
+  CROSS JOIN grand g
+  LEFT JOIN c cc ON cc.source = t.source AND cc.tok = v.tok
+),
+terms AS (
+  SELECT source, n_src, c_s,
+         CAST(c_s AS DOUBLE) / n_src AS p,
+         CAST(c_tot - c_s AS DOUBLE) / (n_all - n_src) AS q
+  FROM grid
+)
+SELECT source,
+       CAST(MAX(n_src) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN c_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS vocab_used,
+       ROUND(SUM(
+         CASE WHEN p > 0 THEN 0.5 * p * log2(p / ((p + q) / 2)) ELSE 0 END
+         + CASE WHEN q > 0 THEN 0.5 * q * log2(q / ((p + q) / 2)) ELSE 0 END
+       ) + 1e-9, 6) AS jsd_vs_rest
+FROM terms GROUP BY 1
+""".format(toks=_TOKS_SQL)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(
         "text_token_count", text_token_count, _TOKEN_COUNT_SQL
@@ -1023,6 +1114,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_ngram_novelty": QuerySpec(
         "text_ngram_novelty", text_ngram_novelty, _novelty_sql()
     ),
-    # round-10 addition (fronted in registry._ROUND10_FRONT on arrival)
+    # round-10 additions (fronted in registry._ROUND10_FRONT on arrival)
     "text_entropy": QuerySpec("text_entropy", text_entropy, _ENTROPY_SQL),
+    "text_jsd_source_divergence": QuerySpec(
+        "text_jsd_source_divergence", text_jsd_source_divergence, _JSD_SQL
+    ),
 }

@@ -124,6 +124,10 @@ _ROUND10_FRONT = [
     "join_asof_nearest",
     "emb_matryoshka_recall",
     "src_orc_events",
+    "window_rolling_median",
+    "agg_linreg_trend",
+    "events_cohort_matrix",
+    "text_jsd_source_divergence",
     # r5-vintage fixture-backed drain (27) — the whole remaining block
     "agg_count",
     "agg_domain_grouped",
@@ -166,15 +170,12 @@ _ROUND10_FRONT = [
     "emb_quantize_int8",
     "text_chunk_stride",
     "text_pii_scrub",
-    "sample_source_mix",
-    "src_jsonl_documents",
-    "stream_static_join",
-    "events_top_paths",
     # (trimmed from the tail as r10 keys landed — they keep their
-    # r6-green rows and lead the r11 front: events_anomaly_zscore,
-    # events_retention, events_sliding, events_dedup_first,
-    # events_json_extract, events_rate_per_user, ts_resample_ohlc,
-    # mm_dedup_binary)
+    # r6-green rows and lead the r11 front: sample_source_mix,
+    # src_jsonl_documents, stream_static_join, events_top_paths,
+    # events_anomaly_zscore, events_retention, events_sliding,
+    # events_dedup_first, events_json_extract, events_rate_per_user,
+    # ts_resample_ohlc, mm_dedup_binary)
 ]
 
 # Historical r9 order kept for reference (drove CORRECTNESS_r09) —
