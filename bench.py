@@ -162,6 +162,7 @@ HEADLINE = [
     "agg_linreg_trend",
     "events_cohort_matrix",
     "text_jsd_source_divergence",
+    "sim_knn_graph",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.

@@ -1358,6 +1358,117 @@ GROUP BY 1
 )
 
 
+#: kNN-graph shape: top-3 exact cosine neighbors for EVERY vector
+_KNN_K = 3
+
+
+def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact k-NN GRAPH construction (k=3 cosine neighbors for EVERY
+    vector) — the batch building block under graph-based ANN indexes
+    (HNSW/NSG ground truth), embedding-cluster audits, and
+    label-propagation over nearest-neighbor edges; ext_sim_search
+    answers a probe set, this materializes the whole graph.
+
+    Distributed shape — the dedup_embedding_cosine square grid,
+    specialized for ordered pairs + top-k:
+    - every ORDERED (query, candidate) pair meets in exactly one of
+      the P² block groups (query block p replicated across columns,
+      candidate block q across rows);
+    - each group runs ONE BLAS matmul, then keeps only its BLOCK-LOCAL
+      top-k per query under the global total order (rounded cosine
+      desc, nn_id asc — candidate columns pre-sorted by id so a stable
+      argsort inherits the tie-break). A block's local top-k is a
+      superset of its members in the global top-k, so correctness is
+      preserved while each group emits k rows per query instead of a
+      full score row — the shuffle after the matmul is n·P·k rows,
+      not n²;
+    - one per-query window over P·k candidate rows merges to the
+      global top-k.
+    Compute stays exact-quadratic by design (this IS the ground-truth
+    oracle); the approximate 10⁹-scale path is IVF (sim_ivf_topk) or
+    PQ (sim_pq_recall), both certified against exact scans like this
+    one."""
+    import math
+    import os
+
+    dp = spark.sparkContext.defaultParallelism
+    P = int(
+        os.environ.get("SPARK_GRAFT_COSINE_BLOCKS", 0)
+    ) or max(2, round(math.sqrt(2 * dp)))
+
+    emb = _emb(spark, sf).select("vec_id", "v")
+    blk = F.pmod(F.col("vec_id"), F.lit(P)).cast("int")
+    grid = F.explode(F.sequence(F.lit(0), F.lit(P - 1)))
+    q = emb.select(
+        "vec_id", "v", blk.alias("bq"), grid.alias("bc"), F.lit(0).alias("side")
+    )
+    c = emb.select(
+        "vec_id", "v", grid.alias("bq"), blk.alias("bc"), F.lit(1).alias("side")
+    )
+    both = q.unionByName(c)
+    k = _KNN_K
+
+    def block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        empty = pd.DataFrame(
+            {
+                "vec_id": np.array([], dtype=np.int64),
+                "nn_id": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64),
+            }
+        )
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        # candidate columns ordered by id: a STABLE descending-cosine
+        # argsort then breaks ties by ascending nn_id, the global order
+        b = b.sort_values("vec_id")
+        A = np.vstack(a["v"].to_numpy())
+        A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        B = np.vstack(b["v"].to_numpy())
+        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+        a_ids = a["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = b["vec_id"].to_numpy(dtype=np.int64)
+        cos = np.round(A @ B.T + 1e-9, 6)
+        cos[a_ids[:, None] == b_ids[None, :]] = -2.0  # exclude self
+        kk = min(k, cos.shape[1])
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(a_ids, kk)
+        nn = b_ids[order].ravel()
+        cs = np.take_along_axis(cos, order, axis=1).ravel()
+        keep = cs > -2.0
+        return pd.DataFrame(
+            {"vec_id": rows[keep], "nn_id": nn[keep], "cosine": cs[keep]}
+        )
+
+    local = both.groupBy("bq", "bc").applyInPandas(
+        block, schema="vec_id bigint, nn_id bigint, cosine double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "nn_id", "rank", "cosine")
+    )
+
+
+_KNN_GRAPH_SQL = """
+WITH e AS ({emb}),
+scored AS (
+  SELECT q.vec_id AS vec_id, c.vec_id AS nn_id, {cos} AS cosine
+  FROM e q JOIN e c ON c.vec_id != q.vec_id)
+SELECT vec_id, nn_id, rank, cosine FROM (
+  SELECT vec_id, nn_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, nn_id) AS BIGINT) AS rank
+  FROM scored) t
+WHERE rank <= {k}
+""".format(emb=_EMB_SQL, cos=_COS_SQL.format(a="q", b="c"), k=_KNN_K)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "emb_quantize_int8": QuerySpec(
         "emb_quantize_int8", emb_quantize_int8, _QUANTIZE_SQL
@@ -1399,8 +1510,11 @@ QUERIES: dict[str, QuerySpec] = {
     "join_nn_radius_2d": QuerySpec(
         "join_nn_radius_2d", join_nn_radius_2d, _NN_RADIUS_SQL
     ),
-    # round-10 addition (fronted in registry._ROUND10_FRONT on arrival)
+    # round-10 additions (fronted in registry._ROUND10_FRONT on arrival)
     "emb_matryoshka_recall": QuerySpec(
         "emb_matryoshka_recall", emb_matryoshka_recall, _MRL_SQL
+    ),
+    "sim_knn_graph": QuerySpec(
+        "sim_knn_graph", sim_knn_graph, _KNN_GRAPH_SQL
     ),
 }

@@ -128,6 +128,7 @@ _ROUND10_FRONT = [
     "agg_linreg_trend",
     "events_cohort_matrix",
     "text_jsd_source_divergence",
+    "sim_knn_graph",
     # r5-vintage fixture-backed drain (27) — the whole remaining block
     "agg_count",
     "agg_domain_grouped",
@@ -169,9 +170,9 @@ _ROUND10_FRONT = [
     "sim_lsh_buckets",
     "emb_quantize_int8",
     "text_chunk_stride",
-    "text_pii_scrub",
     # (trimmed from the tail as r10 keys landed — they keep their
-    # r6-green rows and lead the r11 front: sample_source_mix,
+    # r6-green rows and lead the r11 front: text_pii_scrub,
+    # sample_source_mix,
     # src_jsonl_documents, stream_static_join, events_top_paths,
     # events_anomaly_zscore, events_retention, events_sliding,
     # events_dedup_first, events_json_extract, events_rate_per_user,
