@@ -609,6 +609,36 @@ def test_containment_asym_intersect_once_and_bounded_broadcasts(spark):
         )
 
 
+def test_knn_graph_is_one_matmul_stage(spark):
+    """sim_knn_graph: exactly ONE Arrow-grouped matmul stage feeds a
+    window merge — a second FlatMapGroupsInPandas or a cartesian means
+    the block-local top-k contract broke and the full n² score matrix
+    is being shuffled."""
+    plan = _plan(spark, "sim_knn_graph")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_single_merge_shuffle(spark):
+    """join_asof_nearest reads BOTH directions from one union-merge
+    sort: exactly 2 exchanges total (the per-(user, ts) click dedup +
+    the user_id merge) — a third means the forward frame grew its own
+    shuffle and the one-pass design regressed."""
+    plan = _plan(spark, "join_asof_nearest")
+    assert plan.count("Exchange") == 2, plan.count("Exchange")
+
+
+def test_rolling_median_reduces_before_window(spark):
+    """window_rolling_median: events reduce to (type, day) BEFORE the
+    range-frame window — the window must see hash-aggregated daily
+    rows (2 aggregates: partial+final), never the raw fact table."""
+    plan = _plan(spark, "window_rolling_median")
+    assert plan.count("Window") == 1
+    # the window's child ordering: exactly one shuffle for the agg and
+    # one for the window partitioning
+    assert plan.count("Exchange") == 2, plan.count("Exchange")
+
+
 def test_containment_broadcasts_only_bounded_frames(spark):
     """dedup_containment_pairs reuses the prefix-filter candidate
     machinery — the same bounded-broadcast contract as
