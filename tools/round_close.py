@@ -63,8 +63,24 @@ def _stamp(path: str, head: str) -> None:
         f.write("\n")
 
 
+def _evidence_only_diff(sha: str, head: str) -> bool:
+    """True when every path changed between sha and head is evidence/
+    documentation (artifacts, markdown, PROGRESS) — the artifact then
+    still describes HEAD's code exactly, because committing the
+    artifacts themselves necessarily moves HEAD past the stamped sha."""
+    try:
+        changed = _git("diff", "--name-only", sha, head).splitlines()
+    except subprocess.CalledProcessError:
+        return False
+    return all(
+        p.startswith("artifacts/") or p.endswith(".md") or p == "PROGRESS.jsonl"
+        for p in changed
+    )
+
+
 def _check(rnd: int, head: str) -> int:
-    """Verify all three artifacts exist and were produced at HEAD."""
+    """Verify all three artifacts exist and were produced at HEAD (or
+    at a sha whose diff to HEAD is evidence/docs only)."""
     bad = 0
     for label, path in _paths(rnd).items():
         full = os.path.join(REPO, path)
@@ -75,7 +91,7 @@ def _check(rnd: int, head: str) -> int:
         with open(full) as f:
             data = json.load(f)
         sha = data.get("head_sha")
-        if sha != head:
+        if sha != head and not (sha and _evidence_only_diff(sha, head)):
             print(f"STALE {label}: {path} head_sha={sha} != HEAD {head}")
             bad += 1
         elif data.get("fail") or data.get("failures"):
