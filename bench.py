@@ -163,6 +163,7 @@ HEADLINE = [
     "events_cohort_matrix",
     "text_jsd_source_divergence",
     "sim_knn_graph",
+    "llm_data_pipeline_v4",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.

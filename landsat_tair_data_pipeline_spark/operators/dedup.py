@@ -1748,6 +1748,167 @@ def llm_data_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
     return _chunk_summary(survivors)
 
 
+def llm_data_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-10 corpus build — the curation recipe composed from
+    this round's NEW primitives, still one Catalyst job:
+
+        documents
+          → exact dedup        (keep lowest doc_id per md5(text))
+          → entropy floor      (text_entropy shape: token-distribution
+                                Shannon entropy ≥ 4.0 bits AND ≥ 20
+                                tokens — the keyword-stuffing /
+                                boilerplate-loop cut; drops ~19% at the
+                                driver's SFs, measured before pinning)
+          → containment scrub  (drop any survivor ≥ 0.8-CONTAINED in a
+                                larger same-source survivor — the
+                                dedup_containment_asym one-sided prefix
+                                join, so quote-inside-article shells go
+                                even at jaccard ≪ 0.4; ties on size
+                                keep the lower doc_id)
+          → per-source funnel  (n_raw → n_after_exact →
+                                n_after_quality → n_kept, kept token
+                                mass, mean entropy of kept)
+
+    Every stage is an already-oracled r10 operator; the composed
+    oracle chains the same CTEs, so a tokenizer/hash/rounding drift in
+    ANY stage breaks the hash. The funnel is reported per source with
+    LEFT joins from the raw counts — a source whose docs all die still
+    shows its row (zeros, NULL mean), which is exactly what a corpus
+    curator needs to see.
+
+    Scale shape: one md5 dedup shuffle, one token wordcount + per-doc
+    aggregate (entropy), the asym-containment candidate join (linear
+    token-index shuffle, bounded broadcast), one anti join, and
+    per-source aggregates. Nothing corpus-sized broadcasts; no
+    windows over raw docs."""
+    docs = table(spark, sf, "documents").select("doc_id", "source", "text")
+    keep1 = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    d1 = persist_tracked(
+        docs.join(keep1.select("doc_id"), "doc_id", "left_semi")
+    )
+    tok = d1.select("doc_id", F.explode(TOKENS()).alias("tok"))
+    cnt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ent = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c").cast("double") * F.log2("c")).alias("_clog"),
+    )
+    ent = ent.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.log2("n_tokens") - F.col("_clog") / F.col("n_tokens") + 1e-9, 6
+        ).alias("entropy"),
+    )
+    d2 = persist_tracked(
+        d1.join(ent, "doc_id").where(
+            (F.col("entropy") >= 4.0) & (F.col("n_tokens") >= 20)
+        )
+    )
+    docs2 = d2.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.transform(TOKENS(), lambda t: F.xxhash64(t))
+        ).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    pairs = _asym_containment_candidates(docs2, 7999, 10000)
+    containment = F.round(
+        F.col("inter").cast("double") / F.col("sz_a").cast("double") + 1e-9,
+        4,
+    )
+    drops = (
+        pairs.where(
+            (containment >= 0.8)
+            & (
+                (F.col("sz_b") > F.col("sz_a"))
+                | (
+                    (F.col("sz_b") == F.col("sz_a"))
+                    & (F.col("doc_b") < F.col("doc_a"))
+                )
+            )
+        )
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    kept = d2.join(drops, "doc_id", "left_anti")
+    raw_n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    d1_n = d1.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_exact"))
+    d2_n = d2.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_quality")
+    )
+    kept_n = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.round(F.avg("entropy") + 1e-9, 4).alias("mean_entropy_kept"),
+    )
+    return (
+        raw_n.join(d1_n, "source", "left")
+        .join(d2_n, "source", "left")
+        .join(kept_n, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_after_exact", F.lit(0)).alias("n_after_exact"),
+            F.coalesce("n_after_quality", F.lit(0)).alias("n_after_quality"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            "mean_entropy_kept",
+        )
+    )
+
+
+_V4_SQL = """
+WITH raw AS (SELECT doc_id, source, text FROM documents),
+keep1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+d1 AS (SELECT r.* FROM raw r SEMI JOIN keep1 USING (doc_id)),
+tok AS (SELECT doc_id, unnest({toks}) AS tok FROM d1),
+cnt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2),
+ent AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         ROUND(log2(CAST(SUM(c) AS BIGINT))
+               - SUM(CAST(c AS DOUBLE) * log2(c)) / CAST(SUM(c) AS BIGINT)
+               + 1e-9, 6) AS entropy
+  FROM cnt GROUP BY 1),
+d2 AS (
+  SELECT d1.doc_id, d1.source, d1.text, ent.n_tokens, ent.entropy
+  FROM d1 JOIN ent USING (doc_id)
+  WHERE ent.entropy >= 4.0 AND ent.n_tokens >= 20),
+t2 AS (SELECT doc_id, source, list_distinct({toks}) AS toks FROM d2),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         len(list_intersect(a.toks, b.toks)) AS inter,
+         len(a.toks) AS sza, len(b.toks) AS szb
+  FROM t2 a JOIN t2 b ON a.source = b.source AND a.doc_id <> b.doc_id),
+drops AS (
+  SELECT DISTINCT da AS doc_id FROM p
+  WHERE ROUND(CAST(inter AS DOUBLE) / sza + 1e-9, 4) >= 0.8
+    AND (szb > sza OR (szb = sza AND db < da))),
+kept AS (SELECT d2.* FROM d2 ANTI JOIN drops USING (doc_id)),
+raw_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
+          FROM raw GROUP BY 1),
+d1_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_exact
+         FROM d1 GROUP BY 1),
+d2_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_quality
+         FROM d2 GROUP BY 1),
+kept_n AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+         ROUND(AVG(entropy) + 1e-9, 4) AS mean_entropy_kept
+  FROM kept GROUP BY 1)
+SELECT raw_n.source, raw_n.n_raw,
+       COALESCE(d1_n.n_after_exact, 0)   AS n_after_exact,
+       COALESCE(d2_n.n_after_quality, 0) AS n_after_quality,
+       COALESCE(kept_n.n_kept, 0)        AS n_kept,
+       COALESCE(kept_n.kept_tokens, 0)   AS kept_tokens,
+       kept_n.mean_entropy_kept
+FROM raw_n
+LEFT JOIN d1_n   USING (source)
+LEFT JOIN d2_n   USING (source)
+LEFT JOIN kept_n USING (source)
+""".format(toks=_TOKENS_SQL)
+
+
 def llm_data_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
     """The round-6 corpus build — the full modern pre-training data
     recipe, still ONE composed Catalyst job:
@@ -2448,5 +2609,9 @@ QUERIES: dict[str, QuerySpec] = {
     # r10: fully-oracled SimHash + pigeonhole banded Hamming pair join
     "dedup_simhash_hamming": QuerySpec(
         "dedup_simhash_hamming", dedup_simhash_hamming, _SIMHASH_HAMMING_SQL
+    ),
+    # r10 flagship: the curation funnel composed from this round's ops
+    "llm_data_pipeline_v4": QuerySpec(
+        "llm_data_pipeline_v4", llm_data_pipeline_v4, _V4_SQL
     ),
 }

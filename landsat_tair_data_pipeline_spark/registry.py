@@ -129,6 +129,7 @@ _ROUND10_FRONT = [
     "events_cohort_matrix",
     "text_jsd_source_divergence",
     "sim_knn_graph",
+    "llm_data_pipeline_v4",
     # r5-vintage fixture-backed drain (27) — the whole remaining block
     "agg_count",
     "agg_domain_grouped",
@@ -169,9 +170,9 @@ _ROUND10_FRONT = [
     "ext_sim_search",
     "sim_lsh_buckets",
     "emb_quantize_int8",
-    "text_chunk_stride",
     # (trimmed from the tail as r10 keys landed — they keep their
-    # r6-green rows and lead the r11 front: text_pii_scrub,
+    # r6-green rows and lead the r11 front: text_chunk_stride,
+    # text_pii_scrub,
     # sample_source_mix,
     # src_jsonl_documents, stream_static_join, events_top_paths,
     # events_anomaly_zscore, events_retention, events_sliding,
