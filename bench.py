@@ -164,6 +164,8 @@ HEADLINE = [
     "text_jsd_source_divergence",
     "sim_knn_graph",
     "llm_data_pipeline_v4",
+    "events_power_users_pareto",
+    "ts_autocorr_lag",
 ]
 
 # Keys too expensive for min-of-reps (60-130 s each at sf0.1): one rep.

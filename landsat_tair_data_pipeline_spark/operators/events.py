@@ -1031,6 +1031,162 @@ FROM cells JOIN size_ USING (cohort_week)
 """
 
 
+def events_power_users_pareto(spark: SparkSession, sf: str) -> DataFrame:
+    """Activity-concentration readout — the Lorenz/Pareto question
+    every platform asks of its fact table: how few users produce 80%
+    of events, and the exact Gini coefficient of the activity
+    distribution. One row: n_users, n_events, users_for_80pct, their
+    share, gini.
+
+    Scale shape: per-user counts are one hash aggregate; the rank and
+    the running sum over the user-count frame (fact-table-scale at
+    real data: billions of rows) go through `util.global_prefix` —
+    the distributed range-shuffle rank idiom — TWICE (once
+    value_col=None for the ascending rank i, once value_col=cnt for
+    the running sum), never a one-partition global window. The 80%
+    cut is exact integer arithmetic (prefix·5 ≤ total, no float
+    boundary), and Gini uses the closed form over ranks:
+    G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) with x ascending.
+    The i·x products are summed as DECIMAL(38,0) (the r7
+    xxhash64-sum lesson: BIGINT sums overflow under ANSI exactly when
+    the data grows)."""
+    from ..util import global_prefix
+
+    c = (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = global_prefix(c, ["cnt", "user_id"]).select(
+        "user_id", "cnt", F.col("_prefix").alias("i")
+    )
+    summed = global_prefix(ranked, ["cnt", "user_id"], value_col="cnt")
+    t = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("tot"),
+        F.sum(
+            (F.col("i") * F.col("cnt")).cast("decimal(38,0)")
+        ).alias("ix"),
+    )
+    j = (
+        summed.crossJoin(F.broadcast(t.select("tot")))
+        .where(F.col("_prefix") * 5 <= F.col("tot"))
+        .agg(F.count(F.lit(1)).alias("jmax"))
+    )
+    return (
+        t.crossJoin(F.broadcast(j))
+        .select(
+            F.col("n").cast("bigint").alias("n_users"),
+            F.col("tot").cast("bigint").alias("n_events"),
+            (F.col("n") - F.col("jmax")).cast("bigint").alias(
+                "users_for_80pct"
+            ),
+            F.round(
+                (F.col("n") - F.col("jmax")) / F.col("n").cast("double")
+                + 1e-9,
+                4,
+            ).alias("share_users_80pct"),
+            F.round(
+                (
+                    2.0 * F.col("ix").cast("double")
+                    - (F.col("n") + 1).cast("double") * F.col("tot")
+                )
+                / (F.col("n").cast("double") * F.col("tot").cast("double"))
+                + 1e-9,
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+_PARETO_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+r AS (
+  SELECT user_id, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS BIGINT) AS i,
+         CAST(SUM(cnt) OVER (ORDER BY cnt, user_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre
+  FROM c),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) AS tot,
+         CAST(SUM(i * cnt) AS DECIMAL(38,0)) AS ix
+  FROM r),
+j AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS jmax
+  FROM r CROSS JOIN t WHERE r.pre * 5 <= t.tot)
+SELECT t.n AS n_users, t.tot AS n_events,
+       t.n - j.jmax AS users_for_80pct,
+       ROUND((t.n - j.jmax) / CAST(t.n AS DOUBLE) + 1e-9, 4)
+         AS share_users_80pct,
+       ROUND((2.0 * CAST(ix AS DOUBLE) - (t.n + 1) * CAST(t.tot AS DOUBLE))
+             / (CAST(t.n AS DOUBLE) * t.tot) + 1e-9, 6) AS gini
+FROM t CROSS JOIN j
+"""
+
+
+def ts_autocorr_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-k autocorrelation of each type's daily-mean series (k = 1
+    and 7) — the seasonality/persistence readout forecasting sits on:
+    high lag-7 means weekly structure, high lag-1 means day-to-day
+    momentum. Computed as corr(x_t, x_{t−k}) over the LAG-joined
+    daily series (series-gap honest: a missing previous day yields
+    NULL and drops out of corr, matching the oracle's window).
+
+    Scale shape: one hash aggregate to (type, day), one lag window
+    per type over the day-bounded series, one corr aggregate — the
+    cusum/rolling-median discipline (events never flow through a
+    window). Daily means round at 6dp first; corr of identical
+    rounded inputs differs only by Σ-order noise against a 6dp
+    readout."""
+    ev = table(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    d = ev.groupBy("event_type", "day").agg(
+        F.round(F.avg("value") + 1e-9, 6).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = d.select(
+        "event_type",
+        "x",
+        F.when(
+            F.datediff("day", F.lag("day", 1).over(w)) == 1,
+            F.lag("x", 1).over(w),
+        ).alias("x1"),
+        F.when(
+            F.datediff("day", F.lag("day", 7).over(w)) == 7,
+            F.lag("x", 7).over(w),
+        ).alias("x7"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.corr("x", "x1") + 1e-9, 6).alias("autocorr_lag1"),
+        F.round(F.corr("x", "x7") + 1e-9, 6).alias("autocorr_lag7"),
+    )
+
+
+_AUTOCORR_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(AVG(value) + 1e-9, 6) AS x
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT event_type, x,
+         CASE WHEN day - LAG(day, 1) OVER w = 1
+              THEN LAG(x, 1) OVER w END AS x1,
+         CASE WHEN day - LAG(day, 7) OVER w = 7
+              THEN LAG(x, 7) OVER w END AS x7
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(corr(x, x1) + 1e-9, 6) AS autocorr_lag1,
+       ROUND(corr(x, x7) + 1e-9, 6) AS autocorr_lag7
+FROM l GROUP BY 1
+"""
+
+
 _RANGE_BIN_S = 600  # 10-min grid; interval durations are < _RANGE_BIN_S
 
 
@@ -3568,5 +3724,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_cohort_matrix": QuerySpec(
         "events_cohort_matrix", events_cohort_matrix, _COHORT_MATRIX_SQL
+    ),
+    "events_power_users_pareto": QuerySpec(
+        "events_power_users_pareto", events_power_users_pareto, _PARETO_SQL
+    ),
+    "ts_autocorr_lag": QuerySpec(
+        "ts_autocorr_lag", ts_autocorr_lag, _AUTOCORR_SQL
     ),
 }

@@ -130,6 +130,8 @@ _ROUND10_FRONT = [
     "text_jsd_source_divergence",
     "sim_knn_graph",
     "llm_data_pipeline_v4",
+    "events_power_users_pareto",
+    "ts_autocorr_lag",
     # r5-vintage fixture-backed drain (27) — the whole remaining block
     "agg_count",
     "agg_domain_grouped",
@@ -168,10 +170,9 @@ _ROUND10_FRONT = [
     "dedup_normalized",
     "dedup_shared_ngram_pairs",
     "ext_sim_search",
-    "sim_lsh_buckets",
-    "emb_quantize_int8",
     # (trimmed from the tail as r10 keys landed — they keep their
-    # r6-green rows and lead the r11 front: text_chunk_stride,
+    # r6-green rows and lead the r11 front: sim_lsh_buckets,
+    # emb_quantize_int8, text_chunk_stride,
     # text_pii_scrub,
     # sample_source_mix,
     # src_jsonl_documents, stream_static_join, events_top_paths,
