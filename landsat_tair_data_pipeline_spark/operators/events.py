@@ -1044,12 +1044,14 @@ def events_power_users_pareto(spark: SparkSession, sf: str) -> DataFrame:
     the distributed range-shuffle rank idiom — TWICE (once
     value_col=None for the ascending rank i, once value_col=cnt for
     the running sum), never a one-partition global window. The 80%
-    cut is exact integer arithmetic (prefix·5 ≤ total, no float
-    boundary), and Gini uses the closed form over ranks:
-    G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) with x ascending.
-    The i·x products are summed as DECIMAL(38,0) (the r7
-    xxhash64-sum lesson: BIGINT sums overflow under ANSI exactly when
-    the data grows)."""
+    cut is exact integer arithmetic with NO overflowable multiply
+    (prefix ≤ total DIV 5 ⟺ prefix·5 ≤ total for integers), reading
+    the ``_total`` column global_prefix already attaches — no extra
+    aggregate or broadcast. Gini uses the closed form over ranks:
+    G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) with x ascending; the rank is
+    cast to DECIMAL(38,0) BEFORE the i·x multiply (the r7 lesson in
+    its sharpest form: at 2e9 users × 5e9-event whales the int64
+    PRODUCT overflows before any sum does)."""
     from ..util import global_prefix
 
     c = (
@@ -1065,14 +1067,12 @@ def events_power_users_pareto(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("cnt").alias("tot"),
         F.sum(
-            (F.col("i") * F.col("cnt")).cast("decimal(38,0)")
+            F.col("i").cast("decimal(38,0)") * F.col("cnt")
         ).alias("ix"),
     )
-    j = (
-        summed.crossJoin(F.broadcast(t.select("tot")))
-        .where(F.col("_prefix") * 5 <= F.col("tot"))
-        .agg(F.count(F.lit(1)).alias("jmax"))
-    )
+    j = summed.where(
+        F.col("_prefix") <= F.expr("_total DIV 5")
+    ).agg(F.count(F.lit(1)).alias("jmax"))
     return (
         t.crossJoin(F.broadcast(j))
         .select(
@@ -1111,11 +1111,11 @@ r AS (
   FROM c),
 t AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) AS tot,
-         CAST(SUM(i * cnt) AS DECIMAL(38,0)) AS ix
+         CAST(SUM(CAST(i AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0)) AS ix
   FROM r),
 j AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS jmax
-  FROM r CROSS JOIN t WHERE r.pre * 5 <= t.tot)
+  FROM r CROSS JOIN t WHERE r.pre <= t.tot // 5)
 SELECT t.n AS n_users, t.tot AS n_events,
        t.n - j.jmax AS users_for_80pct,
        ROUND((t.n - j.jmax) / CAST(t.n AS DOUBLE) + 1e-9, 4)
@@ -1130,34 +1130,37 @@ def ts_autocorr_lag(spark: SparkSession, sf: str) -> DataFrame:
     """Lag-k autocorrelation of each type's daily-mean series (k = 1
     and 7) — the seasonality/persistence readout forecasting sits on:
     high lag-7 means weekly structure, high lag-1 means day-to-day
-    momentum. Computed as corr(x_t, x_{t−k}) over the LAG-joined
-    daily series (series-gap honest: a missing previous day yields
-    NULL and drops out of corr, matching the oracle's window).
+    momentum. Computed as corr(x_t, x_{t−k}) over DAY-KEYED self-joins
+    of the daily series — gap-honest in the strict calendar sense:
+    every (t, t−k) pair where BOTH days were observed contributes,
+    regardless of holes in between. (A row-based lag(k) window would
+    silently drop every pair whose intervening rows have gaps,
+    biasing lag-7 toward dense stretches — caught in the r10 code
+    review before fronting.)
 
-    Scale shape: one hash aggregate to (type, day), one lag window
-    per type over the day-bounded series, one corr aggregate — the
-    cusum/rolling-median discipline (events never flow through a
-    window). Daily means round at 6dp first; corr of identical
-    rounded inputs differs only by Σ-order noise against a 6dp
-    readout."""
+    Scale shape: one hash aggregate to (type, day), two equi
+    self-joins on (type, day−k) over the day-bounded series, one corr
+    aggregate — events never flow through a window or join. Daily
+    means round at 6dp first; corr of identical rounded inputs
+    differs only by Σ-order noise against a 6dp readout."""
     ev = table(spark, sf, "events").select(
         "event_type", F.to_date("ts").alias("day"), "value"
     )
     d = ev.groupBy("event_type", "day").agg(
         F.round(F.avg("value") + 1e-9, 6).alias("x")
     )
-    w = Window.partitionBy("event_type").orderBy("day")
-    lagged = d.select(
+    lag1 = d.select(
         "event_type",
-        "x",
-        F.when(
-            F.datediff("day", F.lag("day", 1).over(w)) == 1,
-            F.lag("x", 1).over(w),
-        ).alias("x1"),
-        F.when(
-            F.datediff("day", F.lag("day", 7).over(w)) == 7,
-            F.lag("x", 7).over(w),
-        ).alias("x7"),
+        F.date_add("day", 1).alias("day"),
+        F.col("x").alias("x1"),
+    )
+    lag7 = d.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("x").alias("x7"),
+    )
+    lagged = d.join(lag1, ["event_type", "day"], "left").join(
+        lag7, ["event_type", "day"], "left"
     )
     return lagged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
@@ -1172,13 +1175,12 @@ WITH d AS (
          ROUND(AVG(value) + 1e-9, 6) AS x
   FROM events GROUP BY 1, 2),
 l AS (
-  SELECT event_type, x,
-         CASE WHEN day - LAG(day, 1) OVER w = 1
-              THEN LAG(x, 1) OVER w END AS x1,
-         CASE WHEN day - LAG(day, 7) OVER w = 7
-              THEN LAG(x, 7) OVER w END AS x7
+  SELECT d.event_type, d.x, l1.x AS x1, l7.x AS x7
   FROM d
-  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+  LEFT JOIN d l1 ON l1.event_type = d.event_type
+                AND l1.day = d.day - 1
+  LEFT JOIN d l7 ON l7.event_type = d.event_type
+                AND l7.day = d.day - 7)
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_days,
        ROUND(corr(x, x1) + 1e-9, 6) AS autocorr_lag1,

@@ -136,15 +136,9 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "artifacts"), exist_ok=True)
     failures: list[str] = []
 
-    def run(label: str, cmd: list[str], out_json: str | None = None) -> None:
+    def run(label: str, cmd: list[str]) -> None:
         print(f"=== {label}: {' '.join(cmd)}", flush=True)
-        if out_json is None:
-            rc = subprocess.run(cmd, cwd=REPO).returncode
-        else:
-            with open(os.path.join(REPO, out_json + ".log"), "w") as log:
-                rc = subprocess.run(
-                    cmd, cwd=REPO, stdout=log, stderr=subprocess.STDOUT
-                ).returncode
+        rc = subprocess.run(cmd, cwd=REPO).returncode
         if rc != 0:
             failures.append(label)
             print(f"=== {label} FAILED rc={rc}", flush=True)

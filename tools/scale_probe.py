@@ -12,14 +12,20 @@ Writes the replicated dir to .scratch/sf_probe_<factor>x (reused if
 present) and prints one JSON line with per-key (base_s, big_s, ratio).
 
 --unique-text (VERDICT r9 item 5): every document copy i gets a
-per-copy 6-char token suffix, making copies token-disjoint AND beyond
-the edit-distance band (one substitution-run per token: lev ≈ 6·n vs
-the lev·5 <= max(len) ≈ 13·n cut), so the near-dup PAIR SPACE grows
-linearly with input instead of quadratically — the probe then measures
-the candidate join's input-linear behavior directly instead of
-output growth. --counts additionally records output rows and (for the
-pair ops) candidate-join rows at both scales, separating blocking cost
-from verify cost.
+per-copy 6-char token suffix, making copies token-DISJOINT — so the
+set-similarity pair ops (jaccard/containment) see exactly linear pair
+growth. For the edit-distance op the guarantee is weaker and
+data-dependent: copy-0-vs-copy-i pairs differ by ~6 chars/token (past
+the lev·5 <= max(len) band), but two SUFFIXED copies i,j differ by
+only ~1 digit/token (lev ≈ n vs a ~2.6n band — inside it), and such
+pairs are excluded only because the per-copy digit falls INSIDE the
+16-char blocking prefix for this corpus's short first tokens (blocks
+differ across copies). On a corpus with ≥11-char first tokens,
+cross-copy same-doc pairs WOULD qualify as genuine near-dups — check
+the --counts output-rows ratio (exactly ×factor here) before reading
+the time ratio. --counts additionally records output rows and (for
+the pair ops) candidate-join rows at both scales, separating blocking
+cost from verify cost.
 """
 
 from __future__ import annotations
@@ -73,11 +79,11 @@ def build(spark, factor: int, unique_text: bool = False) -> str:
                 c = c.withColumn(col, F.col(col) + F.lit(i * stride))
             if unique_text and t == "documents" and i > 0:
                 # per-copy token suffix: copies become token-DISJOINT
-                # (jaccard/containment cross-copy overlap = 0) and
-                # cross-copy edit distance ≈ 6 edits/token — past the
-                # relative band — so pair ops see linear, not squared,
-                # output growth; within-copy pair structure is
-                # preserved exactly (a consistent token renaming)
+                # (jaccard/containment cross-copy overlap = 0), so the
+                # set-similarity pair space grows exactly linearly;
+                # within-copy pair structure is preserved (a
+                # consistent token renaming). Edit-distance linearity
+                # is data-dependent — see the module docstring.
                 c = c.withColumn(
                     "text",
                     F.regexp_replace("text", r"(\S+)", rf"$1_c{i:04d}"),
