@@ -5,9 +5,11 @@ Exact dedup is a hash-groupBy (one shuffle on the digest — at 100 TB
 the digest shuffle moves 32 bytes/row, not the document bodies).
 Near-dup comes in three flavors:
 
-- MinHash+LSH (`ext_dedup_near`): shingle → MinHash signature → banded
-  bucket join. Uses Spark ML's MinHashLSH (seeded); hash family is
-  engine-specific → rows-only check.
+- MinHash+LSH (`ext_dedup_near`): token set → 256 xxhash64 MinHash
+  permutations → 64×4 banded equi-join → exact-jaccard verify. House
+  implementation (deterministic, no MLlib hash-family draw); banded
+  recall at the 0.5 cut is probabilistic → rows-only check, with the
+  `dedup_near_recall` companion hash-pinning full recall at >= 0.7.
 - SimHash (`dedup_simhash`): 64-bit signature from xxhash64 token
   hashes, computed with map-side-combinable aggregates; deterministic
   within Spark, rows-only vs the oracle (DuckDB's hash ≠ xxhash64).
@@ -542,42 +544,134 @@ FROM s WHERE containment >= 0.8
 """.format(toks=_TOKENS_SQL)
 
 
-def ext_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (rows-only: LSH hash family is
-    engine-specific). Pipeline: tokens → HashingTF term sets → MinHash
-    signatures → banded similarity self-join at Jaccard-distance 0.5.
-    At 100 TB the band-bucket join replaces the quadratic pair scan."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+# MinHash band geometry: b=64 bands × r=4 rows = 256 permutations.
+# Sized for the dedup_near_recall pin (full recall at exact jaccard
+# >= 0.7): a pair at jaccard j shares a given band with p = j^r, so
+# the per-pair miss probability over the whole family is (1-j^4)^64 —
+# 2.3e-8 at j=0.7 (~6e-3 expected misses per testdata regeneration at
+# sf0.1's observed 2.55e5 qualifying pairs, two orders beyond the old
+# MLlib 16-table margin), while a random j=0.05 background pair becomes a
+# candidate with p ≈ 64·(0.05)^4 = 4e-4, keeping candidate volume
+# input-linear. Deterministic by construction: xxhash64 permutations,
+# no seeded-random hash family draw (VERDICT r10 item 1).
+_MH_BANDS = 64
+_MH_ROWS = 4
 
-    # explicit repartition(N) BEFORE the LSH join (NOTES trap): the
-    # corpus reads as few parquet splits, approxSimilarityJoin's
-    # candidate join BROADCASTS the build side, and with no shuffle on
-    # the probe side every candidate pair's keyDistance evaluates at
-    # the READ parallelism — observed live at sf0.1 as one core
-    # grinding ~30 min of set-intersection while 31 idled (jstack:
-    # MinHashLSHModel.keyDistance inside bhj_doConsume, 1 task)
-    docs = (
-        table(spark, sf, "documents")
-        .select("doc_id", TOKENS().alias("toks"))
-        .repartition(spark.sparkContext.defaultParallelism)
+
+def ext_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded-MinHash near-dup pairs at exact jaccard >= 0.5 — the
+    house LSH recipe (dedup_simhash_hamming's band-join generalized to
+    b×r MinHash bands; VERDICT r10 item 1), replacing MLlib
+    MinHashLSH/approxSimilarityJoin whose seeded hash family was
+    engine-private AND whose broadcast+explode plan swung 67–157 s on
+    identical code at sf0.1 (the single largest bench-noise source for
+    three consecutive rounds).
+
+    Pipeline (every stage a linear shuffle, no corpus broadcast):
+    1. distinct tokens → one xxhash64 per token string, then 256
+       permutation values xxhash64(p, h) per token — hashing the
+       8-byte long, not the string, per permutation;
+    2. per-doc MinHash signature = 256 map-side-combinable MIN aggs
+       (one shuffle keyed by doc_id);
+    3. band keys: xxhash64 over each band's 4 signature rows → 64
+       longs; band equi-join on (band_index, band_value) over NARROW
+       (doc_id, k, band_value) rows with doc_a < doc_b;
+    4. pair dedup via map-side-combinable distinct() on the bare pair
+       key. Deliberately NOT the dedup_simhash_hamming canonical-band
+       emit: that trick needs both signatures in hand at the join, and
+       here a signature is 64 longs (512 B) vs simhash's one long —
+       at ~8 expected matching bands per qualifying pair the array
+       payload would multiply the join shuffle ~20× (measured 70 GB
+       intermediate at sf0.1's dense 8.6M-pair graph), while the
+       narrow distinct shuffles 16-byte pair rows that map-side
+       combine first;
+    5. exact verify: join the xxhash64 token sets back by doc_id and
+       keep rounded exact jaccard >= 0.5 (one array_intersect per
+       candidate, same as the prefix-filter verify).
+
+    Still rows-only vs the oracle: banded recall at the 0.5 output
+    threshold is probabilistic (miss (1-0.5^4)^64 ≈ 1.6% per pair at
+    exactly 0.5), so the output is not quadratic-oracle-reproducible —
+    but it is now byte-deterministic run-to-run, and the recall
+    companion (dedup_near_recall) hash-pins full recall at >= 0.7
+    against the exact prefix-filter pairs every round.
+
+    Scale shape at 100 TB: token explode + 256-column min-agg are one
+    linear shuffle; the band join shuffles 64 (band, long) rows per
+    doc; candidates are driven by true similarity, not block size².
+    Margin audit (r10 process rule): band values are xxhash64 longs —
+    no int overflow anywhere; sz_a+sz_b-inter <= 2·|doc| fits int.
+    Reference anchor: SURVEY §2.12 ext_dedup_near (MinHash/Jaccard
+    near-dup contract)."""
+    n_perm = _MH_BANDS * _MH_ROWS
+    docs = table(spark, sf, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(TOKENS(), lambda t: F.xxhash64(t))
+        ).alias("toks"),
     )
-    tf = HashingTF(
-        inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True
+    docs = persist_tracked(docs.withColumn("sz", F.size("toks")))
+    tok = docs.select("doc_id", F.explode("toks").alias("h"))
+    mins = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(p), F.col("h"))).alias(f"m{p}")
+            for p in range(n_perm)
+        ]
     )
-    feats = tf.transform(docs)
-    # 16 tables: a jaccard-0.6 pair misses all tables with p=0.4^16≈4e-7
-    # (8 tables measurably dropped one 0.62 pair on the test corpus)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=16, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
-    return (
-        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"m{k * _MH_ROWS + r}") for r in range(_MH_ROWS)]
+            )
+            for k in range(_MH_BANDS)
+        ]
+    )
+    sigs = persist_tracked(mins.select("doc_id", band_arr.alias("bands")))
+
+    def side(s: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id").alias(f"doc_{s}"),
+            F.posexplode("bands").alias("k", "bv"),
+        )
+
+    cand = (
+        side("a")
+        .join(side("b"), ["k", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    # rand-taint as in _prefix_filter_pairs: stops Catalyst pushing the
+    # jaccard filter back through the projection and re-running the
+    # O(|toks|) intersect per reference
+    inter = F.size(F.array_intersect("toks_a", "toks_b")) + (
+        F.rand(0) * 0
+    ).cast("int")
+    scored = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1 - F.col("jaccard_dist") + 1e-9, 4).alias("jaccard_sim"),
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter.cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
+                + 1e-9,
+                4,
+            ).alias("jaccard_sim"),
         )
     )
+    return scored.where(F.col("jaccard_sim") >= 0.5)
 
 
 def dedup_near_recall(spark: SparkSession, sf: str) -> DataFrame:
@@ -593,26 +687,23 @@ def dedup_near_recall(spark: SparkSession, sf: str) -> DataFrame:
     pair, the driver hash goes red — the LSH op self-certifies its
     quality bound every round instead of riding a one-time unit test.
 
-    Why 0.7 and not the 0.6 the 16-table family was sized for: with a
-    FIXED seed the miss event is deterministic per dataset, but the
-    data regenerates between rounds — at jaccard 0.6 the per-pair miss
-    probability over a fresh hash-family/data draw is 0.4^16 ≈ 4e-7,
-    which across ~10^4-10^5 qualifying pairs at sf0.1 leaves a ~1%
-    flake per regeneration; at 0.7 it is 0.3^16 ≈ 4e-9 — two orders of
-    margin, and still well clear of the LSH join's 0.5 distance cut.
+    Why 0.7 (margin math for the r11 house banded family, b=64 r=4):
+    the hash family is FIXED (xxhash64 permutations — no per-fit
+    draw), so the miss event is deterministic per dataset, but the
+    data regenerates between rounds — treat each regeneration as a
+    fresh draw. Per-pair band-miss probability at jaccard j is
+    (1-j^4)^64: 2.3e-8 at 0.7, i.e. ~6e-3 expected misses at sf0.1's
+    observed 2.55e5 qualifying pairs per regeneration; at 0.6 it would
+    be 1.4e-4 (a ~10^1 expected misses — guaranteed red), hence the
+    0.7 floor. A banded
+    candidate at >= 0.7 always survives the exact-verify >= 0.5
+    output cut, so band recall is the only loss term.
 
-    Second-order term in the margin math (ADVICE r8): keyDistance is
-    jaccard over the 2^18-bucket HashingTF features, not the raw token
-    sets, so bucket collisions can shift a pair's MEASURED similarity
-    off its exact-token value. For a doc with m distinct tokens the
-    expected collision count is ~m^2/2^19 (birthday bound) — at the
-    corpus's m ≈ 10^2-10^3 that is ≤ ~2 merged buckets, shifting
-    jaccard by well under 1% absolute, against the 0.2 absolute gap
-    between the 0.7 exact floor and the 0.5 feature-space cut. The
-    collision term would only matter for m approaching 2^9·sqrt(gap)
-    ≈ tens of thousands of distinct tokens per doc; documents that
-    size would need a larger numFeatures anyway (and the recall gate
-    itself would catch the regression, which is the point).
+    Second-order term: both sides hash tokens with the SAME xxhash64
+    string→long map before set ops, so there is no feature-space
+    discretization gap at all (the old HashingTF 2^18-bucket collision
+    analysis is obsolete); a 64-bit hash collision altering a set size
+    is ~1e-8 per corpus — negligible against the 0.2 jaccard margin.
 
     Scale: reuses the two production candidate paths unchanged (both
     banded/prefix-filtered, no all-pairs); the comparison itself is a

@@ -1432,7 +1432,12 @@ def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
         B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
         a_ids = a["vec_id"].to_numpy(dtype=np.int64)
         b_ids = b["vec_id"].to_numpy(dtype=np.int64)
-        cos = np.round(A @ B.T + 1e-9, 6)
+        # half-away-from-zero to 6 dp, matching Spark ROUND / DuckDB
+        # ROUND (ADVICE r10: np.round is banker's half-to-even — the
+        # one rounding mode in the repo that differed from its oracle;
+        # cosines here are in [-1, 1] so the sign split is exact)
+        raw = A @ B.T + 1e-9
+        cos = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
         cos[a_ids[:, None] == b_ids[None, :]] = -2.0  # exclude self
         kk = min(k, cos.shape[1])
         order = np.argsort(-cos, axis=1, kind="stable")[:, :kk]

@@ -131,17 +131,24 @@ def run_to_memory(
         # recentProgress is capped at spark.sql.streaming
         # .numRecentProgressUpdates (default 100) — a drain spanning
         # more micro-batches than the retention window would evade the
-        # fed-batch count below. lastProgress's batchId is not capped
-        # (batchId + 1 = total batches run), so first prove the
-        # retention window saw the WHOLE drain, then count fed batches.
-        last = q.lastProgress
-        total_batches = (last["batchId"] + 1) if last is not None else 0
-        if total_batches > len(q.recentProgress):
+        # fed-batch count below, so first prove the retention window
+        # saw the WHOLE drain, then count fed batches. The proof is
+        # "the buffer never filled to its cap" (retained < cap ⇒
+        # nothing was evicted), NOT `lastProgress.batchId + 1 >
+        # retained` (ADVICE r10): batchId is absolute — a query
+        # resumed from an existing checkpoint carries it forward, so
+        # the old form raised spuriously on correct resumed runs, and
+        # a wrapped buffer keeps last-min+1 == len so a relative-range
+        # form can never fire at all.
+        cap = int(
+            spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+        )
+        if len(q.recentProgress) >= cap:
             raise RuntimeError(
-                f"run_to_memory({name!r}): drain ran {total_batches} "
-                f"micro-batches but recentProgress retains only "
-                f"{len(q.recentProgress)} — the batch-count precondition "
-                "check below would be blind; raise "
+                f"run_to_memory({name!r}): drain filled the whole "
+                f"{cap}-entry recentProgress retention window — earlier "
+                "micro-batches may have been evicted and the batch-count "
+                "precondition check below would be blind; raise "
                 "spark.sql.streaming.numRecentProgressUpdates for this "
                 "drain or remove the trigger cap"
             )

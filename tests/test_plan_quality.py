@@ -513,26 +513,27 @@ def test_interval_union_single_user_shuffle(spark):
 
 
 def test_lsh_candidate_join_is_parallel(spark):
-    """ext_dedup_near's candidate evaluation must NOT run at raw
-    single-file read parallelism: approxSimilarityJoin broadcasts its
-    build side, so without the explicit repartition the whole
-    per-pair keyDistance filter executes on ONE task (observed live
-    at sf0.1: one core grinding ~30 min of set intersections while 31
-    idled). The round-robin exchange from the input repartition is
-    the thing that spreads it — pin its presence."""
+    """ext_dedup_near's band candidate join must be a real shuffled
+    equi-join on the (band_index, band_value) key — never a broadcast
+    nested-loop or cartesian fallback (the r8 MLlib plan's failure
+    mode was the candidate evaluation collapsing to one task; the r11
+    house banded join parallelizes by hash-partitioning the band
+    keys, so pin the hash exchange and the absence of any all-pairs
+    join shape)."""
     plan = _plan(spark, "ext_dedup_near")
-    assert "RoundRobinPartitioning" in plan, plan[:900]
+    assert "Exchange hashpartitioning" in plan, plan[:900]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:900]
+    assert "CartesianProduct" not in plan, plan[:900]
 
 
 def test_lsh_candidate_join_runs_on_multiple_tasks(spark):
     """Runtime companion to the plan pin above (VERDICT r8 item 5): a
-    future Spark upgrade could re-plan approxSimilarityJoin so the
-    exchange still appears but the candidate evaluation re-serializes
-    (e.g. AQE coalescing the probe side back to one partition). Count
-    the DISTINCT partition ids that actually emitted candidate pairs —
-    the broadcast join's output partitioning IS its probe-side task
-    layout, so this measures how many tasks shared the keyDistance
-    work. The broken r8 plan would have reported exactly 1."""
+    future Spark upgrade or AQE coalesce could re-plan the band join
+    so the exchange still appears but the candidate evaluation
+    re-serializes onto one task. Count the DISTINCT partition ids that
+    actually emitted candidate pairs — this measures how many tasks
+    shared the verify work. The broken r8 plan would have reported
+    exactly 1."""
     from pyspark.sql import functions as F
 
     df = SPECS["ext_dedup_near"].fn(spark, "/root/testdata/sf0.001")
@@ -621,22 +622,24 @@ def test_knn_graph_is_one_matmul_stage(spark):
 
 def test_asof_nearest_single_merge_shuffle(spark):
     """join_asof_nearest reads BOTH directions from one union-merge
-    sort: exactly 2 exchanges total (the per-(user, ts) click dedup +
+    sort: at most 2 exchanges total (the per-(user, ts) click dedup +
     the user_id merge) — a third means the forward frame grew its own
-    shuffle and the one-pass design regressed."""
+    shuffle and the one-pass design regressed. Upper bound, not ==
+    (ADVICE r10): fewer exchanges from a smarter planner is fine; the
+    regression guarded is an EXTRA shuffle."""
     plan = _plan(spark, "join_asof_nearest")
-    assert plan.count("Exchange") == 2, plan.count("Exchange")
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
 
 
 def test_rolling_median_reduces_before_window(spark):
     """window_rolling_median: events reduce to (type, day) BEFORE the
     range-frame window — the window must see hash-aggregated daily
-    rows (2 aggregates: partial+final), never the raw fact table."""
+    rows, never the raw fact table. Upper bound, not == (ADVICE r10):
+    the regression guarded is an extra shuffle (window partitioning
+    splitting off the aggregate), not a Spark/AQE plan-shape detail."""
     plan = _plan(spark, "window_rolling_median")
     assert plan.count("Window") == 1
-    # the window's child ordering: exactly one shuffle for the agg and
-    # one for the window partitioning
-    assert plan.count("Exchange") == 2, plan.count("Exchange")
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
 
 
 def test_containment_broadcasts_only_bounded_frames(spark):

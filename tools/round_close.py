@@ -136,42 +136,41 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "artifacts"), exist_ok=True)
     failures: list[str] = []
 
-    def run(label: str, cmd: list[str]) -> None:
+    def run(label: str, cmd: list[str]) -> int:
         print(f"=== {label}: {' '.join(cmd)}", flush=True)
         rc = subprocess.run(cmd, cwd=REPO).returncode
         if rc != 0:
             failures.append(label)
             print(f"=== {label} FAILED rc={rc}", flush=True)
+        return rc
+
+    # ADVICE r10: a pre-existing artifact at the output path must never
+    # be re-stamped as HEAD-fresh after a FAILED sweep (the exists()
+    # guard can't tell a stale leftover from this run's output) — so
+    # (a) delete the target before launching, (b) stamp only on rc==0.
+    def sweep(label: str, sf_dir: str, out_key: str) -> None:
+        target = os.path.join(REPO, paths[out_key])
+        if os.path.exists(target):
+            os.remove(target)
+        rc = run(
+            label,
+            [
+                sys.executable,
+                "tools/sf01_sweep.py",
+                "--sf-dir",
+                sf_dir,
+                "--out",
+                paths[out_key],
+            ],
+        )
+        if rc == 0 and os.path.exists(target):
+            _stamp(paths[out_key], head)
 
     if not args.skip_gate_sim:
-        run(
-            "gate_sim(sf0.01)",
-            [
-                sys.executable,
-                "tools/sf01_sweep.py",
-                "--sf-dir",
-                "/root/testdata/sf0.01",
-                "--out",
-                paths["gate_sim"],
-            ],
-        )
-        if os.path.exists(os.path.join(REPO, paths["gate_sim"])):
-            _stamp(paths["gate_sim"], head)
+        sweep("gate_sim(sf0.01)", "/root/testdata/sf0.01", "gate_sim")
 
     if not args.skip_parity:
-        run(
-            "parity(sf0.1)",
-            [
-                sys.executable,
-                "tools/sf01_sweep.py",
-                "--sf-dir",
-                "/root/testdata/sf0.1",
-                "--out",
-                paths["parity"],
-            ],
-        )
-        if os.path.exists(os.path.join(REPO, paths["parity"])):
-            _stamp(paths["parity"], head)
+        sweep("parity(sf0.1)", "/root/testdata/sf0.1", "parity")
 
     if not args.skip_bench:
         # bench prints its ONE JSON line to stdout; capture it verbatim
