@@ -10,9 +10,10 @@ Near-dup comes in three flavors:
   implementation (deterministic, no MLlib hash-family draw); banded
   recall at the 0.5 cut is probabilistic → rows-only check, with the
   `dedup_near_recall` companion hash-pinning full recall at >= 0.7.
-- SimHash (`dedup_simhash`): 64-bit signature from xxhash64 token
-  hashes, computed with map-side-combinable aggregates; deterministic
-  within Spark, rows-only vs the oracle (DuckDB's hash ≠ xxhash64).
+- SimHash (`dedup_simhash`): 64-bit frequency-weighted signature from
+  md5 parity bits, computed with map-side-combinable aggregates —
+  fully oracled since the r11 re-point (md5 hex is byte-identical in
+  Spark and DuckDB).
 - N-gram/word Jaccard (`dedup_jaccard_pairs`): exact set similarity on
   blocked candidate pairs — fully SQL-expressible, hash-checked.
 """
@@ -736,23 +737,54 @@ WHERE j.jaccard >= 0.7
 """.format(jaccard=_JACCARD_SQL)
 
 
+# hex digits of md5 whose bit j is set — the engine-portable source of
+# 4 projection bits per digit (generalizes dedup_simhash_hamming's
+# odd-digit set, which is exactly _HEX_BIT[0])
+_HEX_BIT = (
+    ("1", "3", "5", "7", "9", "b", "d", "f"),  # bit 0
+    ("2", "3", "6", "7", "a", "b", "e", "f"),  # bit 1
+    ("4", "5", "6", "7", "c", "d", "e", "f"),  # bit 2
+    ("8", "9", "a", "b", "c", "d", "e", "f"),  # bit 3
+)
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """64-bit SimHash signatures. Each token contributes ±1 per bit of
-    its xxhash64; the signature is the sign vector re-packed to a long.
-    Expressed as 64 conditional sums → fully map-side-combinable, no
-    UDF. Deterministic within Spark; rows-only vs the oracle."""
+    """64-bit frequency-weighted SimHash signatures, FULLY ORACLED
+    (r11 re-point, VERDICT r10 item 4: the old xxhash64-derived
+    signature was engine-private → rows-only, strictly dominated by
+    the oracled dedup_simhash_hamming; this swap derives all 64
+    projection bits from md5 — identical lowercase hex in Spark and
+    DuckDB — closing the gap while keeping this op's own semantic:
+    64-bit signature over the FULL token stream, term-frequency
+    weighted, vs the hamming variant's 32-bit distinct-set form).
+
+    Bit i (0..63) of a doc = sign of Σ over its token OCCURRENCES of
+    ±1 by bit (i mod 4) of hex digit (i div 4 + 1) of md5(token) —
+    Charikar sign-random-projection with exact integer math (a Σ of ±1
+    ties to 0 only at even counts and breaks to bit 0 identically in
+    both engines). Expressed as 64 map-side-combinable conditional
+    sums → one doc_id shuffle, no UDF. Bit 63 enters the long via the
+    Java shift wrap (1L<<63 = Long.MIN_VALUE); the oracle mirrors it
+    as the explicit two's-complement addend, summed in HUGEINT and
+    cast back — byte-identical signatures.
+
+    Scale: identical shuffle shape to dedup_simhash_hamming (linear
+    token explode + wide min/sum agg); at 10⁹ docs the 64-column sum
+    agg moves one combined row per doc per partition."""
     docs = table(spark, sf, "documents").select("doc_id", TOKENS().alias("toks"))
-    tok = docs.select("doc_id", F.explode("toks").alias("tok"))
-    h = tok.select("doc_id", F.xxhash64("tok").alias("h"))
+    tok = docs.select("doc_id", F.explode("toks").alias("tok")).select(
+        "doc_id", F.md5("tok").alias("m")
+    )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
+            F.when(
+                F.substring(F.col("m"), i // 4 + 1, 1).isin(*_HEX_BIT[i % 4]),
+                1,
+            ).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(64)
     ]
-    sums = h.groupBy("doc_id").agg(*bit_sums)
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
     sig = None
     for i in range(64):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
@@ -761,6 +793,33 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseXOR(term)
     return sums.select("doc_id", sig.alias("simhash")).orderBy("doc_id")
+
+
+_SIMHASH_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS m FROM tok),
+b AS (
+  SELECT doc_id, g.i,
+         CASE WHEN (
+             (strpos('0123456789abcdef', substr(m, (g.i // 4) + 1, 1)) - 1)
+             >> (g.i % 4)
+           ) & 1 = 1
+           THEN 1 ELSE -1 END AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+),
+t AS (SELECT doc_id, i, SUM(s) AS tot FROM b GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN tot > 0 THEN
+                    CASE WHEN i = 63 THEN -9223372036854775808
+                         ELSE (CAST(1 AS BIGINT) << i) END
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM t GROUP BY 1
+)
+SELECT doc_id, simhash FROM sig ORDER BY doc_id
+""".format(toks=_TOKENS_SQL)
 
 
 def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
@@ -2640,7 +2699,7 @@ QUERIES: dict[str, QuerySpec] = {
         "dedup_jaccard_pairs", dedup_jaccard_pairs, _JACCARD_SQL
     ),
     "ext_dedup_near": QuerySpec("ext_dedup_near", ext_dedup_near, None),
-    "dedup_simhash": QuerySpec("dedup_simhash", dedup_simhash, None),
+    "dedup_simhash": QuerySpec("dedup_simhash", dedup_simhash, _SIMHASH_SQL),
     # appended post-r2: must stay AFTER the first 50 merged keys so the
     # driver's correctness window keeps covering the planned surface
     "pack_chunks": QuerySpec("pack_chunks", pack_chunks, _PACK_SQL),

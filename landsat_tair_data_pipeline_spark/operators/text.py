@@ -1077,6 +1077,203 @@ FROM terms GROUP BY 1
 """.format(toks=_TOKS_SQL)
 
 
+def text_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution vs the REST of the corpus — the drift twin of
+    text_jsd_source_divergence (VERDICT r10 item 6a): JSD watches the
+    token distribution, PSI watches a numeric quality score, here
+    n_chars binned into 10 fixed 64-char-wide buckets (corpus range
+    44–577 → buckets 0..9; the last bucket is open-ended via LEAST so
+    the binning is total for any future regeneration). PSI =
+    Σ_i (p_i - q_i)·ln(p_i/q_i) with the standard +1 Laplace smoothing
+    per bin on BOTH sides, so every log term is finite and the formula
+    is exact-integer-derived in both engines (same discipline as JSD:
+    only the Σ order differs, ~1e-15 against a 6dp readout). The
+    usual credit-scoring rule of thumb — PSI < 0.1 stable, 0.1–0.25
+    drifting, > 0.25 shifted — is the consumer's contract.
+
+    Margin audit (r10 process rule): bin counts ≤ corpus rows (int64);
+    DIV 64 on a bigint is exact; p, q ∈ (0, 1] so ln is finite and
+    the Σ of 10 bounded terms cannot overflow.
+
+    Scale shape: one (source, bin) count aggregate — map-side
+    combinable, 10·n_sources rows out — then a broadcast 10-bin grid
+    join and one summing aggregate per source. No shuffle touches the
+    document bodies."""
+    docs = table(spark, sf, "documents").select(
+        "source",
+        F.least(F.expr("n_chars DIV 64"), F.lit(9)).cast("int").alias("bin"),
+    )
+    st = persist_tracked(
+        docs.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c"))
+    )
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    totals = st.groupBy("source").agg(F.sum("c").alias("n_src"))
+    grand = st.agg(F.sum("c").alias("n_all"))
+    bin_tot = st.groupBy("bin").agg(F.sum("c").alias("c_bin"))
+    grid = (
+        totals.crossJoin(F.broadcast(grand))
+        .crossJoin(F.broadcast(bins))
+        .join(F.broadcast(bin_tot), "bin", "left")
+        .join(st, ["source", "bin"], "left")
+        .withColumn("c_s", F.coalesce("c", F.lit(0)))
+        .withColumn("c_b", F.coalesce("c_bin", F.lit(0)))
+    )
+    p = (F.col("c_s") + 1).cast("double") / (F.col("n_src") + 10).cast("double")
+    q = (F.col("c_b") - F.col("c_s") + 1).cast("double") / (
+        F.col("n_all") - F.col("n_src") + 10
+    ).cast("double")
+    return grid.groupBy("source").agg(
+        F.max("n_src").cast("bigint").alias("n_docs"),
+        F.round(F.sum((p - q) * F.log(p / q)) + 1e-9, 6).alias("psi_vs_rest"),
+    )
+
+
+_PSI_SQL = """
+WITH b AS (
+  SELECT source, CAST(LEAST(n_chars // 64, 9) AS INT) AS bin
+  FROM documents
+),
+c AS (
+  SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2
+),
+totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM c GROUP BY 1),
+grand AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM c),
+bin_tot AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS c_bin FROM c GROUP BY 1),
+grid AS (
+  SELECT t.source, t.n_src, g.n_all, bb.bin,
+         COALESCE(bt.c_bin, 0) AS c_b, COALESCE(cc.c, 0) AS c_s
+  FROM totals t
+  CROSS JOIN grand g
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) bb
+  LEFT JOIN bin_tot bt ON bt.bin = bb.bin
+  LEFT JOIN c cc ON cc.source = t.source AND cc.bin = bb.bin
+),
+terms AS (
+  SELECT source, n_src,
+         CAST(c_s + 1 AS DOUBLE) / (n_src + 10) AS p,
+         CAST(c_b - c_s + 1 AS DOUBLE) / (n_all - n_src + 10) AS q
+  FROM grid
+)
+SELECT source,
+       CAST(MAX(n_src) AS BIGINT) AS n_docs,
+       ROUND(SUM((p - q) * ln(p / q)) + 1e-9, 6) AS psi_vs_rest
+FROM terms GROUP BY 1
+"""
+
+
+def text_repeated_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repeated-substring detection over token
+    trigrams — the ExactSubstr-style complement of text_repetition's
+    corpus-level n-gram fractions (VERDICT r10 item 6b): a doc whose
+    own text repeats itself (boilerplate stutter, template loops,
+    decoding glitches) is a quality signal no cross-doc dedup sees.
+    Per document with at least one trigram occurring twice: total
+    trigram count, number of DISTINCT repeated trigrams, the max
+    repeat count, the repeated-occurrence fraction, and the most
+    repeated trigram itself (ties broken to the lexicographically
+    smallest — deterministic in both engines). Trigrams (not the
+    8-token grams ExactSubstr would use on web text) because the
+    corpus's 54-token docs make 3 the scale where repetition actually
+    occurs; the window is a parameter of the recipe, not the contract.
+
+    Margin audit (r10 process rule): gram counts ≤ tokens-per-doc
+    (int); sequence(1, sz-2) is guarded by sz >= 3 (Spark sequence
+    DESCENDS for start > stop — an unguarded short doc would fabricate
+    grams); rep_fraction's denominator n_grams >= 1 on every emitted
+    row.
+
+    Scale shape: gram explode is 1:1 with tokens (linear); the
+    (doc_id, gram) count and the per-doc rollup are both map-side
+    combinable on the same doc_id key, and the top-gram window
+    partitions by doc_id — no global sort, no skew beyond document
+    length itself."""
+    docs = (
+        table(spark, sf, "documents")
+        .select("doc_id", TOKENS().alias("toks"))
+        .withColumn("sz", F.size("toks"))
+        .where(F.col("sz") >= 3)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("sz") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                ),
+            )
+        ).alias("gram"),
+    )
+    counts = persist_tracked(
+        grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repeated"),
+        F.max("c").cast("bigint").alias("max_repeat"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c").cast("double")
+            + 1e-9,
+            6,
+        ).alias("rep_fraction"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("gram"))
+    top = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("gram").alias("top_gram"))
+    )
+    return stats.where(F.col("n_repeated") > 0).join(top, "doc_id")
+
+
+_REPEATED_NGRAMS_SQL = """
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(1, len(toks) - 2)) AS i
+  ) s
+  WHERE len(toks) >= 3
+),
+c AS (
+  SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2
+),
+stats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repeated,
+         CAST(MAX(c) AS BIGINT) AS max_repeat,
+         ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+               / SUM(c) + 1e-9, 6) AS rep_fraction
+  FROM c GROUP BY 1
+),
+top AS (
+  SELECT doc_id, gram AS top_gram
+  FROM (
+    SELECT doc_id, gram,
+           ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY c DESC, gram ASC
+           ) AS rk
+    FROM c
+  ) WHERE rk = 1
+)
+SELECT s.doc_id, s.n_grams, s.n_repeated, s.max_repeat, s.rep_fraction,
+       top.top_gram
+FROM stats s JOIN top USING (doc_id)
+WHERE s.n_repeated > 0
+""".format(toks=_TOKS_SQL)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(
         "text_token_count", text_token_count, _TOKEN_COUNT_SQL
@@ -1118,5 +1315,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_entropy": QuerySpec("text_entropy", text_entropy, _ENTROPY_SQL),
     "text_jsd_source_divergence": QuerySpec(
         "text_jsd_source_divergence", text_jsd_source_divergence, _JSD_SQL
+    ),
+    "text_psi_drift": QuerySpec("text_psi_drift", text_psi_drift, _PSI_SQL),
+    "text_repeated_ngrams": QuerySpec(
+        "text_repeated_ngrams", text_repeated_ngrams, _REPEATED_NGRAMS_SQL
     ),
 }

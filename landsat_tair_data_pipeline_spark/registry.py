@@ -92,8 +92,8 @@ def all_queries() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query id {name!r}")
             merged[name] = spec
 
-    front = [k for k in _ROUND10_FRONT if k in merged]
-    missing = [k for k in _ROUND10_FRONT if k not in merged]
+    front = [k for k in _ROUND11_FRONT if k in merged]
+    missing = [k for k in _ROUND11_FRONT if k not in merged]
     if missing:
         raise ValueError(f"front-ordered keys missing from registry: {missing}")
     ordered = {k: merged[k] for k in front}
@@ -113,6 +113,80 @@ def all_queries() -> dict[str, QuerySpec]:
 # before the relational agg/window/setop families — testdata
 # regenerates every round, in-repo fixtures never do). New-key slots
 # displace from the END of the r6 fill; displaced keys rotate in r11.
+# First 50 slots of the driver's correctness window for round 11 —
+# the full r6-vintage drain (VERDICT r10 item 2 / NOTES r10 plan).
+# Ordering: (1) new r11 keys, fronted on arrival; (2) keys whose
+# IMPLEMENTATION changed this round and need fresh driver evidence
+# (dedup_simhash re-pointed to the oracled md5-parity signature,
+# ext_dedup_near rewritten as the deterministic banded-MinHash join,
+# dedup_near_recall whose recall base is that rewrite); (3) ALL 42
+# r6-vintage keys (computed from the CORRECTNESS_r*.json union via
+# tools/vintage_report.py), most-data-sensitive first — after they
+# land, no key's latest driver row predates r7; (4) r7-vintage fill
+# in the remaining slots, companion pins and documents-readers first.
+_ROUND11_FRONT = [
+    # new in r11, fronted on arrival (2)
+    "text_psi_drift",
+    "text_repeated_ngrams",
+    # changed in r11 — re-certify on arrival (3)
+    "dedup_simhash",
+    "ext_dedup_near",
+    "dedup_near_recall",
+    # r6-vintage drain: testdata-reading documents/text/embeddings/
+    # multimodal/streaming block first (testdata regenerates every
+    # round; fixtures never do)
+    "src_jsonl_documents",
+    "text_chunk_stride",
+    "text_pii_scrub",
+    "sim_lsh_buckets",
+    "emb_quantize_int8",
+    "mm_dedup_binary",
+    "sample_source_mix",
+    "stream_static_join",
+    "agg_sketch_hll",
+    # r6-vintage: events readers
+    "events_anomaly_zscore",
+    "events_dedup_first",
+    "events_json_extract",
+    "events_rate_per_user",
+    "events_retention",
+    "events_sliding",
+    "events_top_paths",
+    "ts_resample_ohlc",
+    "join_range_interval",
+    "pivot_event_counts",
+    "unpivot_event_counts",
+    "window_time_range",
+    # r6-vintage: relational / fixture-backed tail
+    "agg_conditional",
+    "agg_corr",
+    "agg_group_stats",
+    "agg_having",
+    "agg_mode_per_group",
+    "agg_percentiles",
+    "agg_salted_skew",
+    "agg_value_histogram",
+    "filt_predicates",
+    "profile_table",
+    "proj_case_when",
+    "q16_supplier_variety",
+    "q19_disjunctive_pushdown",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "setop_except_all",
+    "setop_intersect_all",
+    "sql_lateral_topk",
+    "window_first_last",
+    "window_ntile",
+    # r7-vintage fill (3): the jaccard machinery the r11 recall pin
+    # leans on, the HLL companion pin, and an events reader
+    "dedup_jaccard_pairs",
+    "agg_hll_vs_exact",
+    "events_funnel",
+]
+
+# Historical r10 order kept for reference (drove CORRECTNESS_r10).
 _ROUND10_FRONT = [
     # new in r10, fronted on arrival
     # (each new key displaces one r6-vintage key from the tail)
