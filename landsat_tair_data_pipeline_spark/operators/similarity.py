@@ -1391,12 +1391,23 @@ def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     import math
     import os
 
-    dp = spark.sparkContext.defaultParallelism
-    P = int(
-        os.environ.get("SPARK_GRAFT_COSINE_BLOCKS", 0)
-    ) or max(2, round(math.sqrt(2 * dp)))
-
     emb = _emb(spark, sf).select("vec_id", "v")
+    dp = spark.sparkContext.defaultParallelism
+    # Block count: enough groups for the cores, AND a hard cap on
+    # block ROW size — each group materializes an (n/P)² float64
+    # cosine matrix, so P must grow LINEARLY with n beyond the point
+    # where sqrt(2·cores) blocks leave >4096 rows per block (4096² ×
+    # 8 B ≈ 134 MB per task; the r10 sqrt-only sizing would have built
+    # a 5 GB matrix per task at the 100× probe's 200k vectors). The
+    # count() is parquet-metadata-cheap and keeps the sizing
+    # data-driven rather than config-guessed. Group count grows as
+    # (n/4096)² — the exact-quadratic compute is this op's stated
+    # ground-truth contract; see the 100× probe + IVF/PQ handoff note
+    # below.
+    n = emb.count()
+    P = int(os.environ.get("SPARK_GRAFT_COSINE_BLOCKS", 0)) or max(
+        2, round(math.sqrt(2 * dp)), math.ceil(n / 4096)
+    )
     blk = F.pmod(F.col("vec_id"), F.lit(P)).cast("int")
     grid = F.explode(F.sequence(F.lit(0), F.lit(P - 1)))
     q = emb.select(
