@@ -169,6 +169,7 @@ HEADLINE = [
     # r11 new-operator keys (append-only)
     "text_psi_drift",
     "text_repeated_ngrams",
+    "dedup_minhash_est_error",
 ]
 
 # Heavy LSH-family keys (VERDICT r10 item 3): full 3 reps, report the

@@ -559,6 +559,57 @@ _MH_BANDS = 64
 _MH_ROWS = 4
 
 
+def _minhash_mins(docs: DataFrame) -> DataFrame:
+    """256 MinHash signature components per doc: m_p = min over the
+    doc's (pre-hashed int64) tokens of xxhash64(p, token_hash) — one
+    explode + one map-side-combinable 256-column MIN aggregate (one
+    doc_id shuffle). Hashing the 8-byte long per permutation, not the
+    token string, keeps the per-permutation cost flat. Shared by
+    ext_dedup_near (band keys) and dedup_minhash_est_error (estimator
+    quality pin). ``docs`` must carry (doc_id, toks array<long>)."""
+    n_perm = _MH_BANDS * _MH_ROWS
+    tok = docs.select("doc_id", F.explode("toks").alias("h"))
+    return tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(p), F.col("h"))).alias(f"m{p}")
+            for p in range(n_perm)
+        ]
+    )
+
+
+def _banded_candidates(docs: DataFrame) -> DataFrame:
+    """Banded-MinHash candidate pairs (the blocking stage, before the
+    exact-jaccard verify): 64 band keys per doc (xxhash64 over each
+    band's 4 signature rows), narrow (doc_id, band_index, band_value)
+    equi-join, map-side-combinable distinct on the bare pair key.
+    Split out so tools/scale_probe.py can count the blocking stage
+    separately from the verify. ``docs``: (doc_id, toks array<long>)."""
+    mins = _minhash_mins(docs)
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"m{k * _MH_ROWS + r}") for r in range(_MH_ROWS)]
+            )
+            for k in range(_MH_BANDS)
+        ]
+    )
+    sigs = persist_tracked(mins.select("doc_id", band_arr.alias("bands")))
+
+    def side(s: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id").alias(f"doc_{s}"),
+            F.posexplode("bands").alias("k", "bv"),
+        )
+
+    return (
+        side("a")
+        .join(side("b"), ["k", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def ext_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     """Banded-MinHash near-dup pairs at exact jaccard >= 0.5 — the
     house LSH recipe (dedup_simhash_hamming's band-join generalized to
@@ -604,7 +655,6 @@ def ext_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     no int overflow anywhere; sz_a+sz_b-inter <= 2·|doc| fits int.
     Reference anchor: SURVEY §2.12 ext_dedup_near (MinHash/Jaccard
     near-dup contract)."""
-    n_perm = _MH_BANDS * _MH_ROWS
     docs = table(spark, sf, "documents").select(
         "doc_id",
         F.array_distinct(
@@ -612,36 +662,7 @@ def ext_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("toks"),
     )
     docs = persist_tracked(docs.withColumn("sz", F.size("toks")))
-    tok = docs.select("doc_id", F.explode("toks").alias("h"))
-    mins = tok.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(p), F.col("h"))).alias(f"m{p}")
-            for p in range(n_perm)
-        ]
-    )
-    band_arr = F.array(
-        *[
-            F.xxhash64(
-                *[F.col(f"m{k * _MH_ROWS + r}") for r in range(_MH_ROWS)]
-            )
-            for k in range(_MH_BANDS)
-        ]
-    )
-    sigs = persist_tracked(mins.select("doc_id", band_arr.alias("bands")))
-
-    def side(s: str) -> DataFrame:
-        return sigs.select(
-            F.col("doc_id").alias(f"doc_{s}"),
-            F.posexplode("bands").alias("k", "bv"),
-        )
-
-    cand = (
-        side("a")
-        .join(side("b"), ["k", "bv"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _banded_candidates(docs)
     ta = docs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("toks").alias("toks_a"),
@@ -737,6 +758,72 @@ WHERE j.jaccard >= 0.7
 """.format(jaccard=_JACCARD_SQL)
 
 
+def dedup_minhash_est_error(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash ESTIMATOR quality pinned against LIVE data — the
+    companion completing the r11 banded-MinHash rewrite's evidence
+    (the agg_hll_vs_exact / sim_ivf_recall pattern, beside
+    dedup_near_recall's RECALL pin): over every exact-jaccard >= 0.7
+    pair (the prefix-filter machinery), the 256-permutation signature
+    agreement fraction |{p: m_p(a) = m_p(b)}|/256 estimates jaccard;
+    the driver hash pins mean |est − exact| <= 0.04 and
+    max |est − exact| <= 0.2 as oracle-TRUE booleans plus the exact
+    pair count.
+
+    Margin math: with independent permutations the agreement count is
+    Binomial(256, j), per-pair std sqrt(j(1−j)/256) <= 0.0313, so
+    E|err| <= 0.025 (0.04 pin has ~60% headroom; the mean over the
+    observed 2.5e5 sf0.1 pairs concentrates to ±1e-4). Max: per-pair
+    P(|err| > 0.2) <= 2·exp(−2·256·0.04) ≈ 2.5e-9 (Hoeffding), union
+    over 2.55e5 pairs ≈ 6e-4 per testdata regeneration. Estimator
+    evaluated on EXACT pairs, not banded candidates, so there is no
+    band-selection bias in the error sample.
+
+    Scale: reuses the linear signature aggregate and the linear
+    prefix-filter pair join; the estimate itself is one zip_with over
+    two 256-long arrays per pair."""
+    exact = (
+        dedup_jaccard_pairs(spark, sf)
+        .where(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    docs = table(spark, sf, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(TOKENS(), lambda t: F.xxhash64(t))
+        ).alias("toks"),
+    )
+    n_perm = _MH_BANDS * _MH_ROWS
+    sig = _minhash_mins(docs).select(
+        "doc_id", F.array(*[F.col(f"m{p}") for p in range(n_perm)]).alias("sig")
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b
+        )
+    ).cast("double") / F.lit(float(n_perm))
+    err = F.abs(est - F.col("jaccard"))
+    return (
+        exact.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+            (F.avg(err) <= 0.04).alias("mean_err_within"),
+            (F.max(err) <= 0.2).alias("max_err_within"),
+        )
+    )
+
+
+_MINHASH_EST_SQL = """
+SELECT COUNT(*) AS n_exact_pairs,
+       TRUE AS mean_err_within,
+       TRUE AS max_err_within
+FROM ({jaccard}) j
+WHERE j.jaccard >= 0.7
+""".format(jaccard=_JACCARD_SQL)
+
+
 # hex digits of md5 whose bit j is set — the engine-portable source of
 # 4 projection bits per digit (generalizes dedup_simhash_hamming's
 # odd-digit set, which is exactly _HEX_BIT[0])
@@ -822,29 +909,15 @@ SELECT doc_id, simhash FROM sig ORDER BY doc_id
 """.format(toks=_TOKENS_SQL)
 
 
-def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
-    """Banded Hamming-distance near-dup pairs over ORACLED SimHash
-    signatures — the multi-index recipe every perceptual-hash (pHash /
-    dHash image dedup) pipeline runs at scale, exercised here on text
-    so the whole pipeline is hash-checkable (dedup_simhash's xxhash64
-    signatures are engine-specific → rows-only; this variant derives
-    its 32-bit signature from md5, identical in both engines, closing
-    that gap with a fully oracled signature + pair join).
-
-    Signature: bit j (1..32) of a doc = sign of Σ over its DISTINCT
-    tokens of ±1 by the parity of hex digit j of md5(token) — the
-    classic Charikar sign-random-projection, exact integer math
-    throughout (no float ties; a Σ of ±1 over n tokens is 0 only at
-    even n, and ties break to 0 identically in both engines).
-
-    Pair search: Hamming distance ≤ 3 via the PIGEONHOLE multi-index
-    (Gong et al.; faiss IndexBinaryMultiHash): 4 disjoint 8-bit bands —
-    ≤3 differing bits leave ≥1 band untouched, so the band-equality
-    equi join finds EVERY qualifying pair (exact recall, certified by
-    the quadratic oracle). Each surviving pair is emitted exactly once
-    via the canonical-band rule (its FIRST equal band) — a pure column
-    predicate, no dedup shuffle; at 10⁹ items this is 4 linear
-    shuffles of 1-long rows instead of an all-pairs scan."""
+def _simhash32_band_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The 32-bit-SimHash 4×8-bit pigeonhole band equi-join (doc_a <
+    doc_b, sig columns carried) BEFORE the canonical-band dedup and
+    hamming cut — split out so tools/scale_probe.py can count the
+    blocking-stage volume separately: 8-bit bands have only 256
+    buckets, so the per-band join volume grows as Σ_bucket c² ≈
+    n²/256, i.e. the multi-index SATURATES once n ≫ 2⁸ · tolerable
+    bucket size. See the dedup_simhash_hamming docstring for the
+    measured saturation point and the wider-signature handoff."""
     docs = table(spark, sf, "documents").select(
         "doc_id", F.array_distinct(TOKENS()).alias("toks")
     )
@@ -899,7 +972,45 @@ def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
 
     a = band("a", "k", "bv")
     b = band("b", "k", "bv")
-    joined = a.join(b, ["k", "bv"]).where(F.col("doc_a") < F.col("doc_b"))
+    return a.join(b, ["k", "bv"]).where(F.col("doc_a") < F.col("doc_b"))
+
+
+def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded Hamming-distance near-dup pairs over ORACLED SimHash
+    signatures — the multi-index recipe every perceptual-hash (pHash /
+    dHash image dedup) pipeline runs at scale, exercised here on text
+    so the whole pipeline is hash-checkable (dedup_simhash's xxhash64
+    signatures are engine-specific → rows-only; this variant derives
+    its 32-bit signature from md5, identical in both engines, closing
+    that gap with a fully oracled signature + pair join).
+
+    Signature: bit j (1..32) of a doc = sign of Σ over its DISTINCT
+    tokens of ±1 by the parity of hex digit j of md5(token) — the
+    classic Charikar sign-random-projection, exact integer math
+    throughout (no float ties; a Σ of ±1 over n tokens is 0 only at
+    even n, and ties break to 0 identically in both engines).
+
+    Pair search: Hamming distance ≤ 3 via the PIGEONHOLE multi-index
+    (Gong et al.; faiss IndexBinaryMultiHash): 4 disjoint 8-bit bands —
+    ≤3 differing bits leave ≥1 band untouched, so the band-equality
+    equi join finds EVERY qualifying pair (exact recall, certified by
+    the quadratic oracle). Each surviving pair is emitted exactly once
+    via the canonical-band rule (its FIRST equal band) — a pure column
+    predicate, no dedup shuffle; at 10⁹ items this is 4 linear
+    shuffles of 1-long rows instead of an all-pairs scan.
+
+    Scale ceiling (r11 100× probe, artifacts/scale_probe_r11.json):
+    8-bit bands have 2⁸ = 256 buckets, so the band join volume grows
+    as Σ_bucket c² ≈ 4·n²/256 once n ≫ 256 — measured ~3.8e9 joined
+    rows at 500k suffix-unique docs (vs ~1e6 at 5k). The multi-index
+    stays exact but stops being sub-quadratic around n ≈ 10⁵; the
+    10⁹-item handoff is a wider signature with bands sized so that
+    n / 2^band_bits stays O(1) — e.g. a 128-bit signature in 4×32-bit
+    bands (same md5-parity recipe, 4.3e9 buckets) keeps hamming ≤ 3
+    recall exact while the expected bucket occupancy stays ~n/4e9;
+    band WIDTH (not count) is the scaling knob because recall needs
+    bands ≥ distance+1 by pigeonhole."""
+    joined = _simhash32_band_join(spark, sf)
     # canonical-band rule: emit only at the FIRST band where the two
     # signatures agree (both sides' full signatures are in hand, so
     # earlier-band equality is a pure column predicate — no distinct())
@@ -2734,6 +2845,11 @@ QUERIES: dict[str, QuerySpec] = {
     # r8: LSH recall self-certification (fronted via _ROUND8_FRONT)
     "dedup_near_recall": QuerySpec(
         "dedup_near_recall", dedup_near_recall, _NEAR_RECALL_SQL
+    ),
+    # r11: MinHash estimator-quality pin (companion to the banded
+    # rewrite; fronted via _ROUND11_FRONT)
+    "dedup_minhash_est_error": QuerySpec(
+        "dedup_minhash_est_error", dedup_minhash_est_error, _MINHASH_EST_SQL
     ),
     # r8: graph centrality over the shared-ngram similarity graph
     "graph_pagerank": QuerySpec(

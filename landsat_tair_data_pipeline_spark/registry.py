@@ -128,10 +128,12 @@ _ROUND11_FRONT = [
     # new in r11, fronted on arrival (2)
     "text_psi_drift",
     "text_repeated_ngrams",
-    # changed in r11 — re-certify on arrival (3)
+    # changed in r11 — re-certify on arrival (3) — plus the new
+    # estimator-quality companion born alongside the rewrite
     "dedup_simhash",
     "ext_dedup_near",
     "dedup_near_recall",
+    "dedup_minhash_est_error",
     # r6-vintage drain: testdata-reading documents/text/embeddings/
     # multimodal/streaming block first (testdata regenerates every
     # round; fixtures never do)
@@ -179,11 +181,12 @@ _ROUND11_FRONT = [
     "sql_lateral_topk",
     "window_first_last",
     "window_ntile",
-    # r7-vintage fill (3): the jaccard machinery the r11 recall pin
-    # leans on, the HLL companion pin, and an events reader
+    # r7-vintage fill (2): the jaccard machinery the r11 recall pin
+    # leans on and the HLL companion pin (events_funnel displaced by
+    # dedup_minhash_est_error; it keeps its r7-green row and leads
+    # the r12 fill)
     "dedup_jaccard_pairs",
     "agg_hll_vs_exact",
-    "events_funnel",
 ]
 
 # Historical r10 order kept for reference (drove CORRECTNESS_r10).

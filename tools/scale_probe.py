@@ -143,6 +143,21 @@ def _candidate_count(spark, key: str, sf: str) -> int | None:
         else:
             cand = dedup._prefix_filter_pairs(docs, 3999, 10000)
         return cand.select("doc_a", "doc_b").count()
+    if key == "ext_dedup_near":
+        # blocking stage: banded-MinHash distinct candidate pairs,
+        # before the exact-jaccard verify join-back
+        docs = table(spark, sf, "documents").select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(dedup.TOKENS(), lambda t: F.xxhash64(t))
+            ).alias("toks"),
+        )
+        return dedup._banded_candidates(docs).count()
+    if key == "dedup_simhash_hamming":
+        # blocking stage: the 4x8-bit pigeonhole band equi-join volume
+        # (doc_a < doc_b, before canonical-band dedup + hamming cut) -
+        # the number that exposes 8-bit-band bucket saturation at scale
+        return dedup._simhash32_band_join(spark, sf).count()
     if key == "dedup_edit_distance_pairs":
         # blocking stage: same 16-char prefix + lossless length band,
         # before the levenshtein verify (mirrors the operator's join)
