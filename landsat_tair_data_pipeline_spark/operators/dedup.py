@@ -1001,8 +1001,9 @@ def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale ceiling (r11 100× probe, artifacts/scale_probe_r11.json):
     8-bit bands have 2⁸ = 256 buckets, so the band join volume grows
-    as Σ_bucket c² ≈ 4·n²/256 once n ≫ 256 — measured ~3.8e9 joined
-    rows at 500k suffix-unique docs (vs ~1e6 at 5k). The multi-index
+    as Σ_bucket c² ≈ 4·n²/256 once n ≫ 256 — measured 2.97e9 joined
+    rows at 500k suffix-unique docs vs 6.38M at 5k (×466 for ×100
+    input; wall 38.7 s at 100× — still fine locally). The multi-index
     stays exact but stops being sub-quadratic around n ≈ 10⁵; the
     10⁹-item handoff is a wider signature with bands sized so that
     n / 2^band_bits stays O(1) — e.g. a 128-bit signature in 4×32-bit

@@ -1387,7 +1387,19 @@ def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     Compute stays exact-quadratic by design (this IS the ground-truth
     oracle); the approximate 10⁹-scale path is IVF (sim_ivf_topk) or
     PQ (sim_pq_recall), both certified against exact scans like this
-    one."""
+    one.
+
+    Measured handoff (r11 100× probe, artifacts/scale_probe_r11.json):
+    2k vectors 1.2 s → 200k vectors 503 s on 32 cores (4.3× per input
+    at 100× input — the n² contract visible once overheads wash out),
+    output rows exactly n·k. Extrapolating n²: ~1M vectors ≈ 3.5 h,
+    so on this hardware class the exact graph stops being an
+    interactive tool around n ≈ 10⁵–10⁶ — that is the IVF/PQ handoff
+    point; beyond it this op remains the sampled ground-truth recall
+    oracle (run on a stratified subset), not the production path. The
+    probe's kernel split shows the cost is in-worker compute
+    (matmul + the stable full-row argsort), not the Arrow exchange —
+    the n·P·k emit keeps the post-matmul shuffle negligible."""
     import math
     import os
 
