@@ -716,10 +716,10 @@ def dedup_near_recall(spark: SparkSession, sf: str) -> DataFrame:
     fresh draw. Per-pair band-miss probability at jaccard j is
     (1-j^4)^64: 2.3e-8 at 0.7, i.e. ~6e-3 expected misses at sf0.1's
     observed 2.55e5 qualifying pairs per regeneration; at 0.6 it would
-    be 1.4e-4 (a ~10^1 expected misses — guaranteed red), hence the
-    0.7 floor. A banded
-    candidate at >= 0.7 always survives the exact-verify >= 0.5
-    output cut, so band recall is the only loss term.
+    be 1.4e-4 (~10¹ expected misses — guaranteed red), hence the 0.7
+    floor. A banded candidate at >= 0.7 always survives the
+    exact-verify >= 0.5 output cut, so band recall is the only loss
+    term.
 
     Second-order term: both sides hash tokens with the SAME xxhash64
     string→long map before set ops, so there is no feature-space
@@ -774,7 +774,9 @@ def dedup_minhash_est_error(spark: SparkSession, sf: str) -> DataFrame:
     E|err| <= 0.025 (0.04 pin has ~60% headroom; the mean over the
     observed 2.5e5 sf0.1 pairs concentrates to ±1e-4). Max: per-pair
     P(|err| > 0.2) <= 2·exp(−2·256·0.04) ≈ 2.5e-9 (Hoeffding), union
-    over 2.55e5 pairs ≈ 6e-4 per testdata regeneration. Estimator
+    over 2.55e5 pairs ≈ 6e-4 per testdata regeneration. Measured at
+    sf0.1 (n=255,071): mean_err 0.0195, max_err 0.1065 — 1.9-2.1×
+    inside both pins, matching the Binomial prediction. Estimator
     evaluated on EXACT pairs, not banded candidates, so there is no
     band-selection bias in the error sample.
 
@@ -793,8 +795,13 @@ def dedup_minhash_est_error(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("toks"),
     )
     n_perm = _MH_BANDS * _MH_ROWS
-    sig = _minhash_mins(docs).select(
-        "doc_id", F.array(*[F.col(f"m{p}") for p in range(n_perm)]).alias("sig")
+    # persist: sig feeds BOTH join sides — unpersisted, the 256-column
+    # min aggregate runs twice (r11 post-close review)
+    sig = persist_tracked(
+        _minhash_mins(docs).select(
+            "doc_id",
+            F.array(*[F.col(f"m{p}") for p in range(n_perm)]).alias("sig"),
+        )
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -809,8 +816,15 @@ def dedup_minhash_est_error(spark: SparkSession, sf: str) -> DataFrame:
         .join(sb, "doc_b")
         .agg(
             F.count(F.lit(1)).alias("n_exact_pairs"),
-            (F.avg(err) <= 0.04).alias("mean_err_within"),
-            (F.max(err) <= 0.2).alias("max_err_within"),
+            # coalesce: zero qualifying pairs → vacuous TRUE, matching
+            # the oracle's literal (avg/max over 0 rows is NULL, and
+            # NULL <= x is NULL, not TRUE — r11 post-close review)
+            (F.coalesce(F.avg(err), F.lit(0.0)) <= 0.04).alias(
+                "mean_err_within"
+            ),
+            (F.coalesce(F.max(err), F.lit(0.0)) <= 0.2).alias(
+                "max_err_within"
+            ),
         )
     )
 
