@@ -170,6 +170,7 @@ HEADLINE = [
     "text_psi_drift",
     "text_repeated_ngrams",
     "dedup_minhash_est_error",
+    "ts_seasonal_decompose",
 ]
 
 # Heavy LSH-family keys (VERDICT r10 item 3): full 3 reps, report the

@@ -1189,6 +1189,161 @@ FROM l GROUP BY 1
 """
 
 
+def ts_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical additive seasonal decomposition of each type's
+    daily-mean series (Hyndman & Athanasopoulos §3.4, the
+    moving-average method under statsmodels' seasonal_decompose):
+    trend = CENTERED 7-day moving average, seasonal = day-of-week
+    means of the detrended series re-centered to sum ~0, remainder =
+    detrended − seasonal. Output: the per-(type, dow) seasonal
+    profile (the weekly fingerprint a forecaster subtracts first)
+    plus Hyndman's seasonal-strength F_s = max(0, 1 −
+    Var(remainder)/Var(detrended)) per type, repeated across the
+    type's 7 rows. Completes the ts_ family: autocorr says WHETHER
+    weekly structure exists, this says WHAT it is.
+
+    Gap honesty (the ts_autocorr_lag r10 lesson, calendar not rows):
+    the trend window is a calendar RANGE frame over days-since-epoch
+    (the window_rolling_median recipe) and the trend is NULL unless
+    ALL 7 calendar days are present — a row-based frame would slide
+    over holes and average 7 rows spanning >7 days. Rounding: each
+    derived quantity (x, trend, detrended, seasonal means, strength)
+    rounds at 6dp with the +1e-9 nudge in BOTH engines before the
+    next stage consumes it, so only Σ-order noise differs (~1e-15
+    against a 6dp readout). Day-of-week: Spark dayofweek() is
+    1=Sunday..7, DuckDB dayofweek() is 0=Sunday..6 — Spark emits
+    dayofweek−1 so both read 0=Sunday.
+
+    Margin audit (r10 process rule): counts bounded by days (int);
+    var_pop of 6dp-bounded values cannot overflow double; the
+    strength division NULLIFs a zero detrended variance (constant
+    series → strength NULL, not a divide error).
+
+    Scale shape: one hash aggregate to (type, day); the trend window
+    partitions by type over the day-bounded series (hundreds of rows
+    per type, never event-scale); two more small aggregates and two
+    broadcast-sized joins back. Events never flow through a window."""
+    from ..util import persist_tracked  # module convention: local import
+
+    d = (
+        table(spark, sf, "events")
+        .select("event_type", F.to_date("ts").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.round(F.avg("value") + 1e-9, 6).alias("x"))
+        .withColumn("epoch_day", F.datediff("day", F.lit("1970-01-01")))
+        .withColumn("dow", (F.dayofweek("day") - 1).cast("int"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch_day")
+        .rangeBetween(-3, 3)
+    )
+    dd = d.withColumn(
+        "trend",
+        F.when(
+            F.count("x").over(w) == 7,
+            F.round(F.avg("x").over(w) + 1e-9, 6),
+        ),
+    ).withColumn(
+        "det",
+        F.when(
+            F.col("trend").isNotNull(),
+            F.round(F.col("x") - F.col("trend") + 1e-9, 6),
+        ),
+    )
+    dd = persist_tracked(dd)
+    s_raw = (
+        dd.where(F.col("det").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(
+            F.round(F.avg("det") + 1e-9, 6).alias("s_raw"),
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        )
+    )
+    s_mean = s_raw.groupBy("event_type").agg(
+        F.round(F.avg("s_raw") + 1e-9, 6).alias("s_mean")
+    )
+    seas = persist_tracked(
+        s_raw.join(F.broadcast(s_mean), "event_type").select(
+            "event_type",
+            "dow",
+            "n_obs",
+            F.round(F.col("s_raw") - F.col("s_mean") + 1e-9, 6).alias(
+                "seasonal"
+            ),
+        )
+    )
+    rem = (
+        dd.where(F.col("det").isNotNull())
+        .join(seas.select("event_type", "dow", "seasonal"), ["event_type", "dow"])
+        .withColumn(
+            "r", F.round(F.col("det") - F.col("seasonal") + 1e-9, 6)
+        )
+    )
+    strength = rem.groupBy("event_type").agg(
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1
+                - F.var_pop("r")
+                / F.nullif(F.var_pop("det"), F.lit(0.0)),
+            )
+            + 1e-9,
+            6,
+        ).alias("strength_seasonal")
+    )
+    return seas.join(F.broadcast(strength), "event_type").select(
+        "event_type", "dow", "seasonal", "n_obs", "strength_seasonal"
+    )
+
+
+_SEASONAL_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(AVG(value) + 1e-9, 6) AS x,
+         dayofweek(CAST(ts AS DATE)) AS dow
+  FROM events GROUP BY 1, 2, 4),
+t AS (
+  SELECT event_type, day, x, dow,
+         CASE WHEN COUNT(x) OVER w = 7
+              THEN ROUND(AVG(x) OVER w + 1e-9, 6) END AS trend
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN INTERVAL 3 DAYS PRECEDING
+                         AND INTERVAL 3 DAYS FOLLOWING)),
+dd AS (
+  SELECT event_type, day, dow,
+         ROUND(x - trend + 1e-9, 6) AS det
+  FROM t WHERE trend IS NOT NULL),
+s_raw AS (
+  SELECT event_type, dow,
+         ROUND(AVG(det) + 1e-9, 6) AS s_raw,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM dd GROUP BY 1, 2),
+s_mean AS (
+  SELECT event_type, ROUND(AVG(s_raw) + 1e-9, 6) AS s_mean
+  FROM s_raw GROUP BY 1),
+seas AS (
+  SELECT r.event_type, r.dow, r.n_obs,
+         ROUND(r.s_raw - m.s_mean + 1e-9, 6) AS seasonal
+  FROM s_raw r JOIN s_mean m USING (event_type)),
+rem AS (
+  SELECT dd.event_type,
+         ROUND(dd.det - seas.seasonal + 1e-9, 6) AS r, dd.det
+  FROM dd JOIN seas ON seas.event_type = dd.event_type
+                   AND seas.dow = dd.dow),
+st AS (
+  SELECT event_type,
+         ROUND(GREATEST(0.0,
+               1 - var_pop(r) / NULLIF(var_pop(det), 0.0)) + 1e-9, 6)
+           AS strength_seasonal
+  FROM rem GROUP BY 1)
+SELECT seas.event_type, seas.dow, seas.seasonal, seas.n_obs,
+       st.strength_seasonal
+FROM seas JOIN st USING (event_type)
+"""
+
+
 _RANGE_BIN_S = 600  # 10-min grid; interval durations are < _RANGE_BIN_S
 
 
@@ -3732,5 +3887,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ts_autocorr_lag": QuerySpec(
         "ts_autocorr_lag", ts_autocorr_lag, _AUTOCORR_SQL
+    ),
+    # r11: classical additive decomposition (fronted via _ROUND11_FRONT)
+    "ts_seasonal_decompose": QuerySpec(
+        "ts_seasonal_decompose", ts_seasonal_decompose, _SEASONAL_SQL
     ),
 }

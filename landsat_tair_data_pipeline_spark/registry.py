@@ -125,9 +125,10 @@ def all_queries() -> dict[str, QuerySpec]:
 # land, no key's latest driver row predates r7; (4) r7-vintage fill
 # in the remaining slots, companion pins and documents-readers first.
 _ROUND11_FRONT = [
-    # new in r11, fronted on arrival (2)
+    # new in r11, fronted on arrival (3)
     "text_psi_drift",
     "text_repeated_ngrams",
+    "ts_seasonal_decompose",
     # changed in r11 — re-certify on arrival (3) — plus the new
     # estimator-quality companion born alongside the rewrite
     "dedup_simhash",
@@ -181,12 +182,11 @@ _ROUND11_FRONT = [
     "sql_lateral_topk",
     "window_first_last",
     "window_ntile",
-    # r7-vintage fill (2): the jaccard machinery the r11 recall pin
-    # leans on and the HLL companion pin (events_funnel displaced by
-    # dedup_minhash_est_error; it keeps its r7-green row and leads
-    # the r12 fill)
+    # r7-vintage fill (1): the jaccard machinery the r11 recall pin
+    # leans on (events_funnel and agg_hll_vs_exact displaced by
+    # dedup_minhash_est_error / ts_seasonal_decompose; they keep their
+    # r7-green rows and lead the r12 fill)
     "dedup_jaccard_pairs",
-    "agg_hll_vs_exact",
 ]
 
 # Historical r10 order kept for reference (drove CORRECTNESS_r10).

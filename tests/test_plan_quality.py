@@ -631,6 +631,60 @@ def test_asof_nearest_single_merge_shuffle(spark):
     assert plan.count("Exchange") <= 2, plan.count("Exchange")
 
 
+def test_psi_grid_is_broadcast_no_window(spark):
+    """text_psi_drift: the 10-bin grid and the 1-row grand total ride
+    broadcast joins; no Window, no sort-merge join anywhere — the op
+    must stay a pair of map-side-combinable aggregates however large
+    the corpus."""
+    plan = _plan(spark, "text_psi_drift")
+    assert "Window" not in plan, plan[:800]
+    assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_seasonal_decompose_window_sees_daily_rows_only(spark):
+    """ts_seasonal_decompose: events reduce to (type, day) BEFORE the
+    calendar RANGE trend window (one aggregate pair below the window —
+    partial+final — never the raw fact table), and the trend frame is
+    a RANGE frame (calendar), not ROWS (the autocorr row-vs-calendar
+    lesson)."""
+    plan = _plan(spark, "ts_seasonal_decompose")
+    assert "specifiedwindowframe(RangeFrame, -3, 3)" in plan, plan[:900]
+    assert "RowFrame" not in plan, "trend frame regressed to row-based"
+    # the daily frame is persisted — downstream branches must read the
+    # cache, not recompute the window (textual Window copies inside
+    # InMemoryRelation descriptions are fine; a plan with NO InMemory
+    # scan would recompute the trend window per branch)
+    assert "InMemoryTableScan" in plan, plan[:900]
+
+
+def test_banded_minhash_single_min_aggregate_shuffle(spark):
+    """ext_dedup_near: the 256-permutation signature must be ONE
+    map-side-combinable aggregate over the token explode (a per-perm
+    shuffle — 256 of them — is the regression this pins against), and
+    the band self-join must not broadcast a corpus-sized side."""
+    plan = _plan(spark, "ext_dedup_near")
+    # the min-agg family must be aggregate expressions (plan text
+    # truncates the 256-wide list, so the full width is pinned via the
+    # frame schema below), and the whole pipeline stays within a
+    # bounded shuffle count — a per-permutation shuffle regression
+    # would blow far past this
+    assert "min(xxhash64(0" in plan, "permutation min aggregate missing"
+    assert _shuffles(plan) <= 8, _shuffles(plan)
+    from pyspark.sql import functions as F
+
+    from landsat_tair_data_pipeline_spark.operators import dedup
+    from landsat_tair_data_pipeline_spark.sources.tables import table
+
+    docs = table(spark, SF, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(dedup.TOKENS(), lambda t: F.xxhash64(t))
+        ).alias("toks"),
+    )
+    mins = dedup._minhash_mins(docs)
+    assert len(mins.columns) == 1 + dedup._MH_BANDS * dedup._MH_ROWS == 257
+
+
 def test_rolling_median_reduces_before_window(spark):
     """window_rolling_median: events reduce to (type, day) BEFORE the
     range-frame window — the window must see hash-aggregated daily
