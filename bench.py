@@ -382,14 +382,22 @@ def main() -> None:
     failures: dict[str, str] = {}
     for name in HEADLINE:
         rep_times: list[float] = []
+        cold_sec: float | None = None
         if name in HEAVY_SPREAD:
-            # one UNTIMED warm rep: the first execution pays codegen +
-            # persist-cache population once; the recorded spread should
-            # measure steady-state determinism, not cold-start
+            # one warm rep, EXCLUDED from the median/spread: the first
+            # execution pays codegen + persist-cache population once;
+            # the recorded spread should measure steady-state
+            # determinism, not cold-start. Its wall time is still
+            # recorded as cold_sec (ADVICE r11: without it, cross-round
+            # comparisons against single-rep cold numbers silently mix
+            # protocols — cold and steady-state now both live in the
+            # artifact).
+            t0 = time.perf_counter()
             try:
                 qs[name](spark, SF_DIR).write.format("noop").mode(
                     "overwrite"
                 ).save()
+                cold_sec = round(time.perf_counter() - t0, 3)
             except Exception:
                 pass  # the timed loop below will record the failure
         for _ in range(reps):
@@ -411,7 +419,11 @@ def main() -> None:
                 print(f"BENCH FAILURE {name}: {failures[name]}", file=sys.stderr)
                 break
             rep_times.append(time.perf_counter() - t0)
-        if rep_times:
+        # A key that failed mid-loop records ONLY its failures entry
+        # (ADVICE r11: a partial rep list would otherwise publish a
+        # median, and a single surviving rep reads as spread 1.0 —
+        # fake perfect determinism next to its own failure row).
+        if rep_times and name not in failures:
             if name in HEAVY_SPREAD:
                 # median + full spread for the heavy family: a MIN
                 # would hide a recurring slow draw; the spread ratio is
@@ -421,6 +433,7 @@ def main() -> None:
                     "reps": [round(t, 3) for t in rep_times],
                     "median": times[name],
                     "spread": round(max(rep_times) / min(rep_times), 3),
+                    "cold_sec": cold_sec,
                 }
             else:
                 times[name] = round(min(rep_times), 3)

@@ -1216,8 +1216,12 @@ def ts_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
 
     Margin audit (r10 process rule): counts bounded by days (int);
     var_pop of 6dp-bounded values cannot overflow double; the
-    strength division NULLIFs a zero detrended variance (constant
-    series → strength NULL, not a divide error).
+    strength division NULLIFs a zero detrended variance, and the
+    NULL ratio is COALESCEd to 0.0 explicitly (constant detrended
+    series → strength 0.0 — ADVICE r11: the earlier docstring said
+    NULL, and the old code leaned on GREATEST's null-skipping to
+    land on 0.0, a semantic some older DuckDB releases differed on;
+    now both engines spell the fallback out).
 
     Scale shape: one hash aggregate to (type, day); the trend window
     partitions by type over the day-bounded series (hundreds of rows
@@ -1284,9 +1288,12 @@ def ts_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
         F.round(
             F.greatest(
                 F.lit(0.0),
-                1
-                - F.var_pop("r")
-                / F.nullif(F.var_pop("det"), F.lit(0.0)),
+                F.coalesce(
+                    1
+                    - F.var_pop("r")
+                    / F.nullif(F.var_pop("det"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
             )
             + 1e-9,
             6,
@@ -1334,8 +1341,9 @@ rem AS (
                    AND seas.dow = dd.dow),
 st AS (
   SELECT event_type,
-         ROUND(GREATEST(0.0,
-               1 - var_pop(r) / NULLIF(var_pop(det), 0.0)) + 1e-9, 6)
+         ROUND(GREATEST(0.0, COALESCE(
+               1 - var_pop(r) / NULLIF(var_pop(det), 0.0), 0.0))
+               + 1e-9, 6)
            AS strength_seasonal
   FROM rem GROUP BY 1)
 SELECT seas.event_type, seas.dow, seas.seasonal, seas.n_obs,

@@ -143,12 +143,23 @@ def run_to_memory(
         cap = int(
             spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
         )
+        # DELIBERATELY CONSERVATIVE (ADVICE r11): retained == cap means
+        # "exactly full", which a legitimate cap-sized drain also
+        # produces — the buffer exposes no evicted-count, and batchId
+        # deltas cannot distinguish the two either (within one run
+        # batchIds are consecutive, so max-min+1 == len whether or not
+        # older entries fell off), so the guard raises on the whole
+        # ambiguous class rather than risk a blind batch-count check.
+        # Callers needing cap-sized drains raise the conf (cap-1 is the
+        # usable headroom).
         if len(q.recentProgress) >= cap:
             raise RuntimeError(
                 f"run_to_memory({name!r}): drain filled the whole "
-                f"{cap}-entry recentProgress retention window — earlier "
-                "micro-batches may have been evicted and the batch-count "
-                "precondition check below would be blind; raise "
+                f"{cap}-entry recentProgress retention window (a "
+                "cap-sized drain is indistinguishable from an "
+                "overflowed one) — earlier micro-batches may have been "
+                "evicted and the batch-count precondition check below "
+                "would be blind; raise "
                 "spark.sql.streaming.numRecentProgressUpdates for this "
                 "drain or remove the trigger cap"
             )
