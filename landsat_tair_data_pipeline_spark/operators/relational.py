@@ -1567,17 +1567,82 @@ GROUP BY l_returnflag, l_linestatus
 def agg_approx(spark: SparkSession, sf: str) -> DataFrame:
     """The sketch-based aggregates a 100 TB sweep leads with:
     approx_count_distinct (HyperLogLog++) and approx_percentile — both
-    single-pass, mergeable, no exact-distinct shuffle. Rows-only
-    (sketch estimates are engine-specific); the relative-error bound
-    vs the exact values is asserted in tests/test_relational_extra.py."""
+    single-pass, mergeable, no exact-distinct shuffle.
+
+    FULLY ORACLED since r12 (VERDICT r11 item 5 — the last
+    excuse-free rows-only key, predating the pinned-companion
+    pattern): the surface is the agg_hll_vs_exact /
+    dedup_near_recall shape — exact values the oracle recomputes
+    plus booleans the oracle pins TRUE, while the engine-specific
+    sketch ESTIMATES stay out of the surface. Pins, each with the
+    bound's derivation and the measured margin (r12 audit at
+    sf0.001/0.01/0.1):
+    - HLL estimates within 6% of exact (= 3σ at the requested
+      rsd 0.02; measured relative error ≤ 0.00995 across both
+      columns and all three sfs — 6× headroom). HLL++ is
+      deterministic (fixed hash, no seed), so the boolean is stable.
+    - approx_percentile values inside the EXACT rank bracket
+      [percentile(p−0.002), percentile(p+0.002)] — the sketch's
+      contract is rank error ≤ n/accuracy = 1e-4 of rank at
+      accuracy 10000, so a ±0.002 bracket is a 20× margin that the
+      sketch can never legally escape (rank-based, so a data
+      regeneration that flattens the value density cannot flip it;
+      measured VALUE relerr ≤ 2.4e-4 for color). Bracket endpoints
+      use the interpolated exact percentile (Spark `percentile` ==
+      DuckDB `quantile_cont`, the agg_percentiles convention).
+    Exact anchors surfaced: n_rows, both exact distincts, exact
+    median/p99 rounded at 4dp with the +1e-9 nudge on both engines."""
     li = table(spark, sf, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
+    wide = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_am"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("_a99"),
+        F.expr(
+            "percentile(l_extendedprice,"
+            " array(0.498, 0.5, 0.502, 0.988, 0.99, 0.992))"
+        ).alias("_pe"),
     )
+    return wide.select(
+        "n_rows",
+        "exact_orders",
+        "exact_parts",
+        F.round(F.element_at("_pe", 2) + 1e-9, 4).alias("exact_median"),
+        F.round(F.element_at("_pe", 5) + 1e-9, 4).alias("exact_p99"),
+        (
+            F.abs(F.col("_ao") - F.col("exact_orders"))
+            <= 0.06 * F.col("exact_orders")
+        ).alias("hll_orders_within_6pct"),
+        (
+            F.abs(F.col("_ap") - F.col("exact_parts"))
+            <= 0.06 * F.col("exact_parts")
+        ).alias("hll_parts_within_6pct"),
+        (
+            (F.col("_am") >= F.element_at("_pe", 1))
+            & (F.col("_am") <= F.element_at("_pe", 3))
+        ).alias("median_rank_bracket_ok"),
+        (
+            (F.col("_a99") >= F.element_at("_pe", 4))
+            & (F.col("_a99") <= F.element_at("_pe", 6))
+        ).alias("p99_rank_bracket_ok"),
+    )
+
+
+_AGG_APPROX_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       ROUND(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4) AS exact_median,
+       ROUND(quantile_cont(l_extendedprice, 0.99) + 1e-9, 4) AS exact_p99,
+       TRUE AS hll_orders_within_6pct,
+       TRUE AS hll_parts_within_6pct,
+       TRUE AS median_rank_bracket_ok,
+       TRUE AS p99_rank_bracket_ok
+FROM lineitem
+"""
 
 
 _PROFILE_COLS = (
@@ -2043,7 +2108,10 @@ WHERE EXISTS (SELECT 1 FROM orders
 
 QUERIES: dict[str, QuerySpec] = {
     "profile_table": QuerySpec("profile_table", profile_table, _PROFILE_SQL),
-    "agg_approx": QuerySpec("agg_approx", agg_approx, None),
+    # graduated to fully-oracled in r12 (VERDICT r11 item 5): pinned
+    # HLL/percentile bound booleans + exact anchors, estimates out of
+    # the surface
+    "agg_approx": QuerySpec("agg_approx", agg_approx, _AGG_APPROX_SQL),
     "q10_returned_items": QuerySpec(
         "q10_returned_items", q10_returned_items, _Q10_SQL
     ),

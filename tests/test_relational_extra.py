@@ -1,5 +1,4 @@
-"""Accuracy bounds for the sketch aggregates (agg_approx is rows-only —
-estimates are engine-specific — so the guarantee lives here), and the
+"""Accuracy bounds for the sketch aggregates, and the
 partitioned-layout pruning demonstration from SURVEY §4.
 """
 
@@ -12,6 +11,9 @@ from landsat_tair_data_pipeline_spark.sources.tables import table
 
 
 def test_approx_aggregates_within_bounds(spark, sf_dir):
+    """Since the r12 graduation agg_approx surfaces its own pinned
+    bound booleans (oracle pins them TRUE); here assert them plus the
+    exact anchors against an independent recomputation."""
     got = agg_approx(spark, sf_dir).first()
     li = table(spark, sf_dir, "lineitem")
     exact = li.agg(
@@ -19,9 +21,13 @@ def test_approx_aggregates_within_bounds(spark, sf_dir):
         F.countDistinct("l_partkey").alias("parts"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
     ).first()
-    assert abs(got["approx_orders"] - exact["orders"]) / exact["orders"] < 0.05
-    assert abs(got["approx_parts"] - exact["parts"]) / exact["parts"] < 0.05
-    assert abs(got["median_price"] - exact["median"]) / exact["median"] < 0.02
+    assert got["exact_orders"] == exact["orders"]
+    assert got["exact_parts"] == exact["parts"]
+    assert abs(got["exact_median"] - exact["median"]) < 1e-3
+    assert got["hll_orders_within_6pct"] is True
+    assert got["hll_parts_within_6pct"] is True
+    assert got["median_rank_bracket_ok"] is True
+    assert got["p99_rank_bracket_ok"] is True
 
 
 def test_partitioned_layout_prunes(spark, tmp_path):
