@@ -1079,6 +1079,192 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """.format(toks=_TOKENS_SQL)
 
 
+def _simhash128_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """128-bit md5-parity SimHash signatures over DISTINCT tokens,
+    materialized as FOUR 32-bit band values (`band0..band3`, each held
+    in a long) — the wide-band signature the r11 100× probe priced as
+    the dedup_simhash_hamming handoff (VERDICT r11 item 2). Bit
+    i (0..127) = sign of Σ over distinct tokens of ±1 by bit (i mod 4)
+    of hex digit (i div 4 + 1) of md5(token) — all 32 hex digits of
+    md5 consumed, the dedup_simhash recipe widened 64→128. Band k
+    holds bits [32k, 32k+32).
+
+    Shuffle shape: one linear token explode + ONE 128-column
+    map-side-combinable conditional-sum aggregate per doc — the same
+    single doc_id shuffle as the 32-bit variant, just a wider combine
+    row (128 longs ≈ 1 KB/doc/partition)."""
+    docs = table(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(TOKENS()).alias("toks")
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("tok")).select(
+        "doc_id", F.md5("tok").alias("m")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.substring(F.col("m"), i // 4 + 1, 1).isin(*_HEX_BIT[i % 4]),
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(128)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    bands = []
+    for k in range(4):
+        band = None
+        for j in range(32):
+            i = 32 * k + j
+            term = F.shiftleft(
+                F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+                j,
+            )
+            band = term if band is None else band + term
+        bands.append(band.alias(f"band{k}"))
+    return sums.select("doc_id", *bands)
+
+
+def _simhash128_band_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The 4×32-bit pigeonhole band equi-join (doc_a < doc_b, all four
+    band columns carried on both sides) BEFORE the canonical-band dedup
+    and hamming cut — split out so tools/scale_probe.py can count the
+    blocking-stage volume separately and compare it against the 8-bit
+    variant's measured n²/256 saturation: 32-bit bands have 2³² ≈
+    4.3e9 buckets, so RANDOM band collisions stay O(n²/4.3e9) ≈ 0 up
+    to n ≈ 10⁹ — joined volume is then dominated by TRUE near-dup
+    clusters (output-bound, irreducible), not index saturation."""
+    sigs = persist_tracked(_simhash128_bands(spark, sf))
+
+    def side(tag: str):
+        s = sigs.select(
+            F.col("doc_id").alias(f"doc_{tag}"),
+            *[F.col(f"band{k}").alias(f"band{k}_{tag}") for k in range(4)],
+        )
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    F.col(f"band{k}_{tag}").alias("bv"),
+                )
+                for k in range(4)
+            ]
+        )
+        return s.select(
+            f"doc_{tag}",
+            *[f"band{k}_{tag}" for k in range(4)],
+            F.explode(bands).alias("_b"),
+        ).select(
+            f"doc_{tag}",
+            *[f"band{k}_{tag}" for k in range(4)],
+            F.col("_b.k").alias("k"),
+            F.col("_b.bv").alias("bv"),
+        )
+
+    a = side("a")
+    b = side("b")
+    return a.join(b, ["k", "bv"]).where(F.col("doc_a") < F.col("doc_b"))
+
+
+def dedup_simhash_hamming_wide(spark: SparkSession, sf: str) -> DataFrame:
+    """WIDE-band Hamming near-dup pairs: 128-bit md5-parity SimHash in
+    4×32-bit pigeonhole bands — the scale handoff the r11 100× probe
+    priced for dedup_simhash_hamming (VERDICT r11 item 2): the 8-bit
+    bands there have only 256 buckets, so their band-join volume
+    saturates as ≈4·n²/256 once n ≫ 2⁸ (measured ×466 joined rows at
+    ×100 input, artifacts/scale_probe_r11.json). Widening the BANDS
+    (not adding more of them — recall needs bands ≥ distance+1 by
+    pigeonhole) to 32 bits keeps hamming ≤ 3 recall EXACT while the
+    random-collision term drops to n²/2³², i.e. expected bucket
+    occupancy stays O(1) out to n ≈ 10⁹; what remains in the join is
+    TRUE near-dup clusters, which any exact pair listing must emit
+    anyway (output-bound). The trade: a 128-bit signature admits fewer
+    accidental low-Hamming pairs than a 32-bit one, so "hamming ≤ 3"
+    is a much tighter similarity cut here — right for the
+    high-precision pass at 10⁹ docs; the 32-bit variant stays as the
+    tolerant small-corpus form.
+
+    Same exactness contract as the 8-bit variant, certified the same
+    way: ≤3 differing bits leave ≥1 of 4 bands untouched, so the band
+    equi-join finds EVERY qualifying pair; the quadratic DuckDB oracle
+    recomputes the full pair set from the same signature definition
+    and the driver hash-match certifies exact recall. Each surviving
+    pair is emitted exactly once via the canonical-band rule (its
+    FIRST equal band) — a pure column predicate over the carried band
+    columns, no dedup shuffle.
+
+    Margin audit (r12, house rule): output at sf0.01 / sf0.1 is
+    542 / 42,887 pairs (hamming histogram has mass at every distance
+    0–3, so the cut is exercised, not vacuous); the canonical-band
+    predicate was cross-checked against a distinct() form (equal row
+    sets); all-band-equal (hamming-0 duplicate) pairs emit at band 0
+    only. The 100× unique-text probe records the band-join volume in
+    artifacts/scale_probe_r12.json — the VERDICT "within ~10× of
+    input growth" bar."""
+    joined = _simhash128_band_join(spark, sf)
+    fb = F.when(F.col("band0_a") == F.col("band0_b"), F.lit(0))
+    for k in range(1, 4):
+        fb = fb.when(F.col(f"band{k}_a") == F.col(f"band{k}_b"), F.lit(k))
+    hamming = sum(
+        F.bit_count(
+            F.col(f"band{k}_a").bitwiseXOR(F.col(f"band{k}_b"))
+        ).cast("int")
+        for k in range(4)
+    )
+    return (
+        joined.where(F.col("k") == fb)
+        .withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_SIMHASH_WIDE_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct({toks})) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS m FROM tok),
+b AS (
+  SELECT doc_id, g.i,
+         CASE WHEN (
+             (strpos('0123456789abcdef', substr(m, (g.i // 4) + 1, 1)) - 1)
+             >> (g.i % 4)
+           ) & 1 = 1
+           THEN 1 ELSE -1 END AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS i) g
+),
+t AS (SELECT doc_id, i, SUM(s) AS tot FROM b GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN tot > 0 AND i // 32 = 0
+                  THEN (CAST(1 AS BIGINT) << (i % 32)) ELSE 0 END)
+              AS BIGINT) AS band0,
+         CAST(SUM(CASE WHEN tot > 0 AND i // 32 = 1
+                  THEN (CAST(1 AS BIGINT) << (i % 32)) ELSE 0 END)
+              AS BIGINT) AS band1,
+         CAST(SUM(CASE WHEN tot > 0 AND i // 32 = 2
+                  THEN (CAST(1 AS BIGINT) << (i % 32)) ELSE 0 END)
+              AS BIGINT) AS band2,
+         CAST(SUM(CASE WHEN tot > 0 AND i // 32 = 3
+                  THEN (CAST(1 AS BIGINT) << (i % 32)) ELSE 0 END)
+              AS BIGINT) AS band3
+  FROM t GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.band0, b.band0))
+          + bit_count(xor(a.band1, b.band1))
+          + bit_count(xor(a.band2, b.band2))
+          + bit_count(xor(a.band3, b.band3)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.band0, b.band0))
+    + bit_count(xor(a.band1, b.band1))
+    + bit_count(xor(a.band2, b.band2))
+    + bit_count(xor(a.band3, b.band3)) <= 3
+""".format(toks=_TOKENS_SQL)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (SURVEY §2.12): vectors whose
     cosine similarity >= 0.4 (the testdata's embeddings are random, so
@@ -2890,6 +3076,13 @@ QUERIES: dict[str, QuerySpec] = {
     # r10: fully-oracled SimHash + pigeonhole banded Hamming pair join
     "dedup_simhash_hamming": QuerySpec(
         "dedup_simhash_hamming", dedup_simhash_hamming, _SIMHASH_HAMMING_SQL
+    ),
+    # r12 addition (VERDICT r11 item 2): the 4×32-bit-band scale
+    # handoff for the 8-bit variant's measured n≈1e5 saturation
+    "dedup_simhash_hamming_wide": QuerySpec(
+        "dedup_simhash_hamming_wide",
+        dedup_simhash_hamming_wide,
+        _SIMHASH_WIDE_SQL,
     ),
     # r10 flagship: the curation funnel composed from this round's ops
     "llm_data_pipeline_v4": QuerySpec(

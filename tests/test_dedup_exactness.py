@@ -180,6 +180,74 @@ def test_hamming_band_pigeonhole_is_lossless():
     )
 
 
+def test_wide_band_pigeonhole_is_lossless():
+    """Same pigeonhole argument for the 4×32-bit wide variant
+    (dedup_simhash_hamming_wide): ≤3 flipped bits over 128 leave ≥1 of
+    the 4 32-bit bands untouched; one flip per band at distance 4
+    shows tightness."""
+    rng = random.Random(1234)
+    for _ in range(2000):
+        sig = rng.getrandbits(128)
+        flips = rng.sample(range(128), rng.randint(0, 3))
+        other = sig
+        for f in flips:
+            other ^= 1 << f
+        m = (1 << 32) - 1
+        assert any(
+            (sig >> (32 * k)) & m == (other >> (32 * k)) & m
+            for k in range(4)
+        ), (sig, flips)
+    sig = 0
+    other = (1 << 0) | (1 << 32) | (1 << 64) | (1 << 96)
+    m = (1 << 32) - 1
+    assert not any(
+        (sig >> (32 * k)) & m == (other >> (32 * k)) & m for k in range(4)
+    )
+
+
+def test_wide_hamming_matches_quadratic_and_emits_once(spark, sf_dir):
+    """dedup_simhash_hamming_wide's exact-recall + once-only contract
+    certified in-process: the banded join's output must equal the
+    BRUTE-FORCE quadratic pair set over the same _simhash128_bands
+    signatures (recall AND precision), and no (doc_a, doc_b) may
+    appear twice (the canonical-band rule replaces a distinct())."""
+    from pyspark.sql import functions as F
+
+    from landsat_tair_data_pipeline_spark.operators.dedup import (
+        _simhash128_bands,
+        dedup_simhash_hamming_wide,
+    )
+
+    got = dedup_simhash_hamming_wide(spark, sf_dir).collect()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in got]
+    assert len(pairs) == len(set(pairs)), "canonical-band emitted a dup"
+
+    sigs = _simhash128_bands(spark, sf_dir)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"band{k}").alias(f"a{k}") for k in range(4)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"band{k}").alias(f"b{k}") for k in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}"))).cast("int")
+        for k in range(4)
+    )
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("h", ham)
+        .where(F.col("h") <= 3)
+        .select("doc_a", "doc_b", "h")
+        .collect()
+    )
+    want = {(r["doc_a"], r["doc_b"], r["h"]) for r in brute}
+    assert {(r["doc_a"], r["doc_b"], r["hamming"]) for r in got} == want
+    assert len(want) > 0, "vacuous corpus: no qualifying pairs at all"
+
+
 # ---------------------------------------------------------------------------
 # Connected-components overflow path: large-star/small-star must produce
 # exactly the same labels as union-find on a graph whose diameter exceeds
