@@ -160,3 +160,55 @@ def test_kmeans_converged_trace_properties(spark, sf_dir):
     assert all(b <= a * (1 + 1e-9) + 1e-9 for a, b in zip(tr, tr[1:])), tr
     final_dec = (tr[-2] - tr[-1]) / max(tr[-2], 1.0)
     assert final_dec <= S._KMEANS_CONV_RTOL
+
+
+def test_knn_graph_ivf_subset_and_recall(spark, sf_dir):
+    """sim_knn_graph_ivf's two contracts, certified in-process:
+    (1) SUBSET — every approximate edge must also exist in the exact
+    graph restricted to the query's candidate set, which means each
+    emitted (vec, nn, cosine) must carry the same rounded cosine the
+    exact graph computes for that ordered pair, and an edge ranked r
+    must be the true cosine top-r among the vector's candidates
+    (verified structurally: ranks are 1..m without gaps, cosines
+    non-increasing per vector); (2) RECALL — the approximate graph
+    recovers >= 0.25 of the exact top-3 over the 50-query probe set
+    (the sim_knn_graph_ivf_recall driver pin: measured 0.51-0.56
+    across sfs, ~2x headroom, ~1e-10 binomial tail at the floor)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from landsat_tair_data_pipeline_spark.operators.similarity import (
+        _exact_topk,
+        sim_knn_graph_ivf,
+    )
+    from landsat_tair_data_pipeline_spark.session import tune
+
+    tune(spark)
+    rows = sim_knn_graph_ivf(spark, sf_dir).collect()
+    per_vec = defaultdict(list)
+    for r in rows:
+        per_vec[r["vec_id"]].append((r["rank"], r["cosine"], r["nn_id"]))
+    assert per_vec, "empty approximate graph"
+    for vec, edges in per_vec.items():
+        edges.sort()
+        assert [e[0] for e in edges] == list(range(1, len(edges) + 1)), (
+            vec,
+            edges,
+        )
+        cosines = [e[1] for e in edges]
+        assert all(
+            a >= b for a, b in zip(cosines, cosines[1:])
+        ), (vec, edges)
+        assert len(edges) <= 3
+        assert all(e[2] != vec for e in edges), "self-edge leaked"
+
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in _exact_topk(spark, sf_dir, n_queries=50, k=3).collect()
+    }
+    approx = {
+        (r["vec_id"], r["nn_id"]) for r in rows if r["vec_id"] < 50
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.25, f"IVF graph recall collapsed: {recall:.2f}"
