@@ -2371,6 +2371,254 @@ LEFT JOIN kept_n USING (source)
 """.format(toks=_TOKENS_SQL)
 
 
+def llm_data_pipeline_v5(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-12 corpus build — v4 bracketed by the two NEW r12
+    curation stages, still one Catalyst job:
+
+        documents
+          → DOMAIN PRE-FILTER  (drop whole domains whose canonical-
+                                fingerprint dup rate > 0.055 —
+                                text_domain_rollup's flag_high_dup
+                                recomputed at the pipeline grain; the
+                                CommonCrawl-style kill-the-domain cut
+                                that runs BEFORE any per-doc work)
+          → exact dedup        (keep lowest doc_id per md5(text))
+          → entropy floor      (≥ 4.0 bits AND ≥ 20 tokens — v4)
+          → containment scrub  (≥ 0.8-contained in a larger
+                                same-source survivor — v4)
+          → SEMANTIC DEDUP     (drop survivors whose embedding is a
+                                SemDeDup casualty — dedup_semdedup's
+                                keep-lowest-id within-cell cosine ≥
+                                0.4 rule, anti-joined on doc_id =
+                                vec_id; docs WITHOUT an embedding row
+                                pass through, which at sf0.1 is 3,000
+                                of 5,000 docs — the honest semantics
+                                when the embedding table lags the
+                                text table)
+          → per-source funnel  (n_raw → n_after_domain →
+                                n_after_exact → n_after_quality →
+                                n_after_containment → n_kept, kept
+                                token mass, mean entropy of kept)
+
+    Every stage is an already-oracled operator (text_domain_rollup,
+    ext_dedup_exact, text_entropy, dedup_containment_asym,
+    dedup_semdedup); the composed oracle chains the same CTEs, so a
+    tokenizer/hash/rounding/cell drift in ANY stage breaks the hash.
+    Funnel rows LEFT-join from raw counts — a domain killed at stage
+    one still shows its row with zeros, which is exactly what the
+    curator reviews.
+
+    Scale shape: the domain flag is one fingerprint aggregate
+    (|domains| rows, broadcast back); then v4's shuffles (md5 dedup,
+    token wordcount, asym-containment candidate join, anti join);
+    the semantic drop list is cell-blocked pairs over the embedding
+    table (n²/(2·k_cells), √n-cell sizing at production — see
+    dedup_semdedup) anti-joined on doc_id. Nothing corpus-sized
+    broadcasts."""
+    from .similarity import dedup_semdedup
+
+    docs = table(spark, sf, "documents").select("doc_id", "source", "text")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(TOKENS()))))
+    flagged = (
+        docs.select("source", fp.alias("f"))
+        .groupBy("source")
+        .agg(
+            F.round(
+                1.0 - F.countDistinct("f").cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("dr")
+        )
+        .where(F.col("dr") > 0.055)
+        .select("source")
+    )
+    d0 = persist_tracked(docs.join(F.broadcast(flagged), "source", "left_anti"))
+    keep1 = d0.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    d1 = persist_tracked(
+        d0.join(keep1.select("doc_id"), "doc_id", "left_semi")
+    )
+    tok = d1.select("doc_id", F.explode(TOKENS()).alias("tok"))
+    cnt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ent = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c").cast("double") * F.log2("c")).alias("_clog"),
+    )
+    ent = ent.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.log2("n_tokens") - F.col("_clog") / F.col("n_tokens") + 1e-9, 6
+        ).alias("entropy"),
+    )
+    d2 = persist_tracked(
+        d1.join(ent, "doc_id").where(
+            (F.col("entropy") >= 4.0) & (F.col("n_tokens") >= 20)
+        )
+    )
+    docs2 = d2.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.transform(TOKENS(), lambda t: F.xxhash64(t))
+        ).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    pairs = _asym_containment_candidates(docs2, 7999, 10000)
+    containment = F.round(
+        F.col("inter").cast("double") / F.col("sz_a").cast("double") + 1e-9,
+        4,
+    )
+    cdrops = (
+        pairs.where(
+            (containment >= 0.8)
+            & (
+                (F.col("sz_b") > F.col("sz_a"))
+                | (
+                    (F.col("sz_b") == F.col("sz_a"))
+                    & (F.col("doc_b") < F.col("doc_a"))
+                )
+            )
+        )
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    kept_c = persist_tracked(d2.join(cdrops, "doc_id", "left_anti"))
+    sem_drops = dedup_semdedup(spark, sf).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    kept = kept_c.join(sem_drops, "doc_id", "left_anti")
+    raw_n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    d0_n = d0.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_domain"))
+    d1_n = d1.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_exact"))
+    d2_n = d2.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_quality")
+    )
+    cont_n = kept_c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_containment")
+    )
+    kept_n = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.round(F.avg("entropy") + 1e-9, 4).alias("mean_entropy_kept"),
+    )
+    return (
+        raw_n.join(d0_n, "source", "left")
+        .join(d1_n, "source", "left")
+        .join(d2_n, "source", "left")
+        .join(cont_n, "source", "left")
+        .join(kept_n, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_after_domain", F.lit(0)).alias("n_after_domain"),
+            F.coalesce("n_after_exact", F.lit(0)).alias("n_after_exact"),
+            F.coalesce("n_after_quality", F.lit(0)).alias("n_after_quality"),
+            F.coalesce("n_after_containment", F.lit(0)).alias(
+                "n_after_containment"
+            ),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            "mean_entropy_kept",
+        )
+    )
+
+
+def _v5_sql() -> str:
+    """Composed v5 oracle: the v4 CTE chain bracketed by the domain
+    flag (fingerprint aggregate) and the dedup_semdedup drop CTEs
+    (imported fragments from similarity so a cell/cosine edit there
+    propagates here — the r7 compose-don't-copy rule)."""
+    from .similarity import (
+        _COS_SQL,
+        _EMB_SQL,
+        _IVF_GRAPH_RANKED_SQL,
+        _SEMDEDUP_TAU,
+    )
+
+    return """
+WITH raw AS (SELECT doc_id, source, text FROM documents),
+rfp AS (
+  SELECT source,
+         md5(list_aggregate(list_sort(list_distinct({toks})),
+                            'string_agg', ' ')) AS f
+  FROM documents),
+flagged AS (
+  SELECT source FROM rfp GROUP BY 1
+  HAVING ROUND(1.0 - COUNT(DISTINCT f) / CAST(COUNT(*) AS DOUBLE), 4)
+         > 0.055),
+d0 AS (SELECT raw.* FROM raw ANTI JOIN flagged USING (source)),
+keep1 AS (SELECT MIN(doc_id) AS doc_id FROM d0 GROUP BY md5(text)),
+d1 AS (SELECT d0.* FROM d0 SEMI JOIN keep1 USING (doc_id)),
+tok AS (SELECT doc_id, unnest({toks}) AS tok FROM d1),
+cnt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2),
+ent AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         ROUND(log2(CAST(SUM(c) AS BIGINT))
+               - SUM(CAST(c AS DOUBLE) * log2(c)) / CAST(SUM(c) AS BIGINT)
+               + 1e-9, 6) AS entropy
+  FROM cnt GROUP BY 1),
+d2 AS (
+  SELECT d1.doc_id, d1.source, d1.text, ent.n_tokens, ent.entropy
+  FROM d1 JOIN ent USING (doc_id)
+  WHERE ent.entropy >= 4.0 AND ent.n_tokens >= 20),
+t2 AS (SELECT doc_id, source, list_distinct({toks}) AS toks FROM d2),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         len(list_intersect(a.toks, b.toks)) AS inter,
+         len(a.toks) AS sza, len(b.toks) AS szb
+  FROM t2 a JOIN t2 b ON a.source = b.source AND a.doc_id <> b.doc_id),
+cdrops AS (
+  SELECT DISTINCT da AS doc_id FROM p
+  WHERE ROUND(CAST(inter AS DOUBLE) / sza + 1e-9, 4) >= 0.8
+    AND (szb > sza OR (szb = sza AND db < da))),
+kept_c AS (SELECT d2.* FROM d2 ANTI JOIN cdrops USING (doc_id)),
+e AS ({emb}),
+{ranked},
+assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rk = 1),
+m AS (SELECT a.vec_id, a.cell, e.v FROM assign a JOIN e USING (vec_id)),
+spairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+sdrops AS (
+  SELECT DISTINCT vec_b AS doc_id FROM spairs WHERE cosine >= {tau}),
+kept AS (SELECT kept_c.* FROM kept_c ANTI JOIN sdrops USING (doc_id)),
+raw_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
+          FROM raw GROUP BY 1),
+d0_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_domain
+         FROM d0 GROUP BY 1),
+d1_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_exact
+         FROM d1 GROUP BY 1),
+d2_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_quality
+         FROM d2 GROUP BY 1),
+cont_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_containment
+           FROM kept_c GROUP BY 1),
+kept_n AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+         ROUND(AVG(entropy) + 1e-9, 4) AS mean_entropy_kept
+  FROM kept GROUP BY 1)
+SELECT raw_n.source, raw_n.n_raw,
+       COALESCE(d0_n.n_after_domain, 0)        AS n_after_domain,
+       COALESCE(d1_n.n_after_exact, 0)         AS n_after_exact,
+       COALESCE(d2_n.n_after_quality, 0)       AS n_after_quality,
+       COALESCE(cont_n.n_after_containment, 0) AS n_after_containment,
+       COALESCE(kept_n.n_kept, 0)              AS n_kept,
+       COALESCE(kept_n.kept_tokens, 0)         AS kept_tokens,
+       kept_n.mean_entropy_kept
+FROM raw_n
+LEFT JOIN d0_n   USING (source)
+LEFT JOIN d1_n   USING (source)
+LEFT JOIN d2_n   USING (source)
+LEFT JOIN cont_n USING (source)
+LEFT JOIN kept_n USING (source)
+""".format(
+        toks=_TOKENS_SQL,
+        emb=_EMB_SQL,
+        ranked=_IVF_GRAPH_RANKED_SQL,
+        cos=_COS_SQL.format(a="a", b="b"),
+        tau=_SEMDEDUP_TAU,
+    )
+
+
 def llm_data_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
     """The round-6 corpus build — the full modern pre-training data
     recipe, still ONE composed Catalyst job:
@@ -3083,6 +3331,10 @@ QUERIES: dict[str, QuerySpec] = {
         "dedup_simhash_hamming_wide",
         dedup_simhash_hamming_wide,
         _SIMHASH_WIDE_SQL,
+    ),
+    # r12 flagship: v4 bracketed by domain pre-filter + semantic dedup
+    "llm_data_pipeline_v5": QuerySpec(
+        "llm_data_pipeline_v5", llm_data_pipeline_v5, _v5_sql()
     ),
     # r10 flagship: the curation funnel composed from this round's ops
     "llm_data_pipeline_v4": QuerySpec(

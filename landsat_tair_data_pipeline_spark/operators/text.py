@@ -1274,6 +1274,120 @@ WHERE s.n_repeated > 0
 """.format(toks=_TOKS_SQL)
 
 
+def text_domain_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-grain quality rollup — the CommonCrawl-style PRE-filter
+    that runs BEFORE any per-document curation op in this repo (r12,
+    VERDICT r11 item 6a): at 100 TB you drop or down-weight whole
+    domains first, because a boilerplate-mill domain is cheaper to
+    kill at the (domain → stats) grain than doc-by-doc. The documents
+    table's `source` column is the domain key.
+
+    Per domain: doc count, DISTINCT canonical fingerprints
+    (text_fingerprint's md5-of-sorted-distinct-tokens — exact-text
+    dup rate is 0 in this corpus, measured r12, so the fingerprint
+    grain is the one that discriminates: rates 0–0.08 at sf0.01,
+    0–0.132 at sf0.1), fingerprint dup rate, the v4 entropy-floor
+    pass rate (entropy ≥ 4 bits AND ≥ 20 tokens), token mass, and
+    two decision columns a curator sorts by: `flag_high_dup`
+    (dup rate > 0.055 — strictly between representable k/25 and
+    k/250 rates, so a tie with the threshold cannot occur at the
+    driver's SFs) and `dup_rank` (row_number by dup rate desc,
+    source asc — deterministic ties).
+
+    Scale shape: fingerprint + token stats are narrow per-doc maps
+    (the per-row array_sort over ~60 distinct tokens, exactly
+    text_fingerprint's cost), entropy is one token explode + two
+    hash aggs, then ONE per-source aggregate and a 20-row window —
+    everything linear, the rollup output is |domains| rows."""
+    docs = table(spark, sf, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(TOKENS()))))
+    base = docs.select("doc_id", "source", fp.alias("f"))
+    tok = docs.select("doc_id", F.explode(TOKENS()).alias("tok"))
+    cnt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ent = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c").cast("double") * F.log2("c")).alias("_clog"),
+    )
+    ent = ent.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.log2("n_tokens") - F.col("_clog") / F.col("n_tokens")
+        ).alias("entropy"),
+    )
+    per_doc = base.join(ent, "doc_id")
+    roll = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("f").alias("n_unique_fp"),
+        F.round(
+            1.0
+            - F.countDistinct("f").cast("double") / F.count(F.lit(1)),
+            4,
+        ).alias("fp_dup_rate"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("entropy") >= 4.0) & (F.col("n_tokens") >= 20),
+                    1.0,
+                ).otherwise(0.0)
+            )
+            + 1e-9,
+            4,
+        ).alias("ent_pass_rate"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens") + 1e-9, 2).alias("mean_tokens"),
+    )
+    w = Window.orderBy(F.desc("fp_dup_rate"), F.asc("source"))
+    return roll.select(
+        "source",
+        "n_docs",
+        "n_unique_fp",
+        "fp_dup_rate",
+        "ent_pass_rate",
+        "total_tokens",
+        "mean_tokens",
+        (F.col("fp_dup_rate") > 0.055).alias("flag_high_dup"),
+        F.row_number().over(w).cast("long").alias("dup_rank"),
+    )
+
+
+_DOMAIN_ROLLUP_SQL = """
+WITH fp AS (
+  SELECT source, doc_id,
+         md5(list_aggregate(list_sort(list_distinct({toks})),
+                            'string_agg', ' ')) AS f
+  FROM documents),
+tok AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+cnt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2),
+ent AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         log2(CAST(SUM(c) AS BIGINT))
+           - SUM(CAST(c AS DOUBLE) * log2(c)) / CAST(SUM(c) AS BIGINT)
+           AS entropy
+  FROM cnt GROUP BY 1),
+roll AS (
+  SELECT fp.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT f) AS BIGINT) AS n_unique_fp,
+         ROUND(1.0 - COUNT(DISTINCT f) / CAST(COUNT(*) AS DOUBLE), 4)
+           AS fp_dup_rate,
+         ROUND(AVG(CASE WHEN entropy >= 4.0 AND n_tokens >= 20
+                        THEN 1.0 ELSE 0.0 END) + 1e-9, 4)
+           AS ent_pass_rate,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         ROUND(AVG(n_tokens) + 1e-9, 2) AS mean_tokens
+  FROM fp JOIN ent ON fp.doc_id = ent.doc_id
+  GROUP BY 1)
+SELECT source, n_docs, n_unique_fp, fp_dup_rate, ent_pass_rate,
+       total_tokens, mean_tokens,
+       fp_dup_rate > 0.055 AS flag_high_dup,
+       CAST(ROW_NUMBER() OVER (ORDER BY fp_dup_rate DESC, source ASC)
+            AS BIGINT) AS dup_rank
+FROM roll
+""".format(toks=_TOKS_SQL)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(
         "text_token_count", text_token_count, _TOKEN_COUNT_SQL
@@ -1319,5 +1433,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_psi_drift": QuerySpec("text_psi_drift", text_psi_drift, _PSI_SQL),
     "text_repeated_ngrams": QuerySpec(
         "text_repeated_ngrams", text_repeated_ngrams, _REPEATED_NGRAMS_SQL
+    ),
+    # round-12 addition (VERDICT r11 item 6a): domain-grain pre-filter
+    "text_domain_rollup": QuerySpec(
+        "text_domain_rollup", text_domain_rollup, _DOMAIN_ROLLUP_SQL
     ),
 }
