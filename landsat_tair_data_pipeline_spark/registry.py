@@ -92,8 +92,8 @@ def all_queries() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query id {name!r}")
             merged[name] = spec
 
-    front = [k for k in _ROUND11_FRONT if k in merged]
-    missing = [k for k in _ROUND11_FRONT if k not in merged]
+    front = [k for k in _ROUND12_FRONT if k in merged]
+    missing = [k for k in _ROUND12_FRONT if k not in merged]
     if missing:
         raise ValueError(f"front-ordered keys missing from registry: {missing}")
     ordered = {k: merged[k] for k in front}
@@ -113,6 +113,81 @@ def all_queries() -> dict[str, QuerySpec]:
 # before the relational agg/window/setop families — testdata
 # regenerates every round, in-repo fixtures never do). New-key slots
 # displace from the END of the r6 fill; displaced keys rotate in r11.
+# First 50 slots of the driver's correctness window for round 12 —
+# the first of the two windows that finish the rotation (VERDICT r11
+# item 1 / NOTES r11 plan). Ordering: (1) new r12 keys, fronted on
+# arrival; (2) keys whose IMPLEMENTATION or SURFACE changed this round
+# (agg_approx re-pointed to the pinned-bound oracled surface;
+# ts_seasonal_decompose's strength ratio made explicitly COALESCEd —
+# value-identical, re-certified anyway); (3) 42 of the 48 r7-vintage
+# keys (tools/vintage_report.py), most-data-sensitive first —
+# documents/embeddings/events/stream readers, then the
+# lineitem/orders q* families, then windows/setops, then the
+# fixture-backed Landsat core. The 6 keys spilling to the r13 fill
+# (map_cast_double, map_coeff_vector, map_flatten, map_k_coeffs,
+# map_str_to_float, join_zip_positional) are purely in-repo
+# fixture-backed — their inputs NEVER regenerate, so their r7 rows
+# carry the least staleness risk in the registry.
+_ROUND12_FRONT = [
+    # new in r12, fronted on arrival (6)
+    "dedup_simhash_hamming_wide",
+    "sim_knn_graph_ivf",
+    "sim_knn_graph_ivf_recall",
+    "dedup_semdedup",
+    "text_domain_rollup",
+    "llm_data_pipeline_v5",
+    # changed in r12 — re-certify on arrival (2)
+    "agg_approx",
+    "ts_seasonal_decompose",
+    # r7-vintage drain: testdata-reading documents/embeddings/events/
+    # streaming block first (testdata regenerates every round)
+    "ext_dedup_exact",
+    "llm_data_pipeline",
+    "text_bigram_lm_score",
+    "emb_sample_stratified",
+    "sim_lsh_topk",
+    "events_funnel",
+    "events_session",
+    "events_tumbling",
+    "stream_stateful_user_totals",
+    "agg_hll_vs_exact",
+    "pack_chunks",
+    "mm_decode_stats",
+    # r7-vintage: lineitem/orders readers (TPC-H core)
+    "q1_pricing_summary",
+    "sql_q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_order_histogram",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_idle_customers",
+    "agg_ratio",
+    "agg_summary_stats",
+    "distinct_proj",
+    "proj_math_funcs",
+    "proj_string_funcs",
+    "setop_except",
+    "setop_intersect",
+    "window_lag_lead",
+    "window_rank",
+    "window_running_sum",
+    # r7-vintage: fixture-backed Landsat core tail
+    "map_band_remap_l8",
+    "map_bt_l5",
+    "map_bt_l89",
+    "map_dn_to_radiance",
+    "proj_date_parts",
+    "src_csv_ground_truths",
+    "sink_csv_stations",
+]
+
+# Historical r11 order kept for reference (drove CORRECTNESS_r11).
 # First 50 slots of the driver's correctness window for round 11 —
 # the full r6-vintage drain (VERDICT r10 item 2 / NOTES r10 plan).
 # Ordering: (1) new r11 keys, fronted on arrival; (2) keys whose
