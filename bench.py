@@ -171,6 +171,13 @@ HEADLINE = [
     "text_repeated_ngrams",
     "dedup_minhash_est_error",
     "ts_seasonal_decompose",
+    # r12 new-operator keys (append-only)
+    "dedup_simhash_hamming_wide",
+    "sim_knn_graph_ivf",
+    "sim_knn_graph_ivf_recall",
+    "dedup_semdedup",
+    "text_domain_rollup",
+    "llm_data_pipeline_v5",
 ]
 
 # Heavy LSH-family keys (VERDICT r10 item 3): full 3 reps, report the
@@ -271,6 +278,8 @@ FIRST_BENCHED = {
     **{k: 10 for k in HEADLINE[HEADLINE.index("dedup_containment_asym"):]},
     # r11 keys override the r10 slice above (dict literal: later wins)
     **{k: 11 for k in HEADLINE[HEADLINE.index("text_psi_drift"):]},
+    # r12 keys override the r11 slice above (dict literal: later wins)
+    **{k: 12 for k in HEADLINE[HEADLINE.index("dedup_simhash_hamming_wide"):]},
 }
 
 THIS_ROUND = max(FIRST_BENCHED.values())

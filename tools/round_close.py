@@ -51,10 +51,30 @@ def _paths(rnd: int) -> dict[str, str]:
     }
 
 
+def _registry_sig() -> dict:
+    """Signature of the CURRENT registry key set — stamped into every
+    artifact so a key added AFTER the close is mechanically detectable
+    (VERDICT r11 item 4: ts_seasonal_decompose landed after the r11
+    close and silently missed both end-state sweeps; the rule is now
+    'no registry additions after close artifacts are stamped — or
+    re-run round_close when one lands', and --check enforces it)."""
+    import hashlib
+
+    sys.path.insert(0, REPO)
+    from landsat_tair_data_pipeline_spark.registry import all_queries
+
+    keys = sorted(all_queries())
+    return {
+        "n_keys": len(keys),
+        "keys_md5": hashlib.md5(",".join(keys).encode()).hexdigest(),
+    }
+
+
 def _stamp(path: str, head: str) -> None:
     with open(os.path.join(REPO, path)) as f:
         data = json.load(f)
     data["head_sha"] = head
+    data["registry"] = _registry_sig()
     data["utc"] = datetime.datetime.now(datetime.timezone.utc).isoformat(
         timespec="seconds"
     )
@@ -91,8 +111,17 @@ def _check(rnd: int, head: str) -> int:
         with open(full) as f:
             data = json.load(f)
         sha = data.get("head_sha")
+        stamped_reg = data.get("registry")
         if sha != head and not (sha and _evidence_only_diff(sha, head)):
             print(f"STALE {label}: {path} head_sha={sha} != HEAD {head}")
+            bad += 1
+        elif stamped_reg is not None and stamped_reg != _registry_sig():
+            print(
+                f"REGISTRY DRIFT {label}: {path} was stamped for "
+                f"{stamped_reg['n_keys']} keys but the registry now "
+                f"differs — a key landed after the close; re-run "
+                "round_close"
+            )
             bad += 1
         elif data.get("fail") or data.get("failures"):
             print(

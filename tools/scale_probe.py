@@ -158,6 +158,33 @@ def _candidate_count(spark, key: str, sf: str) -> int | None:
         # (doc_a < doc_b, before canonical-band dedup + hamming cut) -
         # the number that exposes 8-bit-band bucket saturation at scale
         return dedup._simhash32_band_join(spark, sf).count()
+    if key == "dedup_simhash_hamming_wide":
+        # blocking stage: the 4x32-bit pigeonhole band equi-join volume
+        # (doc_a < doc_b, before canonical-band dedup + hamming cut) —
+        # compare against dedup_simhash_hamming's 8-bit saturation
+        return dedup._simhash128_band_join(spark, sf).count()
+    if key in ("sim_knn_graph_ivf", "dedup_semdedup"):
+        # blocking stage: IVF-cell candidate volume — ordered
+        # (prober, member) pairs for the graph, unordered within-cell
+        # pairs for semdedup; the number that must stay sub-quadratic
+        from landsat_tair_data_pipeline_spark.operators import similarity
+
+        ranked = similarity._ivf_graph_ranked(spark, sf)
+        members = ranked.where(F.col("rk") == 1).select(
+            F.col("vec_id").alias("m_id"), F.col("cid").alias("cell")
+        )
+        if key == "sim_knn_graph_ivf":
+            probers = ranked.select(
+                F.col("vec_id").alias("p_id"), F.col("cid").alias("cell")
+            )
+            return (
+                probers.join(members, "cell")
+                .where(F.col("p_id") != F.col("m_id"))
+                .count()
+            )
+        a = members.select(F.col("m_id").alias("va"), "cell")
+        b = members.select(F.col("m_id").alias("vb"), "cell")
+        return a.join(b, "cell").where(F.col("va") < F.col("vb")).count()
     if key == "dedup_edit_distance_pairs":
         # blocking stage: same 16-char prefix + lossless length band,
         # before the levenshtein verify (mirrors the operator's join)
