@@ -1501,6 +1501,17 @@ _IVF_GRAPH_CELLS = 16
 _IVF_GRAPH_NPROBE = 2
 
 
+def _ivf_cells() -> int:
+    """Cell count for the IVF graph family. Default 16 (the value the
+    DuckDB oracles are formatted with — driver parity always runs with
+    the env unset); SPARK_GRAFT_IVF_CELLS overrides for scale probes,
+    where cells must grow ~√n to demonstrate the O(n^1.5) candidate
+    contract (the faiss sizing rule — see sim_knn_graph_ivf)."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_IVF_CELLS", 0)) or _IVF_GRAPH_CELLS
+
+
 def _ivf_graph_ranked(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic coarse-quantizer cell ranks for the IVF graph:
     every vector's distance to the 16 SEEDED one-Lloyd-step centroids
@@ -1518,7 +1529,7 @@ def _ivf_graph_ranked(spark: SparkSession, sf: str) -> DataFrame:
     ex = emb.select("vec_id", F.posexplode("v").alias("d0", "x")).select(
         "vec_id", (F.col("d0") + 1).alias("d"), "x"
     )
-    seed_ids = emb.select("vec_id").orderBy("vec_id").limit(_IVF_GRAPH_CELLS)
+    seed_ids = emb.select("vec_id").orderBy("vec_id").limit(_ivf_cells())
     cent0 = ex.join(F.broadcast(seed_ids), "vec_id").select(
         F.col("vec_id").alias("cid"), "d", F.col("x").alias("c")
     )
