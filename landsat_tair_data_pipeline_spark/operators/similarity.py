@@ -1723,20 +1723,27 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     drop list a pipeline anti-joins against (llm_data_pipeline_v5
     does exactly that).
 
-    Scale shape: the pair join is CELL-BLOCKED (the SemDeDup point —
-    never corpus×corpus): members shuffle once on cell, pair volume
-    is Σ_c m_c²/2 ≈ n²/(2·k_cells), and k_cells grows as √n at
-    production scale (the faiss sizing rule, same knob as
-    sim_knn_graph_ivf) making it O(n^1.5); cosine runs JVM-side
-    (zip_with/aggregate — no Python in the hot path) and the witness
-    argmin is a per-vec window over only the qualifying pairs.
+    Scale shape: the pair work is CELL-BLOCKED (the SemDeDup point —
+    never corpus×corpus): members shuffle ONCE on cell (n array
+    rows), then each cell group runs one BLAS gram matmul and the
+    vectorized first-qualifying-witness scan in-kernel — pair volume
+    Σ_c m_c²/2 ≈ n²/(2·k_cells) never crosses a shuffle at all, and
+    k_cells grows as √n at production scale (the faiss sizing rule,
+    same SPARK_GRAFT_IVF_CELLS knob as sim_knn_graph_ivf) making
+    compute O(n^1.5). The kernel replaced an earlier JVM zip_with
+    pair join after the r12 100× probe priced that at ~5.6 µs/pair
+    (191 s at 200k vectors) vs the BLAS shape's ~6× less — and it
+    kills the pair-row shuffle entirely.
 
     Margin audit (r12): output is non-vacuous at every sf (19 / 11 /
     174 dropped at sf0.001/0.01/0.1 — measured before fronting);
-    rounded cosine at 6dp with the +1e-9 nudge before BOTH the τ cut
-    and the surface; witness ties cannot occur (min over distinct
-    vec_ids); a singleton cell contributes no pairs in either
-    engine."""
+    cosine rounds half-away-from-zero at 6dp with the +1e-9 nudge
+    before BOTH the τ cut and the surface (np.round is banker's —
+    the ADVICE r10 lesson, same kernel recipe as sim_knn_graph);
+    witness ties cannot occur (first index over distinct sorted
+    vec_ids); a singleton cell emits nothing in either engine; the
+    kernel was cross-checked row-identical against the original
+    JVM pair-join form at all three sfs before the swap."""
     from ..util import persist_tracked
 
     emb = _emb(spark, sf).select("vec_id", "v")
@@ -1744,37 +1751,50 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", F.col("cid").alias("cell")
     )
     m = persist_tracked(cells.join(emb, "vec_id"))
-    a = m.select(
-        "cell", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
-    )
-    b = m.select(
-        "cell", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va")))
-        * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-    )
-    pairs = (
-        a.join(b, "cell")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "cell",
-            "vec_a",
-            "vec_b",
-            F.round(cos + 1e-9, 6).alias("cosine"),
+    tau = _SEMDEDUP_TAU
+
+    def block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_id": np.array([], dtype=np.int64),
+                "cell": np.array([], dtype=np.int64),
+                "witness_id": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64),
+            }
         )
-        .where(F.col("cosine") >= _SEMDEDUP_TAU)
-    )
-    w = Window.partitionBy("vec_b").orderBy(F.asc("vec_a"))
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select(
-            F.col("vec_b").alias("vec_id"),
-            "cell",
-            F.col("vec_a").alias("witness_id"),
-            "cosine",
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        A = np.vstack(pdf["v"].to_numpy())
+        A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        raw = A @ A.T + 1e-9
+        cos = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+        # qualifying witness = STRICTLY EARLIER (lower-id) member at
+        # cosine >= tau; ids are sorted, so mask[w, v] with w < v is
+        # the strict upper triangle of the thresholded gram matrix
+        mask = np.triu(cos >= tau, k=1)
+        hit = mask.any(axis=0)
+        if not hit.any():
+            return empty
+        w_idx = np.argmax(mask, axis=0)  # FIRST qualifying row per col
+        cols = np.nonzero(hit)[0]
+        rows = w_idx[cols]
+        return pd.DataFrame(
+            {
+                "vec_id": ids[cols],
+                "cell": pdf["cell"].to_numpy(dtype=np.int64)[cols],
+                "witness_id": ids[rows],
+                "cosine": cos[rows, cols],
+            }
         )
+
+    return m.groupBy("cell").applyInPandas(
+        block,
+        schema="vec_id bigint, cell bigint, witness_id bigint, cosine double",
     )
 
 
