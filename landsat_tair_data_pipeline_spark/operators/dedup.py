@@ -2424,7 +2424,9 @@ def llm_data_pipeline_v5(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.round(
-                1.0 - F.countDistinct("f").cast("double") / F.count(F.lit(1)),
+                1.0
+                - F.countDistinct("f").cast("double") / F.count(F.lit(1))
+                + 1e-9,
                 4,
             ).alias("dr")
         )
@@ -2542,7 +2544,7 @@ rfp AS (
   FROM documents),
 flagged AS (
   SELECT source FROM rfp GROUP BY 1
-  HAVING ROUND(1.0 - COUNT(DISTINCT f) / CAST(COUNT(*) AS DOUBLE), 4)
+  HAVING ROUND(1.0 - COUNT(DISTINCT f) / CAST(COUNT(*) AS DOUBLE) + 1e-9, 4)
          > 0.055),
 d0 AS (SELECT raw.* FROM raw ANTI JOIN flagged USING (source)),
 keep1 AS (SELECT MIN(doc_id) AS doc_id FROM d0 GROUP BY md5(text)),

@@ -1321,7 +1321,8 @@ def text_domain_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("f").alias("n_unique_fp"),
         F.round(
             1.0
-            - F.countDistinct("f").cast("double") / F.count(F.lit(1)),
+            - F.countDistinct("f").cast("double") / F.count(F.lit(1))
+            + 1e-9,
             4,
         ).alias("fp_dup_rate"),
         F.round(
@@ -1370,7 +1371,7 @@ roll AS (
   SELECT fp.source,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(COUNT(DISTINCT f) AS BIGINT) AS n_unique_fp,
-         ROUND(1.0 - COUNT(DISTINCT f) / CAST(COUNT(*) AS DOUBLE), 4)
+         ROUND(1.0 - COUNT(DISTINCT f) / CAST(COUNT(*) AS DOUBLE) + 1e-9, 4)
            AS fp_dup_rate,
          ROUND(AVG(CASE WHEN entropy >= 4.0 AND n_tokens >= 20
                         THEN 1.0 ELSE 0.0 END) + 1e-9, 4)
