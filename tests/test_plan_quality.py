@@ -876,3 +876,41 @@ def test_batch_padding_rank_is_distributed(spark):
     plan = _plan(spark, "pack_batches_padding")
     assert "rangepartitioning" in plan, plan[:900]
     assert "InMemoryTableScan" in plan, plan[:900]
+
+
+def test_knn_graph_ivf_single_pandas_kernel(spark):
+    """sim_knn_graph_ivf's scoring must run as exactly ONE Arrow-
+    batched grouped-pandas kernel (the cell-blocked BLAS matmul) —
+    a second Python stage or a row-at-a-time BatchEvalPython would
+    mean the re-rank fell out of the kernel; the final top-k merge
+    must stay a JVM window."""
+    plan = _plan(spark, "sim_knn_graph_ivf")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_witness_stays_in_kernel(spark):
+    """dedup_semdedup computes the pairwise gram matrix AND the
+    first-qualifying-witness scan inside one grouped-pandas kernel:
+    the pair volume (n²/2k per cell) must never cross a shuffle — no
+    join or window may follow the kernel in the plan."""
+    plan = _plan(spark, "dedup_semdedup")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    after = plan.split("FlatMapGroupsInPandas")[0]
+    # executedPlan prints top-down: anything ABOVE the kernel is what
+    # runs after it — no joins/windows allowed there
+    assert "Join" not in after and "Window" not in after
+
+
+def test_simhash_wide_reuses_cached_signatures(spark):
+    """The 4×32-bit band join's two sides must read the SAME cached
+    signature frame (persist_tracked), not recompute the 128-column
+    aggregate twice — and the banded join must be an equi-join, never
+    a cartesian."""
+    plan = _plan(spark, "dedup_simhash_hamming_wide")
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in plan
+    # exactly one 128-column signature aggregate subtree got cached:
+    # the md5 projection appears only inside the InMemoryRelation
+    assert plan.count("md5") <= plan.count("InMemoryRelation") * 4
