@@ -1099,25 +1099,37 @@ def _simhash128_bands(spark: SparkSession, sf: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode("toks").alias("tok")).select(
         "doc_id", F.md5("tok").alias("m")
     )
-    bit_sums = [
+    # per-row: decode the 32 hex digits ONCE into int columns, then
+    # the 128 aggregates are cheap bit-arithmetic sums — the naive
+    # form (128 × substring+isin per token row) measured ~2× slower
+    # at sf0.1. Sign identity: Σ±1 > 0 ⟺ 2·(#set bits) > n_tokens,
+    # ties (2·s == n) break to 0 exactly like the ±1 sum.
+    digs = tok.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"cast(instr('0123456789abcdef', substring(m, {j}, 1)) - 1"
+                " as int)"
+            ).alias(f"d{j}")
+            for j in range(1, 33)
+        ],
+    )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
         F.sum(
-            F.when(
-                F.substring(F.col("m"), i // 4 + 1, 1).isin(*_HEX_BIT[i % 4]),
-                1,
-            ).otherwise(-1)
-        ).alias(f"b{i}")
+            F.shiftright(F.col(f"d{i // 4 + 1}"), i % 4).bitwiseAND(F.lit(1))
+        ).alias(f"s{i}")
         for i in range(128)
     ]
-    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    sums = digs.groupBy("doc_id").agg(*aggs)
     bands = []
     for k in range(4):
         band = None
         for j in range(32):
             i = 32 * k + j
             term = F.shiftleft(
-                F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                ),
+                F.when(
+                    2 * F.col(f"s{i}") > F.col("n"), F.lit(1).cast("long")
+                ).otherwise(F.lit(0).cast("long")),
                 j,
             )
             band = term if band is None else band + term
