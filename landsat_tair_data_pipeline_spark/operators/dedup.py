@@ -1020,11 +1020,12 @@ def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
     input; wall 38.7 s at 100× — still fine locally). The multi-index
     stays exact but stops being sub-quadratic around n ≈ 10⁵; the
     10⁹-item handoff is a wider signature with bands sized so that
-    n / 2^band_bits stays O(1) — e.g. a 128-bit signature in 4×32-bit
-    bands (same md5-parity recipe, 4.3e9 buckets) keeps hamming ≤ 3
-    recall exact while the expected bucket occupancy stays ~n/4e9;
-    band WIDTH (not count) is the scaling knob because recall needs
-    bands ≥ distance+1 by pigeonhole."""
+    n / 2^band_bits stays O(1) — BUILT in r12 as
+    dedup_simhash_hamming_wide (128-bit signature in 4×32-bit bands,
+    same md5-parity recipe, 4.3e9 buckets, hamming ≤ 3 recall still
+    exact; measured ×128 join volume at ×100 input vs this op's ×466
+    — scale_probe_r12.json); band WIDTH (not count) is the scaling
+    knob because recall needs bands ≥ distance+1 by pigeonhole."""
     joined = _simhash32_band_join(spark, sf)
     # canonical-band rule: emit only at the FIRST band where the two
     # signatures agree (both sides' full signatures are in hand, so
@@ -1296,8 +1297,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     P grows ~ n·d/executor-mem so each A/B block fits a worker — the
     knob Spark's own block-matrix multiply turns). Compute stays
     quadratic by design (it is the exactness oracle); the 100 TB
-    CANDIDATE path is sign-LSH buckets (sim_lsh_buckets/sim_lsh_topk)
-    or the IVF coarse quantizer (sim_ivf_topk).
+    CANDIDATE path is sign-LSH buckets (sim_lsh_buckets/sim_lsh_topk),
+    the IVF coarse quantizer (sim_ivf_topk), or — since r12 — the
+    cell-blocked SemDeDup drop-list (dedup_semdedup) when the goal is
+    dedup rather than a pair listing.
     """
     # Block-grid fan-out derived, not hardcoded: P² block pairs ≈ 2×
     # the cluster's parallelism keeps every core busy without shrinking

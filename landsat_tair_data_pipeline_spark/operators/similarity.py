@@ -1385,18 +1385,22 @@ def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     - one per-query window over P·k candidate rows merges to the
       global top-k.
     Compute stays exact-quadratic by design (this IS the ground-truth
-    oracle); the approximate 10⁹-scale path is IVF (sim_ivf_topk) or
-    PQ (sim_pq_recall), both certified against exact scans like this
-    one.
+    oracle); the approximate 10⁹-scale path is sim_knn_graph_ivf
+    (built r12 — IVF-cell-blocked, recall-pinned against this op by
+    sim_knn_graph_ivf_recall, 34 s where this took 503 s at 200k
+    vectors) with IVF/PQ probes (sim_ivf_topk, sim_pq_recall) as the
+    point-query forms.
 
     Measured handoff (r11 100× probe, artifacts/scale_probe_r11.json):
     2k vectors 1.2 s → 200k vectors 503 s on 32 cores (4.3× per input
     at 100× input — the n² contract visible once overheads wash out),
     output rows exactly n·k. Extrapolating n²: ~1M vectors ≈ 3.5 h,
     so on this hardware class the exact graph stops being an
-    interactive tool around n ≈ 10⁵–10⁶ — that is the IVF/PQ handoff
-    point; beyond it this op remains the sampled ground-truth recall
-    oracle (run on a stratified subset), not the production path. The
+    interactive tool around n ≈ 10⁵–10⁶ — that is the handoff point
+    to sim_knn_graph_ivf (built r12); beyond it this op remains the
+    sampled ground-truth recall oracle (run on a stratified subset,
+    exactly how sim_knn_graph_ivf_recall consumes it), not the
+    production path. The
     probe's kernel split shows the cost is in-worker compute
     (matmul + the stable full-row argsort), not the Arrow exchange —
     the n·P·k emit keeps the post-matmul shuffle negligible."""
