@@ -178,6 +178,10 @@ HEADLINE = [
     "dedup_semdedup",
     "text_domain_rollup",
     "llm_data_pipeline_v5",
+    # r12 second-wave keys (append-only)
+    "dedup_paragraph",
+    "text_dsir_weight",
+    "sample_temperature",
 ]
 
 # Heavy LSH-family keys (VERDICT r10 item 3): full 3 reps, report the

@@ -764,6 +764,91 @@ WHERE sample_key < {mix_case}
 """.format(hash=_MULT_HASH_SQL, mix_case=_MIX_CASE_SQL)
 
 
+_TEMP_ALPHA = 0.3  # XLM-R / mC4 temperature exponent
+
+
+def sample_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled source mixing weights (the multilingual-LM
+    recipe: XLM-R, mC4 — sample source i with probability ∝ p_i^α,
+    α = 0.3): unlike sample_source_mix, which APPLIES declared
+    per-source rates, this op COMPUTES the mixture from corpus
+    statistics, so a new corpus needs no hand-tuned table. Per
+    source: doc count, token mass, natural share p_mix = tokens_i/Σ,
+    tempered share q_temp = p^α / Σ p^α, the resulting boost factor
+    q/p (> 1 = the source is up-sampled), and the up/down direction
+    flag (compared on the ROUNDED boost so the boundary cannot flip
+    on pow/Σ last-ulp differences).
+
+    Margin audit (r10 process rule): token sums are int64 (corpus
+    tokens ≪ 2^63); p ∈ (0, 1] so pow(p, 0.3) is finite and positive,
+    the Σ p^α denominator > 0 whenever the corpus is non-empty;
+    cross-engine drift is pow/ln last-ulp plus a 5-term Σ order —
+    ~1e-15 against 6dp/4dp readouts.
+
+    Scale shape: ONE map-side-combinable per-source aggregate over the
+    token counts (a narrow size() map — document bodies never
+    shuffle), then two |sources|-row broadcast reductions. Output is
+    |sources| rows; everything after the first aggregate is
+    driver-scale arithmetic expressed as broadcast joins."""
+    from .text import TOKENS
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    per_src = persist_tracked(
+        docs.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size(TOKENS())).cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("tot_tokens"))
+    p = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")
+    shares = persist_tracked(
+        per_src.crossJoin(F.broadcast(tot)).select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            p.alias("p"),
+            F.pow(p, _TEMP_ALPHA).alias("w"),
+        )
+    )
+    z = shares.agg(F.sum("w").alias("z"))
+    q = F.col("w") / F.col("z")
+    boost = F.round(q / F.col("p") + 1e-9, 4)
+    return shares.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("p") + 1e-9, 6).alias("p_mix"),
+        F.round(q + 1e-9, 6).alias("q_temp"),
+        boost.alias("boost"),
+        F.when(boost > 1.0, "up").otherwise("down").alias("direction"),
+    )
+
+
+_TEMPERATURE_SQL = """
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+t AS (SELECT SUM(n_tokens) AS tot FROM s),
+p AS (
+  SELECT s.source, s.n_docs, s.n_tokens,
+         CAST(s.n_tokens AS DOUBLE) / t.tot AS p,
+         pow(CAST(s.n_tokens AS DOUBLE) / t.tot, {alpha}) AS w
+  FROM s CROSS JOIN t
+),
+z AS (SELECT SUM(w) AS z FROM p)
+SELECT source, n_docs, n_tokens,
+       ROUND(p + 1e-9, 6) AS p_mix,
+       ROUND(w / z.z + 1e-9, 6) AS q_temp,
+       ROUND(w / z.z / p + 1e-9, 4) AS boost,
+       CASE WHEN ROUND(w / z.z / p + 1e-9, 4) > 1.0
+            THEN 'up' ELSE 'down' END AS direction
+FROM p CROSS JOIN z
+""".format(alpha=_TEMP_ALPHA)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "aug_rot90": QuerySpec("aug_rot90", aug_rot90, _ROT90_SQL),
     "aug_explode_4x": QuerySpec("aug_explode_4x", aug_explode_4x, _EXPLODE4X_SQL),
@@ -788,5 +873,9 @@ QUERIES: dict[str, QuerySpec] = {
         "sample_negative_pairs",
         sample_negative_pairs,
         _NEGATIVES_SQL,
+    ),
+    # round-12 second-wave addition (fronted in _ROUND12_FRONT)
+    "sample_temperature": QuerySpec(
+        "sample_temperature", sample_temperature, _TEMPERATURE_SQL
     ),
 }

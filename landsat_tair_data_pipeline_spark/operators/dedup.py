@@ -3259,9 +3259,134 @@ def _triangle_sql() -> str:
     return _TRIANGLE_SQL.format(pairs=_shared_ngram_sql().strip())
 
 
+# --- dedup_paragraph: sub-document (chunk-grain) exact dedup ---------
+#
+# RefinedWeb / Falcon's line-level dedup (Penedo et al. 2023) drops a
+# document when too much of it is made of lines that also appear in
+# OTHER documents — boilerplate, navigation chrome, license headers.
+# This corpus has no newline structure (word-stream docs), so the
+# "paragraph" unit is the non-overlapping 5-token chunk: long enough
+# that random 30-word-vocab collisions are rare, short enough that the
+# generator's injected near-duplicate templates actually collide
+# (measured 646 / 577 / 6,554 cross-doc duplicate chunk instances at
+# sf0.001/0.01/0.1 — non-vacuous at every sf).
+
+_PARA_WIDTH = 5
+_PARA_DROP_FRAC = 0.3  # RefinedWeb drops docs > ~30% duplicated lines
+
+
+def dedup_paragraph(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-document exact dedup at chunk grain — the operator every
+    doc-grain dedup in this module misses: a document that is 40%
+    copied boilerplate is untouched by exact/near doc dedup (its
+    OTHER 60% differs) but fails a pretraining-quality bar. Chunks =
+    non-overlapping 5-token windows (trailing partial kept); a chunk
+    VALUE is duplicated iff it occurs in >= 2 distinct docs. Per doc:
+    chunk count, duplicated-instance count, duplicated fraction, and
+    keep_doc = fraction <= 0.3 (the RefinedWeb rule). The keep flag
+    compares the ROUNDED fraction in both engines so the boundary can
+    never flip on accumulation order.
+
+    Margin audit (r10 process rule): chunk counts <= ceil(tokens/5)
+    per doc (int); sequence(1, sz, 5) is guarded by sz >= 1 (Spark
+    sequence DESCENDS for start > stop); the fraction's denominator
+    n_chunks >= 1 on every row (every guarded doc emits >= 1 chunk);
+    cross-doc test is MIN(doc_id) != MAX(doc_id) — map-side
+    combinable, no countDistinct expansion.
+
+    Scale shape: chunk explode is 1:1 with ~tokens/5 (linear); the
+    chunk-grain min/max aggregate is map-side combinable, so a
+    boilerplate chunk duplicated 1e9 times collapses to one row per
+    map task BEFORE the shuffle; the flag-back join re-shuffles
+    instances on the chunk key (AQE skew-split handles the hot
+    values) and the per-doc rollup is a second linear shuffle. No
+    stage is pairwise — this is the chunk-grain twin of
+    ext_dedup_exact, not of the O(pairs) jaccard family."""
+    docs = (
+        table(spark, sf, "documents")
+        .select("doc_id", "source", TOKENS().alias("toks"))
+        .withColumn("sz", F.size("toks"))
+        .where(F.col("sz") >= 1)
+    )
+    chunks = persist_tracked(
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("sz"), F.lit(_PARA_WIDTH)),
+                    lambda i: F.array_join(
+                        F.slice("toks", i, _PARA_WIDTH), " "
+                    ),
+                )
+            ).alias("chunk"),
+        )
+    )
+    chunk_stats = chunks.groupBy("chunk").agg(
+        (F.min("doc_id") != F.max("doc_id")).cast("int").alias("is_dup")
+    )
+    frac = F.round(
+        F.col("n_dup_chunks").cast("double") / F.col("n_chunks").cast("double")
+        + 1e-9,
+        6,
+    )
+    return (
+        chunks.join(chunk_stats, "chunk")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("is_dup").cast("bigint").alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chunks",
+            "n_dup_chunks",
+            frac.alias("dup_chunk_fraction"),
+            (frac <= _PARA_DROP_FRAC).cast("int").alias("keep_doc"),
+        )
+    )
+
+
+_PARAGRAPH_SQL = """
+WITH t AS (
+  SELECT doc_id, source, {toks} AS toks FROM documents
+),
+ch AS (
+  SELECT doc_id, source,
+         array_to_string(list_slice(toks, i, i + {w} - 1), ' ') AS chunk
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(1, len(toks), {w})) AS i
+  ) s
+  WHERE len(toks) >= 1
+),
+d AS (
+  SELECT chunk, CAST(MIN(doc_id) != MAX(doc_id) AS INT) AS is_dup
+  FROM ch GROUP BY 1
+),
+p AS (
+  SELECT ch.doc_id, ch.source,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(d.is_dup) AS BIGINT) AS n_dup_chunks
+  FROM ch JOIN d USING (chunk)
+  GROUP BY 1, 2
+)
+SELECT doc_id, source, n_chunks, n_dup_chunks,
+       ROUND(CAST(n_dup_chunks AS DOUBLE) / n_chunks + 1e-9, 6)
+         AS dup_chunk_fraction,
+       CAST(ROUND(CAST(n_dup_chunks AS DOUBLE) / n_chunks + 1e-9, 6)
+            <= {drop} AS INT) AS keep_doc
+FROM p
+""".format(toks=_TOKENS_SQL, w=_PARA_WIDTH, drop=_PARA_DROP_FRAC)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(
         "dedup_ngram_jaccard", dedup_ngram_jaccard, _NGRAM_SQL
+    ),
+    # round-12 second-wave addition (fronted in _ROUND12_FRONT)
+    "dedup_paragraph": QuerySpec(
+        "dedup_paragraph", dedup_paragraph, _PARAGRAPH_SQL
     ),
     "dedup_clusters": QuerySpec("dedup_clusters", dedup_clusters, _CLUSTERS_SQL),
     "dedup_keep_best": QuerySpec(

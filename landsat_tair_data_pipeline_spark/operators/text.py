@@ -1389,9 +1389,167 @@ FROM roll
 """.format(toks=_TOKS_SQL)
 
 
+_DSIR_TARGET = "src0"  # the in-domain proxy slice (see docstring)
+_DSIR_BUCKETS = 256
+
+
+def text_dsir_weight(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv 2302.03169):
+    score every document by how much more likely its hashed-bigram
+    features are under a TARGET domain's distribution than under the
+    raw corpus — the published recipe for selecting in-domain
+    pretraining data without a trained classifier. The `src0` slice
+    plays the target (in practice: a small trusted in-domain sample);
+    features are bigram INSTANCES hashed into 256 buckets via the
+    first two md5 hex digits (byte-identical in Spark and DuckDB —
+    the dedup_simhash recipe); both unigram models get +1 Laplace
+    smoothing over the 256 buckets so every log is finite. Per doc:
+    n_bigrams, log_weight = Σ_g [ln p_target(b(g)) − ln p_raw(b(g))],
+    and selected = rounded log_weight > 0 (the flag compares the
+    ROUNDED value in both engines so the zero boundary cannot flip on
+    accumulation order).
+
+    Margin audit (r10 process rule): bucket counts ≤ corpus bigrams
+    (int64); p, q ∈ (0, 1] after smoothing so ln is finite; the
+    per-doc Σ of ~50 bounded terms is order-sensitive only at the
+    ~1e-14 level against a 6dp readout (the PSI/JSD discipline);
+    sequence(1, sz−1) is guarded by sz ≥ 2.
+
+    Scale shape: bigram explode is 1:1 with tokens (linear); the two
+    bucket histograms are 256-row map-side-combinable aggregates; the
+    bucket→llr grid is a 256-row BROADCAST joined back to the bigram
+    stream; the per-doc rollup is one linear shuffle on doc_id. The
+    target slice needs no separate scan — one conditional aggregate
+    over the same stream. Nothing here is pairwise or corpus-squared."""
+    docs = (
+        table(spark, sf, "documents")
+        .select("doc_id", "source", TOKENS().alias("toks"))
+        .withColumn("sz", F.size("toks"))
+        .where(F.col("sz") >= 2)
+    )
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("sz") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("gram"),
+    )
+    bg = persist_tracked(
+        grams.select(
+            "doc_id",
+            "source",
+            F.conv(F.substring(F.md5("gram"), 1, 2), 16, 10)
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    is_tgt = F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)
+    hist = bg.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_r"), F.sum(is_tgt).alias("c_t")
+    )
+    tot = bg.agg(
+        F.count(F.lit(1)).alias("t_r"), F.sum(is_tgt).alias("t_t")
+    )
+    grid = (
+        spark.range(_DSIR_BUCKETS)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(hist, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("c_t", F.lit(0)) + 1).cast("double")
+                    / (F.col("t_t") + _DSIR_BUCKETS).cast("double")
+                )
+                - F.log(
+                    (F.coalesce("c_r", F.lit(0)) + 1).cast("double")
+                    / (F.col("t_r") + _DSIR_BUCKETS).cast("double")
+                )
+            ).alias("llr"),
+        )
+    )
+    per_doc = (
+        bg.join(F.broadcast(grid), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.sum("llr") + 1e-9, 6).alias("log_weight"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_bigrams",
+        "log_weight",
+        (F.col("log_weight") > 0).cast("int").alias("selected"),
+    )
+
+
+_DSIR_SQL = """
+WITH t AS (
+  SELECT doc_id, source, {toks} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(1, len(toks) - 1)) AS i
+  ) s
+  WHERE len(toks) >= 2
+),
+b AS (
+  SELECT doc_id, source,
+         (strpos('0123456789abcdef', substr(md5(gram), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(gram), 2, 1)) - 1)
+           AS bucket
+  FROM g
+),
+hist AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_r,
+         CAST(SUM(CASE WHEN source = '{tgt}' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_t
+  FROM b GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t_r,
+         CAST(SUM(CASE WHEN source = '{tgt}' THEN 1 ELSE 0 END) AS BIGINT)
+           AS t_t
+  FROM b
+),
+grid AS (
+  SELECT gg.bucket,
+         ln(CAST(COALESCE(hist.c_t, 0) + 1 AS DOUBLE) / (tot.t_t + {nb}))
+         - ln(CAST(COALESCE(hist.c_r, 0) + 1 AS DOUBLE) / (tot.t_r + {nb}))
+           AS llr
+  FROM (SELECT unnest(generate_series(0, {nb} - 1)) AS bucket) gg
+  LEFT JOIN hist ON hist.bucket = gg.bucket
+  CROSS JOIN tot
+),
+p AS (
+  SELECT b.doc_id, b.source,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(SUM(grid.llr) + 1e-9, 6) AS log_weight
+  FROM b JOIN grid ON grid.bucket = b.bucket
+  GROUP BY 1, 2
+)
+SELECT doc_id, source, n_bigrams, log_weight,
+       CAST(log_weight > 0 AS INT) AS selected
+FROM p
+""".format(toks=_TOKS_SQL, tgt=_DSIR_TARGET, nb=_DSIR_BUCKETS)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(
         "text_token_count", text_token_count, _TOKEN_COUNT_SQL
+    ),
+    # round-12 second-wave addition (fronted in _ROUND12_FRONT)
+    "text_dsir_weight": QuerySpec(
+        "text_dsir_weight", text_dsir_weight, _DSIR_SQL
     ),
     "text_rolling_hash": QuerySpec(
         "text_rolling_hash", text_rolling_hash, _ROLLING_SQL

@@ -1,0 +1,141 @@
+"""Round-12 second-wave keys: chunk-grain dedup, DSIR weights,
+temperature mixing.
+
+Structural invariants the oracle hash can't see on a lucky corpus:
+brute-forced chunk duplication, DSIR's discriminative direction,
+temperature flattening monotonicity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+
+def _raw_docs(spark, sf_dir):
+    return {
+        r["doc_id"]: (r["source"], r["text"].strip().lower().split())
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+
+
+def test_dedup_paragraph_brute_force(spark, sf_dir):
+    """Recompute the 5-token chunking in plain Python and verify every
+    per-doc count, the cross-doc duplication of every counted chunk,
+    and the keep flag."""
+    from landsat_tair_data_pipeline_spark.operators.dedup import (
+        _PARA_DROP_FRAC,
+        _PARA_WIDTH,
+        dedup_paragraph,
+    )
+
+    docs = _raw_docs(spark, sf_dir)
+    chunks_by_doc: dict[int, list[str]] = {}
+    owners: dict[str, set[int]] = defaultdict(set)
+    for did, (_, toks) in docs.items():
+        ch = [
+            " ".join(toks[i : i + _PARA_WIDTH])
+            for i in range(0, len(toks), _PARA_WIDTH)
+        ]
+        chunks_by_doc[did] = ch
+        for c in ch:
+            owners[c].add(did)
+
+    rows = dedup_paragraph(spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    saw_dup = saw_drop = False
+    for r in rows:
+        ch = chunks_by_doc[r["doc_id"]]
+        n_dup = sum(1 for c in ch if len(owners[c]) >= 2)
+        assert r["n_chunks"] == len(ch)
+        assert r["n_dup_chunks"] == n_dup
+        frac = round(n_dup / len(ch) + 1e-9, 6)
+        assert abs(r["dup_chunk_fraction"] - frac) < 1e-12
+        assert r["keep_doc"] == int(frac <= _PARA_DROP_FRAC)
+        saw_dup = saw_dup or n_dup > 0
+        saw_drop = saw_drop or r["keep_doc"] == 0
+    assert saw_dup, "vacuous corpus: no cross-doc duplicate chunks"
+    # saw_drop may legitimately be False at tiny sf; assert only that
+    # the fraction spread is non-degenerate
+    fracs = {r["dup_chunk_fraction"] for r in rows}
+    assert len(fracs) > 1
+
+
+def test_dsir_weight_brute_force_and_direction(spark, sf_dir):
+    """Brute-force the hashed-bigram likelihood-ratio weight for every
+    doc; check DSIR's defining property: the target slice's mean
+    weight exceeds the rest's (docs score higher under their own
+    distribution)."""
+    from landsat_tair_data_pipeline_spark.operators.text import (
+        _DSIR_BUCKETS,
+        _DSIR_TARGET,
+        text_dsir_weight,
+    )
+
+    docs = _raw_docs(spark, sf_dir)
+    buckets_by_doc: dict[int, list[int]] = {}
+    c_r: Counter = Counter()
+    c_t: Counter = Counter()
+    for did, (src, toks) in docs.items():
+        if len(toks) < 2:
+            continue
+        bs = []
+        for a, b in zip(toks, toks[1:]):
+            h = hashlib.md5(f"{a} {b}".encode()).hexdigest()
+            bs.append(int(h[:2], 16) % _DSIR_BUCKETS)
+        buckets_by_doc[did] = bs
+        c_r.update(bs)
+        if src == _DSIR_TARGET:
+            c_t.update(bs)
+    t_r = sum(c_r.values())
+    t_t = sum(c_t.values())
+    llr = {
+        b: math.log((c_t[b] + 1) / (t_t + _DSIR_BUCKETS))
+        - math.log((c_r[b] + 1) / (t_r + _DSIR_BUCKETS))
+        for b in range(_DSIR_BUCKETS)
+    }
+
+    rows = text_dsir_weight(spark, sf_dir).collect()
+    assert len(rows) == len(buckets_by_doc)
+    by_src: dict[str, list[float]] = defaultdict(list)
+    for r in rows:
+        bs = buckets_by_doc[r["doc_id"]]
+        assert r["n_bigrams"] == len(bs)
+        want = round(sum(llr[b] for b in bs) + 1e-9, 6)
+        assert abs(r["log_weight"] - want) < 1e-9, r
+        assert r["selected"] == int(r["log_weight"] > 0)
+        by_src[r["source"]].append(r["log_weight"])
+    tgt_mean = sum(by_src[_DSIR_TARGET]) / len(by_src[_DSIR_TARGET])
+    rest = [v for s, vs in by_src.items() if s != _DSIR_TARGET for v in vs]
+    assert tgt_mean > sum(rest) / len(rest), (
+        "DSIR lost its discriminative direction"
+    )
+
+
+def test_sample_temperature_flattens(spark, sf_dir):
+    """q_temp is a distribution; temperature strictly flattens:
+    boost ordering is inverse to share ordering, the largest source is
+    down-sampled, the smallest up-sampled (whenever shares differ)."""
+    from landsat_tair_data_pipeline_spark.operators.augment import (
+        sample_temperature,
+    )
+
+    rows = sorted(
+        sample_temperature(spark, sf_dir).collect(),
+        key=lambda r: r["n_tokens"],
+    )
+    assert len(rows) >= 2
+    assert abs(sum(r["q_temp"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["p_mix"] for r in rows) - 1.0) < 1e-4
+    boosts = [r["boost"] for r in rows]
+    assert boosts == sorted(boosts, reverse=True), (
+        "boost must decrease as share grows"
+    )
+    if rows[0]["n_tokens"] != rows[-1]["n_tokens"]:
+        assert rows[0]["direction"] == "up"
+        assert rows[-1]["direction"] == "down"
+    for r in rows:
+        assert r["direction"] == ("up" if r["boost"] > 1 else "down")
