@@ -914,3 +914,43 @@ def test_simhash_wide_reuses_cached_signatures(spark):
     # exactly one 128-column signature aggregate subtree got cached:
     # the md5 projection appears only inside the InMemoryRelation
     assert plan.count("md5") <= plan.count("InMemoryRelation") * 4
+
+
+def test_dedup_paragraph_minmax_not_countdistinct(spark):
+    """dedup_paragraph's cross-doc test must be the map-side-combinable
+    MIN!=MAX(doc_id) aggregate — a countDistinct would show up as an
+    Expand and reintroduce the hot-chunk skew the docstring rules out;
+    the chunk stream must be cached once and feed both the stats agg
+    and the flag-back join."""
+    plan = _plan(spark, "dedup_paragraph")
+    assert "Expand" not in plan
+    assert "partial_min" in plan and "partial_max" in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dsir_grid_is_broadcast(spark):
+    """text_dsir_weight's 256-row llr grid must ride a broadcast back
+    onto the bigram stream (never a shuffle of the stream onto a
+    256-key axis), and both histograms must come from the one cached
+    bucket stream — no SortMergeJoin anywhere."""
+    plan = _plan(spark, "text_dsir_weight")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_sample_temperature_broadcast_reductions(spark):
+    """sample_temperature's two corpus-total reductions must join back
+    as broadcast singletons (the house crossJoin(broadcast(...))
+    pattern), never a CartesianProduct, with the token mass computed
+    in ONE map-side-combinable per-source aggregate."""
+    plan = _plan(spark, "sample_temperature")
+    # cached subtrees reprint their inner join: 2 distinct crosses,
+    # <= 3 printed occurrences, EVERY one a broadcast-build cross
+    n = plan.count("BroadcastNestedLoopJoin")
+    assert 2 <= n <= 3
+    assert plan.count("BroadcastNestedLoopJoin BuildRight, Cross") == n
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan and "partial_sum" in plan
