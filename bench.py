@@ -182,6 +182,7 @@ HEADLINE = [
     "dedup_paragraph",
     "text_dsir_weight",
     "sample_temperature",
+    "llm_data_pipeline_v6",
 ]
 
 # Heavy LSH-family keys (VERDICT r10 item 3): full 3 reps, report the

@@ -2636,6 +2636,381 @@ LEFT JOIN kept_n USING (source)
     )
 
 
+def llm_data_pipeline_v6(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-12 second-wave corpus build — v5 extended by the
+    three stages a 100 TB curation run performs after semantic dedup,
+    completing the engine's filter → dedup → select → mix story:
+
+        domain pre-filter → exact dedup
+          → BOILERPLATE DROP  (drop docs whose RefinedWeb chunk-grain
+                               duplicated fraction exceeds 0.3 —
+                               dedup_paragraph's keep_doc = 0 list,
+                               computed on the RAW corpus exactly as
+                               a production pass would precompute it;
+                               EARLY, before any pairwise stage — at
+                               100 TB you kill boilerplate before it
+                               enters the O(pairs) containment join,
+                               and on this corpus the late placement
+                               is also vacuous: the containment
+                               survivors at sf0.1 are precisely the
+                               high-dup template hubs, so a post-scrub
+                               cut drops ALL of them)
+          → entropy floor → containment scrub → semantic dedup
+                              (v5's stages, unchanged semantics)
+          → DSIR SELECTION    (keep the top ⌈n/2⌉ survivors by
+                               target-domain importance weight —
+                               text_dsir_weight's log_weight, ranked
+                               with doc_id tiebreaks via the
+                               distributed util.global_prefix rank,
+                               never a single-partition window; the
+                               budget-style deterministic stand-in
+                               for importance RESAMPLING, and the
+                               kept docs' mean log-weight is reported
+                               per source so the pull toward the
+                               target is auditable)
+          → TEMPERATURE MIX   (per-source q ∝ p^0.3 sampling shares
+                               over the FINAL kept token mass — the
+                               step that turns a curated corpus into
+                               a training mixture; NULL for a source
+                               with nothing kept)
+          → per-source funnel (n_raw → n_after_domain → n_after_exact
+                               → n_after_boilerplate → n_after_quality
+                               → n_after_containment → n_after_semantic
+                               → n_kept, kept token mass,
+                               mean_dsir_kept, q_temp, boost)
+
+    Every stage is an already-oracled operator (v5's five plus
+    dedup_paragraph, text_dsir_weight, sample_temperature's formula);
+    the composed oracle embeds dedup_paragraph's and
+    text_dsir_weight's FULL published SQL as subqueries (the r7
+    compose-don't-copy rule: an edit to either op propagates here and
+    a drift in ANY stage breaks this hash). Funnel rows LEFT-join
+    from raw counts — a domain killed at stage one still shows zeros.
+
+    Margin audit (r10 process rule): every stage count ≤ the prior
+    stage's (anti/semi joins only remove); the temperature shares are
+    computed ONLY over sources with kept_tokens > 0, so p > 0 and
+    pow/division are finite; a fully-empty kept set degrades to NULL
+    shares in both engines (SUM over zero rows), never a divide-by-
+    zero.
+
+    Scale shape: v5's shuffles plus dedup_paragraph's two linear
+    chunk shuffles, text_dsir_weight's linear bigram shuffle +
+    256-row broadcast, two doc_id anti/semi joins, and |sources|-row
+    broadcast reductions for the mixture — nothing corpus-sized
+    broadcasts, nothing pairwise beyond the cell-blocked stages
+    already priced in v5."""
+    from .similarity import dedup_semdedup
+    from .text import text_dsir_weight
+
+    docs = table(spark, sf, "documents").select("doc_id", "source", "text")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(TOKENS()))))
+    flagged = (
+        docs.select("source", fp.alias("f"))
+        .groupBy("source")
+        .agg(
+            F.round(
+                1.0
+                - F.countDistinct("f").cast("double") / F.count(F.lit(1))
+                + 1e-9,
+                4,
+            ).alias("dr")
+        )
+        .where(F.col("dr") > 0.055)
+        .select("source")
+    )
+    d0 = persist_tracked(docs.join(F.broadcast(flagged), "source", "left_anti"))
+    keep1 = d0.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    d1 = persist_tracked(
+        d0.join(keep1.select("doc_id"), "doc_id", "left_semi")
+    )
+    bad_para = (
+        dedup_paragraph(spark, sf)
+        .where(F.col("keep_doc") == 0)
+        .select("doc_id")
+    )
+    d1b = persist_tracked(d1.join(bad_para, "doc_id", "left_anti"))
+    tok = d1b.select("doc_id", F.explode(TOKENS()).alias("tok"))
+    cnt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ent = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c").cast("double") * F.log2("c")).alias("_clog"),
+    )
+    ent = ent.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.log2("n_tokens") - F.col("_clog") / F.col("n_tokens") + 1e-9, 6
+        ).alias("entropy"),
+    )
+    d2 = persist_tracked(
+        d1b.join(ent, "doc_id").where(
+            (F.col("entropy") >= 4.0) & (F.col("n_tokens") >= 20)
+        )
+    )
+    docs2 = d2.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.transform(TOKENS(), lambda t: F.xxhash64(t))
+        ).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    pairs = _asym_containment_candidates(docs2, 7999, 10000)
+    containment = F.round(
+        F.col("inter").cast("double") / F.col("sz_a").cast("double") + 1e-9,
+        4,
+    )
+    cdrops = (
+        pairs.where(
+            (containment >= 0.8)
+            & (
+                (F.col("sz_b") > F.col("sz_a"))
+                | (
+                    (F.col("sz_b") == F.col("sz_a"))
+                    & (F.col("doc_b") < F.col("doc_a"))
+                )
+            )
+        )
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    kept_c = persist_tracked(d2.join(cdrops, "doc_id", "left_anti"))
+    sem_drops = dedup_semdedup(spark, sf).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    # localCheckpoint, not persist, from here down (the dedup_clusters
+    # rule: cut lineage where lineage itself is the pathology). With
+    # persists, every layer's InMemoryRelation PRINTS its full cached
+    # subtree, each funnel layer is referenced twice above its
+    # relation, and AQE regenerates the explain string on every
+    # adaptive update — measured 2.9 MB of plan text and ~100 s of
+    # driver CPU in generateTreeString at sf0.001 (the string-budget
+    # cap doesn't help: the TRAVERSAL is what's combinatorial). Four
+    # cuts flatten the tail to LogicalRDD leaves: 107 s → ~3 s.
+    kept_sem = kept_c.join(sem_drops, "doc_id", "left_anti").localCheckpoint()
+    from ..util import global_prefix
+
+    dsir_w = text_dsir_weight(spark, sf).select("doc_id", "log_weight")
+    scored = kept_sem.join(dsir_w, "doc_id").withColumn(
+        "_negw", -F.col("log_weight")
+    )
+    kept = (
+        global_prefix(scored, ["_negw", "doc_id"])
+        .where(F.col("_prefix") <= F.expr("(_total + 1) DIV 2"))
+        .drop("_negw", "_prefix", "_total")
+        .localCheckpoint()
+    )
+    raw_n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    d0_n = d0.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_domain"))
+    d1_n = d1.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_exact"))
+    d2_n = d2.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_quality")
+    )
+    cont_n = kept_c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_containment")
+    )
+    sem_n = kept_sem.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_semantic")
+    )
+    b_n = d1b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_boilerplate")
+    )
+    kept_n = (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+            F.round(F.avg("log_weight") + 1e-9, 4).alias("mean_dsir_kept"),
+        )
+        .localCheckpoint()
+    )
+    tot = kept_n.agg(F.sum("kept_tokens").alias("tot"))
+    p = F.col("kept_tokens").cast("double") / F.col("tot").cast("double")
+    shares = persist_tracked(
+        kept_n.crossJoin(F.broadcast(tot)).select(
+            "source", p.alias("p"), F.pow(p, 0.3).alias("w")
+        )
+    )
+    z = shares.agg(F.sum("w").alias("z"))
+    mix = shares.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.round(F.col("w") / F.col("z") + 1e-9, 6).alias("q_temp"),
+        F.round(F.col("w") / F.col("z") / F.col("p") + 1e-9, 4).alias(
+            "boost"
+        ),
+    )
+    return (
+        raw_n.join(d0_n, "source", "left")
+        .join(d1_n, "source", "left")
+        .join(d2_n, "source", "left")
+        .join(cont_n, "source", "left")
+        .join(sem_n, "source", "left")
+        .join(b_n, "source", "left")
+        .join(kept_n, "source", "left")
+        .join(mix, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_after_domain", F.lit(0)).alias("n_after_domain"),
+            F.coalesce("n_after_exact", F.lit(0)).alias("n_after_exact"),
+            F.coalesce("n_after_boilerplate", F.lit(0)).alias(
+                "n_after_boilerplate"
+            ),
+            F.coalesce("n_after_quality", F.lit(0)).alias("n_after_quality"),
+            F.coalesce("n_after_containment", F.lit(0)).alias(
+                "n_after_containment"
+            ),
+            F.coalesce("n_after_semantic", F.lit(0)).alias(
+                "n_after_semantic"
+            ),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            "mean_dsir_kept",
+            "q_temp",
+            "boost",
+        )
+    )
+
+
+def _v6_sql() -> str:
+    """Composed v6 oracle: v5's CTE chain extended by dedup_paragraph
+    and text_dsir_weight EMBEDDED AS FULL SUBQUERIES of their published
+    SQL (compose-don't-copy: an edit to either op's oracle propagates
+    here), then the temperature-mixture CTEs over the final kept
+    token mass."""
+    from .similarity import (
+        _COS_SQL,
+        _EMB_SQL,
+        _IVF_GRAPH_RANKED_SQL,
+        _SEMDEDUP_TAU,
+    )
+    from .text import _DSIR_SQL
+
+    return """
+WITH raw AS (SELECT doc_id, source, text FROM documents),
+rfp AS (
+  SELECT source,
+         md5(list_aggregate(list_sort(list_distinct({toks})),
+                            'string_agg', ' ')) AS f
+  FROM documents),
+flagged AS (
+  SELECT source FROM rfp GROUP BY 1
+  HAVING ROUND(1.0 - COUNT(DISTINCT f) / CAST(COUNT(*) AS DOUBLE) + 1e-9, 4)
+         > 0.055),
+d0 AS (SELECT raw.* FROM raw ANTI JOIN flagged USING (source)),
+keep1 AS (SELECT MIN(doc_id) AS doc_id FROM d0 GROUP BY md5(text)),
+d1 AS (SELECT d0.* FROM d0 SEMI JOIN keep1 USING (doc_id)),
+bad_para AS (
+  SELECT doc_id FROM ({para_sql}) WHERE keep_doc = 0),
+d1b AS (SELECT d1.* FROM d1 ANTI JOIN bad_para USING (doc_id)),
+tok AS (SELECT doc_id, unnest({toks}) AS tok FROM d1b),
+cnt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2),
+ent AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         ROUND(log2(CAST(SUM(c) AS BIGINT))
+               - SUM(CAST(c AS DOUBLE) * log2(c)) / CAST(SUM(c) AS BIGINT)
+               + 1e-9, 6) AS entropy
+  FROM cnt GROUP BY 1),
+d2 AS (
+  SELECT d1b.doc_id, d1b.source, d1b.text, ent.n_tokens, ent.entropy
+  FROM d1b JOIN ent USING (doc_id)
+  WHERE ent.entropy >= 4.0 AND ent.n_tokens >= 20),
+t2 AS (SELECT doc_id, source, list_distinct({toks}) AS toks FROM d2),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         len(list_intersect(a.toks, b.toks)) AS inter,
+         len(a.toks) AS sza, len(b.toks) AS szb
+  FROM t2 a JOIN t2 b ON a.source = b.source AND a.doc_id <> b.doc_id),
+cdrops AS (
+  SELECT DISTINCT da AS doc_id FROM p
+  WHERE ROUND(CAST(inter AS DOUBLE) / sza + 1e-9, 4) >= 0.8
+    AND (szb > sza OR (szb = sza AND db < da))),
+kept_c AS (SELECT d2.* FROM d2 ANTI JOIN cdrops USING (doc_id)),
+e AS ({emb}),
+{ranked},
+assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rk = 1),
+m AS (SELECT a.vec_id, a.cell, e.v FROM assign a JOIN e USING (vec_id)),
+spairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+sdrops AS (
+  SELECT DISTINCT vec_b AS doc_id FROM spairs WHERE cosine >= {tau}),
+kept_sem AS (SELECT kept_c.* FROM kept_c ANTI JOIN sdrops USING (doc_id)),
+dsirw AS (
+  SELECT doc_id, log_weight FROM ({dsir_sql})),
+scored AS (
+  SELECT kept_sem.*, dsirw.log_weight,
+         ROW_NUMBER() OVER (ORDER BY dsirw.log_weight DESC,
+                            kept_sem.doc_id ASC) AS _r,
+         COUNT(*) OVER () AS _n
+  FROM kept_sem JOIN dsirw USING (doc_id)),
+kept AS (
+  SELECT doc_id, source, text, n_tokens, entropy, log_weight
+  FROM scored WHERE _r <= (_n + 1) // 2),
+raw_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
+          FROM raw GROUP BY 1),
+d0_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_domain
+         FROM d0 GROUP BY 1),
+d1_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_exact
+         FROM d1 GROUP BY 1),
+d2_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_quality
+         FROM d2 GROUP BY 1),
+cont_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_containment
+           FROM kept_c GROUP BY 1),
+sem_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_semantic
+          FROM kept_sem GROUP BY 1),
+b_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_boilerplate
+        FROM d1b GROUP BY 1),
+kept_n AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+         ROUND(AVG(log_weight) + 1e-9, 4) AS mean_dsir_kept
+  FROM kept GROUP BY 1),
+tt AS (SELECT SUM(kept_tokens) AS tot FROM kept_n),
+sh AS (
+  SELECT kept_n.source,
+         CAST(kept_tokens AS DOUBLE) / tt.tot AS p,
+         pow(CAST(kept_tokens AS DOUBLE) / tt.tot, 0.3) AS w
+  FROM kept_n CROSS JOIN tt),
+zz AS (SELECT SUM(w) AS z FROM sh),
+mix AS (
+  SELECT sh.source,
+         ROUND(sh.w / zz.z + 1e-9, 6) AS q_temp,
+         ROUND(sh.w / zz.z / sh.p + 1e-9, 4) AS boost
+  FROM sh CROSS JOIN zz)
+SELECT raw_n.source, raw_n.n_raw,
+       COALESCE(d0_n.n_after_domain, 0)        AS n_after_domain,
+       COALESCE(d1_n.n_after_exact, 0)         AS n_after_exact,
+       COALESCE(b_n.n_after_boilerplate, 0)    AS n_after_boilerplate,
+       COALESCE(d2_n.n_after_quality, 0)       AS n_after_quality,
+       COALESCE(cont_n.n_after_containment, 0) AS n_after_containment,
+       COALESCE(sem_n.n_after_semantic, 0)     AS n_after_semantic,
+       COALESCE(kept_n.n_kept, 0)              AS n_kept,
+       COALESCE(kept_n.kept_tokens, 0)         AS kept_tokens,
+       kept_n.mean_dsir_kept,
+       mix.q_temp,
+       mix.boost
+FROM raw_n
+LEFT JOIN d0_n   USING (source)
+LEFT JOIN d1_n   USING (source)
+LEFT JOIN d2_n   USING (source)
+LEFT JOIN cont_n USING (source)
+LEFT JOIN sem_n  USING (source)
+LEFT JOIN b_n    USING (source)
+LEFT JOIN kept_n USING (source)
+LEFT JOIN mix    USING (source)
+""".format(
+        toks=_TOKENS_SQL,
+        emb=_EMB_SQL,
+        ranked=_IVF_GRAPH_RANKED_SQL,
+        cos=_COS_SQL.format(a="a", b="b"),
+        tau=_SEMDEDUP_TAU,
+        para_sql=_PARAGRAPH_SQL.strip(),
+        dsir_sql=_DSIR_SQL.strip(),
+    )
+
+
 def llm_data_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
     """The round-6 corpus build — the full modern pre-training data
     recipe, still ONE composed Catalyst job:
@@ -3477,6 +3852,10 @@ QUERIES: dict[str, QuerySpec] = {
     # r12 flagship: v4 bracketed by domain pre-filter + semantic dedup
     "llm_data_pipeline_v5": QuerySpec(
         "llm_data_pipeline_v5", llm_data_pipeline_v5, _v5_sql()
+    ),
+    # r12 second-wave flagship: v5 + boilerplate drop + DSIR + mix
+    "llm_data_pipeline_v6": QuerySpec(
+        "llm_data_pipeline_v6", llm_data_pipeline_v6, _v6_sql()
     ),
     # r10 flagship: the curation funnel composed from this round's ops
     "llm_data_pipeline_v4": QuerySpec(

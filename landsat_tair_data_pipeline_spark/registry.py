@@ -129,13 +129,15 @@ def all_queries() -> dict[str, QuerySpec]:
 # fixture-backed — their inputs NEVER regenerate, so their r7 rows
 # carry the least staleness risk in the registry.
 _ROUND12_FRONT = [
-    # new in r12 second wave, fronted on arrival (3) — displace the
-    # last three fixture-backed Landsat-core slots (proj_date_parts,
-    # src_csv_ground_truths, sink_csv_stations) into the r13 fill,
-    # alongside the six r7 spills of the same in-repo-fixture class
+    # new in r12 second wave, fronted on arrival (4) — displace the
+    # last four fixture-backed Landsat-core slots (map_dn_to_radiance,
+    # proj_date_parts, src_csv_ground_truths, sink_csv_stations) into
+    # the r13 fill, alongside the six r7 spills of the same
+    # in-repo-fixture class
     "dedup_paragraph",
     "text_dsir_weight",
     "sample_temperature",
+    "llm_data_pipeline_v6",
     # new in r12, fronted on arrival (6)
     "dedup_simhash_hamming_wide",
     "sim_knn_graph_ivf",
@@ -188,7 +190,6 @@ _ROUND12_FRONT = [
     "map_band_remap_l8",
     "map_bt_l5",
     "map_bt_l89",
-    "map_dn_to_radiance",
 ]
 
 # Historical r11 order kept for reference (drove CORRECTNESS_r11).

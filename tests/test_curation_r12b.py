@@ -139,3 +139,36 @@ def test_sample_temperature_flattens(spark, sf_dir):
         assert rows[-1]["direction"] == "down"
     for r in rows:
         assert r["direction"] == ("up" if r["boost"] > 1 else "down")
+
+
+def test_pipeline_v6_funnel_invariants(spark, sf_dir):
+    """Funnel monotonicity per source, the top-half DSIR selection
+    size rule (total n_kept == ceil(total semantic survivors / 2),
+    every survivor having a DSIR row), and the mixture being a
+    distribution over the surviving sources."""
+    from landsat_tair_data_pipeline_spark.operators.dedup import (
+        llm_data_pipeline_v6,
+    )
+
+    rows = llm_data_pipeline_v6(spark, sf_dir).collect()
+    assert rows
+    stages = [
+        "n_raw",
+        "n_after_domain",
+        "n_after_exact",
+        "n_after_boilerplate",
+        "n_after_quality",
+        "n_after_containment",
+        "n_after_semantic",
+        "n_kept",
+    ]
+    for r in rows:
+        vals = [r[s] for s in stages]
+        assert vals == sorted(vals, reverse=True), r
+    total_sem = sum(r["n_after_semantic"] for r in rows)
+    total_kept = sum(r["n_kept"] for r in rows)
+    assert total_kept == (total_sem + 1) // 2
+    assert total_kept > 0, "vacuous corpus: nothing kept"
+    qs = [r["q_temp"] for r in rows if r["q_temp"] is not None]
+    assert len(qs) == sum(1 for r in rows if r["n_kept"] > 0)
+    assert abs(sum(qs) - 1.0) < 1e-4
