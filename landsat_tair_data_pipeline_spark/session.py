@@ -22,6 +22,14 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Cap the explain/UI plan STRING (not the plan itself). AQE
+    # regenerates the explain string on every adaptive update, and a
+    # deep persisted-funnel plan prints its nested InMemoryRelation
+    # subtrees combinatorially — measured 2.9 MB of plan text and
+    # ~2x the driver CPU of the capped run on llm_data_pipeline_v6
+    # before its localCheckpoint cuts. The cap bounds the damage for
+    # any future deep-lineage key; 64 KiB keeps real plans readable.
+    "spark.sql.maxPlanStringLength": "65536",
     # NOTE: spark.sql.legacy.parquet.nanosAsLong (the events.ts
     # data-vintage shim) deliberately does NOT live here — a global
     # legacy flag changes how ANY nanos parquet reads. It is set
