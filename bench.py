@@ -183,6 +183,9 @@ HEADLINE = [
     "text_dsir_weight",
     "sample_temperature",
     "llm_data_pipeline_v6",
+    "dedup_paragraph_scrub",
+    "text_quality_bucket",
+    "ts_forecast_seasonal_naive",
 ]
 
 # Heavy LSH-family keys (VERDICT r10 item 3): full 3 reps, report the

@@ -38,6 +38,12 @@ def TOKENS():
 
 _TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
 
+# chunk-grain ("paragraph") dedup parameters, shared by
+# dedup_paragraph / dedup_paragraph_scrub / llm_data_pipeline_v6 —
+# rationale at dedup_paragraph's definition
+_PARA_WIDTH = 5
+_PARA_DROP_FRAC = 0.3  # RefinedWeb drops docs > ~30% duplicated lines
+
 
 def ext_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup by content digest; keeper = lowest doc_id per digest
@@ -3254,6 +3260,177 @@ GROUP BY bg.doc_id
 """.format(toks=_TOKENS_SQL)
 
 
+def text_quality_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail quality buckets (Wenzek et al. 2020):
+    rank every document by its corpus-bigram LM score (high avg ln P =
+    low perplexity = 'head', the CCNet convention) and cut the corpus
+    into thirds BY TOKEN MASS, not doc count — the paper's buckets
+    are sized so each third carries equal training mass. The cuts are
+    integer comparisons on the inclusive cumulative token prefix
+    (cum·3 ≤ total → head; cum·3 ≤ 2·total → middle; else tail), so a
+    boundary tie cannot float-flip between engines; doc_id breaks LM
+    ties deterministically. Docs with < 2 tokens have no LM score and
+    drop (text_bigram_lm_score's inner semantics).
+
+    Margin audit (r10 process rule): token sums are int64; the rank
+    is util.global_prefix's distributed range-partitioned prefix —
+    never a single-partition window; avg_logp is the 4dp-ROUNDED
+    column of the published LM op, identical doubles in both engines,
+    so the ORDER (and thus every bucket) is engine-stable; -0.0 in
+    the negated sort key is normalized by Spark's
+    NormalizeFloatingNumbers rule (and avg_logp < 0 anyway: ln of an
+    MLE probability with every corpus bigram seen at least once).
+
+    Scale shape: the LM op's two wordcount aggregates + Zipf-skewed
+    bigram join (AQE-split), one narrow token-count map, then the
+    global_prefix machinery: range partition on the score key, one
+    per-partition window, a #partitions-row broadcast of offsets."""
+    from ..util import global_prefix
+
+    lm = text_bigram_lm_score(spark, sf)
+    toks = table(spark, sf, "documents").select(
+        "doc_id", F.size(TOKENS()).cast("bigint").alias("n_tokens")
+    )
+    scored = lm.join(toks, "doc_id").withColumn(
+        "_negs", -F.col("avg_logp")
+    )
+    ranked = global_prefix(scored, ["_negs", "doc_id"], value_col="n_tokens")
+    cum3 = F.col("_prefix") * 3
+    return ranked.select(
+        "doc_id",
+        "avg_logp",
+        "n_tokens",
+        F.when(cum3 <= F.col("_total"), "head")
+        .when(cum3 <= 2 * F.col("_total"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+_QUALITY_BUCKET_SQL = """
+WITH lm AS ({lm}),
+tk AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents
+),
+ranked AS (
+  SELECT lm.doc_id, lm.avg_logp, tk.n_tokens,
+         SUM(tk.n_tokens) OVER (
+           ORDER BY lm.avg_logp DESC, lm.doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(tk.n_tokens) OVER () AS total
+  FROM lm JOIN tk USING (doc_id)
+)
+SELECT doc_id, avg_logp, n_tokens,
+       CASE WHEN cum * 3 <= total THEN 'head'
+            WHEN cum * 3 <= 2 * total THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+""".format(lm=_BIGRAM_LM_SQL.strip(), toks=_TOKENS_SQL)
+
+
+def dedup_paragraph_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """The surgical half of RefinedWeb line-dedup: REMOVE the
+    cross-doc duplicated chunks and keep the document — what the
+    paper actually does to navigation chrome and boilerplate (drop
+    the line, not the page). Chunk universe and duplication test are
+    dedup_paragraph's exactly (5-token chunks, MIN≠MAX doc_id); the
+    output carries the reconstructed text (kept chunks re-joined in
+    original order), the removal counts, and the kept token count a
+    downstream tokenizer would bill.
+
+    Margin audit (r10 process rule): chunk positions are unique per
+    doc (sequence indices), so the order-restoring array_sort on
+    (pos, …) structs is total and the rebuilt text is deterministic;
+    a fully-scrubbed doc yields the EMPTY STRING in both engines
+    (array_join over an empty array / COALESCE of a filtered
+    string_agg — the NULL-on-empty trap coalesced explicitly).
+
+    Scale shape: identical to dedup_paragraph (linear explode,
+    map-side-combinable chunk aggregate, AQE-splittable flag-back
+    join) plus one per-doc collect_list whose state is the document
+    itself — bounded by max doc length, the same envelope as every
+    per-doc array op in text.py."""
+    docs = (
+        table(spark, sf, "documents")
+        .select("doc_id", "source", TOKENS().alias("toks"))
+        .withColumn("sz", F.size("toks"))
+        .where(F.col("sz") >= 1)
+    )
+    chunks = persist_tracked(
+        docs.select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("sz"), F.lit(_PARA_WIDTH)),
+                    lambda i: F.array_join(
+                        F.slice("toks", i, _PARA_WIDTH), " "
+                    ),
+                )
+            ).alias("pos", "chunk"),
+        )
+    )
+    chunk_stats = chunks.groupBy("chunk").agg(
+        (F.min("doc_id") != F.max("doc_id")).cast("int").alias("is_dup")
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "chunk", "is_dup"))
+                ),
+                lambda s: s.is_dup == 0,
+            ),
+            lambda s: s.chunk,
+        ),
+        " ",
+    )
+    kept_toks = F.sum(
+        F.when(
+            F.col("is_dup") == 0, F.size(F.split(F.col("chunk"), r"\s+"))
+        ).otherwise(0)
+    )
+    return (
+        chunks.join(chunk_stats, "chunk")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("is_dup").cast("bigint").alias("n_removed"),
+            kept_toks.cast("bigint").alias("n_tokens_kept"),
+            rebuilt.alias("scrubbed_text"),
+        )
+    )
+
+
+_PARAGRAPH_SCRUB_SQL = """
+WITH t AS (
+  SELECT doc_id, source, {toks} AS toks FROM documents
+),
+ch AS (
+  SELECT doc_id, source, s.i AS pos,
+         array_to_string(list_slice(toks, s.i, s.i + {w} - 1), ' ') AS chunk
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(1, len(toks), {w})) AS i
+  ) s
+  WHERE len(toks) >= 1
+),
+d AS (
+  SELECT chunk, CAST(MIN(doc_id) != MAX(doc_id) AS INT) AS is_dup
+  FROM ch GROUP BY 1
+)
+SELECT ch.doc_id, ch.source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(d.is_dup) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN d.is_dup = 0
+                     THEN len(string_split_regex(ch.chunk, '\\s+'))
+                     ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+       COALESCE(string_agg(ch.chunk, ' ' ORDER BY ch.pos)
+                  FILTER (WHERE d.is_dup = 0), '') AS scrubbed_text
+FROM ch JOIN d USING (chunk)
+GROUP BY 1, 2
+""".format(toks=_TOKENS_SQL, w=_PARA_WIDTH)
+
+
 from .text import _QUALITY_SQL as _TEXT_QUALITY_SQL  # noqa: E402
 from .text import _REPETITION_SQL as _TEXT_REPETITION_SQL  # noqa: E402
 
@@ -3640,14 +3817,12 @@ def _triangle_sql() -> str:
 # document when too much of it is made of lines that also appear in
 # OTHER documents — boilerplate, navigation chrome, license headers.
 # This corpus has no newline structure (word-stream docs), so the
-# "paragraph" unit is the non-overlapping 5-token chunk: long enough
-# that random 30-word-vocab collisions are rare, short enough that the
-# generator's injected near-duplicate templates actually collide
-# (measured 646 / 577 / 6,554 cross-doc duplicate chunk instances at
-# sf0.001/0.01/0.1 — non-vacuous at every sf).
-
-_PARA_WIDTH = 5
-_PARA_DROP_FRAC = 0.3  # RefinedWeb drops docs > ~30% duplicated lines
+# "paragraph" unit is the non-overlapping 5-token chunk (_PARA_WIDTH,
+# defined at module top): long enough that random 30-word-vocab
+# collisions are rare, short enough that the generator's injected
+# near-duplicate templates actually collide (measured 646 / 577 /
+# 6,554 cross-doc duplicate chunk instances at sf0.001/0.01/0.1 —
+# non-vacuous at every sf).
 
 
 def dedup_paragraph(spark: SparkSession, sf: str) -> DataFrame:
@@ -3759,9 +3934,15 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(
         "dedup_ngram_jaccard", dedup_ngram_jaccard, _NGRAM_SQL
     ),
-    # round-12 second-wave addition (fronted in _ROUND12_FRONT)
+    # round-12 second-wave additions (fronted in _ROUND12_FRONT)
     "dedup_paragraph": QuerySpec(
         "dedup_paragraph", dedup_paragraph, _PARAGRAPH_SQL
+    ),
+    "dedup_paragraph_scrub": QuerySpec(
+        "dedup_paragraph_scrub", dedup_paragraph_scrub, _PARAGRAPH_SCRUB_SQL
+    ),
+    "text_quality_bucket": QuerySpec(
+        "text_quality_bucket", text_quality_bucket, _QUALITY_BUCKET_SQL
     ),
     "dedup_clusters": QuerySpec("dedup_clusters", dedup_clusters, _CLUSTERS_SQL),
     "dedup_keep_best": QuerySpec(

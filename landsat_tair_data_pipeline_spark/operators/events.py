@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..registry import QuerySpec
 from ..sources.tables import table
+from ..util import persist_tracked
 
 
 def events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
@@ -3714,6 +3715,89 @@ FROM m
 """
 
 
+def ts_forecast_seasonal_naive(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-naive backtest — the baseline every real forecaster
+    must beat (Hyndman & Athanasopoulos, fpp3 §5.2): forecast each
+    (event_type, day)'s total value as the SAME WEEKDAY's total one
+    week earlier, then score the forecast per event_type over every
+    day that has a 7-day lag: n_days scored, MAE, MAPE (zero-actual
+    days excluded from the denominator and counted separately — the
+    classic div-by-zero trap made explicit), and mean signed bias.
+    The companion to ts_seasonal_decompose: decompose MEASURES the
+    weekly cycle, this op CASHES it as a prediction and prices the
+    residual.
+
+    Margin audit (r10 process rule): daily totals are ROUNDED to 4dp
+    before differencing in BOTH engines, so every error term is an
+    identical double and only the final AVG order differs (~1e-15 vs
+    a 4dp readout); the lag join is on exact DATE equality (DATE - 7
+    is closed integer arithmetic, no timezone drift under the UTC
+    session); zero-actual guard means mape's denominator set is
+    exactly n_scored - n_zero_actual, NULL (not NaN/inf) when empty
+    in both engines.
+
+    Scale shape: one map-side-combinable (event_type, day) aggregate
+    — event bodies never shuffle again — then a self-join on the
+    (event_type, day-7) key at DAILY grain (365·|types| rows/year,
+    dimension-scale) and one |types|-row rollup. At 100 TB the daily
+    frame is millions of times smaller than the events it summarizes;
+    nothing here touches raw-event cardinality twice."""
+    ev = table(spark, sf, "events")
+    daily = persist_tracked(
+        ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(F.round(F.sum("value") + 1e-9, 4).alias("total"))
+    )
+    fc = daily.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("total").alias("forecast"),
+    )
+    scored = daily.join(fc, ["event_type", "day"])
+    err = F.col("total") - F.col("forecast")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.avg(F.abs(err)) + 1e-9, 4).alias("mae"),
+        F.round(
+            F.avg(
+                F.when(F.col("total") != 0.0, F.abs(err) / F.abs("total"))
+            )
+            + 1e-9,
+            4,
+        ).alias("mape"),
+        F.sum(F.when(F.col("total") == 0.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_actual"),
+        F.round(F.avg(err) + 1e-9, 4).alias("bias"),
+    )
+
+
+_SEASONAL_NAIVE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(SUM(value) + 1e-9, 4) AS total
+  FROM events GROUP BY 1, 2
+),
+fc AS (
+  SELECT event_type, day + 7 AS day, total AS forecast FROM daily
+),
+scored AS (
+  SELECT d.event_type, d.total, f.forecast,
+         d.total - f.forecast AS err
+  FROM daily d JOIN fc f USING (event_type, day)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(AVG(ABS(err)) + 1e-9, 4) AS mae,
+       ROUND(AVG(CASE WHEN total != 0.0
+                      THEN ABS(err) / ABS(total) END) + 1e-9, 4) AS mape,
+       CAST(SUM(CASE WHEN total = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_actual,
+       ROUND(AVG(err) + 1e-9, 4) AS bias
+FROM scored GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec("events_tumbling", events_tumbling, _TUMBLING_SQL),
     "events_sliding": QuerySpec("events_sliding", events_sliding, _SLIDING_SQL),
@@ -3897,6 +3981,12 @@ QUERIES: dict[str, QuerySpec] = {
         "ts_autocorr_lag", ts_autocorr_lag, _AUTOCORR_SQL
     ),
     # r11: classical additive decomposition (fronted via _ROUND11_FRONT)
+    # round-12 second-wave addition (fronted in _ROUND12_FRONT)
+    "ts_forecast_seasonal_naive": QuerySpec(
+        "ts_forecast_seasonal_naive",
+        ts_forecast_seasonal_naive,
+        _SEASONAL_NAIVE_SQL,
+    ),
     "ts_seasonal_decompose": QuerySpec(
         "ts_seasonal_decompose", ts_seasonal_decompose, _SEASONAL_SQL
     ),

@@ -129,14 +129,19 @@ def all_queries() -> dict[str, QuerySpec]:
 # fixture-backed — their inputs NEVER regenerate, so their r7 rows
 # carry the least staleness risk in the registry.
 _ROUND12_FRONT = [
-    # new in r12 second wave, fronted on arrival (4) — displace the
-    # last four fixture-backed Landsat-core slots (map_dn_to_radiance,
-    # proj_date_parts, src_csv_ground_truths, sink_csv_stations) into
-    # the r13 fill, alongside the six r7 spills of the same
-    # in-repo-fixture class
+    # new in r12 second wave, fronted on arrival (7) — displace the
+    # entire fixture-backed Landsat-core tail (map_band_remap_l8,
+    # map_bt_l5, map_bt_l89, map_dn_to_radiance, proj_date_parts,
+    # src_csv_ground_truths, sink_csv_stations) into the r13 fill,
+    # alongside the six r7 spills of the same in-repo-fixture class —
+    # their inputs never regenerate, the least staleness-sensitive
+    # slots in the registry
     "dedup_paragraph",
+    "dedup_paragraph_scrub",
     "text_dsir_weight",
+    "text_quality_bucket",
     "sample_temperature",
+    "ts_forecast_seasonal_naive",
     "llm_data_pipeline_v6",
     # new in r12, fronted on arrival (6)
     "dedup_simhash_hamming_wide",
@@ -186,10 +191,6 @@ _ROUND12_FRONT = [
     "window_lag_lead",
     "window_rank",
     "window_running_sum",
-    # r7-vintage: fixture-backed Landsat core tail
-    "map_band_remap_l8",
-    "map_bt_l5",
-    "map_bt_l89",
 ]
 
 # Historical r11 order kept for reference (drove CORRECTNESS_r11).

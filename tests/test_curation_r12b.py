@@ -172,3 +172,104 @@ def test_pipeline_v6_funnel_invariants(spark, sf_dir):
     qs = [r["q_temp"] for r in rows if r["q_temp"] is not None]
     assert len(qs) == sum(1 for r in rows if r["n_kept"] > 0)
     assert abs(sum(qs) - 1.0) < 1e-4
+
+
+def test_quality_bucket_order_and_mass(spark, sf_dir):
+    """Bucket order must follow the LM score (head >= middle >= tail
+    with ties only at boundaries), every bucket non-empty, and the
+    token-mass split balanced to within one document (the integer
+    prefix-cut guarantee)."""
+    from landsat_tair_data_pipeline_spark.operators.dedup import (
+        text_quality_bucket,
+    )
+
+    rows = text_quality_bucket(spark, sf_dir).collect()
+    assert rows
+    by_bucket = {"head": [], "middle": [], "tail": []}
+    for r in rows:
+        by_bucket[r["bucket"]].append(r)
+    assert all(by_bucket.values()), "a bucket is empty"
+    assert min(r["avg_logp"] for r in by_bucket["head"]) >= max(
+        r["avg_logp"] for r in by_bucket["middle"]
+    )
+    assert min(r["avg_logp"] for r in by_bucket["middle"]) >= max(
+        r["avg_logp"] for r in by_bucket["tail"]
+    )
+    total = sum(r["n_tokens"] for r in rows)
+    max_doc = max(r["n_tokens"] for r in rows)
+    for b, rs in by_bucket.items():
+        mass = sum(r["n_tokens"] for r in rs)
+        assert abs(mass - total / 3) <= max_doc, (b, mass, total)
+
+
+def test_paragraph_scrub_brute_force(spark, sf_dir):
+    """Rebuild every scrubbed text in plain Python from the same
+    chunking and duplication rule; fully-scrubbed docs must yield the
+    empty string, not NULL."""
+    from landsat_tair_data_pipeline_spark.operators.dedup import (
+        _PARA_WIDTH,
+        dedup_paragraph_scrub,
+    )
+
+    docs = _raw_docs(spark, sf_dir)
+    owners: dict[str, set[int]] = defaultdict(set)
+    chunks_by_doc: dict[int, list[str]] = {}
+    for did, (_, toks) in docs.items():
+        ch = [
+            " ".join(toks[i : i + _PARA_WIDTH])
+            for i in range(0, len(toks), _PARA_WIDTH)
+        ]
+        chunks_by_doc[did] = ch
+        for c in ch:
+            owners[c].add(did)
+
+    rows = dedup_paragraph_scrub(spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    saw_removed = saw_empty = False
+    for r in rows:
+        ch = chunks_by_doc[r["doc_id"]]
+        kept = [c for c in ch if len(owners[c]) < 2]
+        assert r["n_chunks"] == len(ch)
+        assert r["n_removed"] == len(ch) - len(kept)
+        assert r["scrubbed_text"] == " ".join(kept)
+        assert r["n_tokens_kept"] == sum(len(c.split()) for c in kept)
+        saw_removed = saw_removed or r["n_removed"] > 0
+        saw_empty = saw_empty or (r["scrubbed_text"] == "" and ch)
+    assert saw_removed, "vacuous corpus: nothing scrubbed"
+
+
+def test_seasonal_naive_brute_force(spark, sf_dir):
+    """Recompute the backtest from raw events in plain Python: daily
+    4dp-rounded totals, 7-day lag join, MAE/MAPE/bias per type."""
+    from landsat_tair_data_pipeline_spark.operators.events import (
+        ts_forecast_seasonal_naive,
+    )
+    from landsat_tair_data_pipeline_spark.sources.tables import table
+    import datetime
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    ).collect()
+    daily: dict[tuple, float] = defaultdict(float)
+    for r in ev:
+        daily[(r["event_type"], r["day"])] += r["value"]
+    daily = {k: round(v + 1e-9, 4) for k, v in daily.items()}
+    per_type: dict[str, list] = defaultdict(list)
+    for (et, day), total in daily.items():
+        prev = daily.get((et, day - datetime.timedelta(days=7)))
+        if prev is not None:
+            per_type[et].append((total, prev))
+
+    rows = ts_forecast_seasonal_naive(spark, sf_dir).collect()
+    assert {r["event_type"] for r in rows} == set(per_type)
+    for r in rows:
+        pairs = per_type[r["event_type"]]
+        assert r["n_days"] == len(pairs)
+        errs = [a - f for a, f in pairs]
+        assert abs(r["mae"] - round(sum(map(abs, errs)) / len(errs) + 1e-9, 4)) < 1e-9
+        assert abs(r["bias"] - round(sum(errs) / len(errs) + 1e-9, 4)) < 1e-9
+        apes = [abs(a - f) / abs(a) for a, f in pairs if a != 0.0]
+        if apes:
+            assert abs(r["mape"] - round(sum(apes) / len(apes) + 1e-9, 4)) < 1e-9
+        assert r["n_zero_actual"] == sum(1 for a, _ in pairs if a == 0.0)
+        assert r["mae"] > 0, "vacuous backtest"
