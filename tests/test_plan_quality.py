@@ -954,3 +954,55 @@ def test_sample_temperature_broadcast_reductions(spark):
     assert plan.count("BroadcastNestedLoopJoin BuildRight, Cross") == n
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_paragraph_scrub_one_pass_rebuild(spark):
+    """dedup_paragraph_scrub shares dedup_paragraph's plan contract
+    (min/max chunk aggregate, no Expand, cached chunk stream feeding
+    both sides) and rebuilds the text inside the SAME per-doc
+    aggregate — no second shuffle after the flag-back join."""
+    plan = _plan(spark, "dedup_paragraph_scrub")
+    assert "Expand" not in plan
+    assert "partial_min" in plan and "partial_max" in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    assert _shuffles(plan) <= 2
+
+
+def test_quality_bucket_rank_is_distributed(spark):
+    """text_quality_bucket's corpus rank must be the global_prefix
+    machinery (range partition + per-partition window + broadcast
+    offsets) — a single-partition global Window would show one
+    Exchange SinglePartition feeding a Window over the full corpus."""
+    plan = _plan(spark, "text_quality_bucket")
+    assert "rangepartitioning" in plan.lower()
+    assert "BatchEvalPython" not in plan
+    # the pack_chunks rule: the only unpartitioned window allowed is
+    # the per-partition-offsets pass over O(#partitions) rows,
+    # recognizable by summing _cnt / _lpre helper columns
+    logical = (
+        SPECS["text_quality_bucket"]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    corpus_windows = [
+        ln
+        for ln in logical.splitlines()
+        if "Window" in ln
+        and "_pid" not in ln
+        and "windowspecdefinition" in ln
+    ]
+    assert all("_cnt" in ln for ln in corpus_windows), corpus_windows
+
+
+def test_seasonal_naive_daily_grain_join(spark):
+    """ts_forecast_seasonal_naive must aggregate to daily grain with
+    map-side partials BEFORE the lag self-join (event bodies shuffle
+    once), and the daily frame must be cached once feeding both join
+    sides — no SortMergeJoin at dimension scale."""
+    plan = _plan(spark, "ts_forecast_seasonal_naive")
+    assert "partial_sum" in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
