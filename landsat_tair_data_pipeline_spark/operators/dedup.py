@@ -2791,8 +2791,9 @@ def llm_data_pipeline_v6(spark: SparkSession, sf: str) -> DataFrame:
     # relation, and AQE regenerates the explain string on every
     # adaptive update — measured 2.9 MB of plan text and ~100 s of
     # driver CPU in generateTreeString at sf0.001 (the string-budget
-    # cap doesn't help: the TRAVERSAL is what's combinatorial). Four
-    # cuts flatten the tail to LogicalRDD leaves: 107 s → ~3 s.
+    # cap doesn't help: the TRAVERSAL is what's combinatorial). Three
+    # cuts (kept_sem, kept, kept_n) flatten the tail to LogicalRDD
+    # leaves: 107 s → ~0.3 s per action.
     kept_sem = kept_c.join(sem_drops, "doc_id", "left_anti").localCheckpoint()
     from ..util import global_prefix
 
