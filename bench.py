@@ -186,6 +186,7 @@ HEADLINE = [
     "dedup_paragraph_scrub",
     "text_quality_bucket",
     "ts_forecast_seasonal_naive",
+    "dq_constraint_check",
 ]
 
 # Heavy LSH-family keys (VERDICT r10 item 3): full 3 reps, report the

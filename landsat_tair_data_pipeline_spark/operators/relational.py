@@ -1701,6 +1701,126 @@ FROM lineitem"""
 )
 
 
+def dq_constraint_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style declarative constraint suite — the verdict layer
+    above profile_table's raw stats: each row is one constraint with
+    its measured violation metric and a passed flag, the contract a
+    data-quality gate consumes. Six constraints spanning the four
+    standard families, chosen so BOTH verdicts occur on this corpus
+    (an all-pass suite can't tell a working checker from a vacuous
+    one): uniqueness(o_orderkey) passes, uniqueness(l_orderkey)
+    FAILS by design (lineitem has multiple lines per order — the
+    deliberate negative control), completeness(o_custkey) passes,
+    referential orders.o_custkey ⊆ customer.c_custkey passes,
+    range(o_totalprice > 0) passes, accepted_values(o_orderstatus ∈
+    {O,F,P}) passes.
+
+    Margin audit (r10 process rule): every metric is an exact int64
+    count (no floats anywhere); passed = metric == 0 — integer
+    equality, engine-stable by construction.
+
+    Scale shape: the three orders-scan constraints compute in ONE
+    wide aggregate pass (the Deequ trick — N constraints, one scan);
+    uniqueness counts are (rows − distinct), map-side partial-
+    aggregable; the referential check is one left-anti count against
+    the customer keys (dimension-sized build side, AQE broadcasts
+    it). Nothing is per-constraint-scan; adding a constraint adds an
+    aggregate expression, not a pass over the data."""
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    c = table(spark, sf, "customer")
+    orders_wide = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "uniq_viol"
+        ),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_viol"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+        ).alias("range_viol"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(
+                0
+            )
+        ).alias("accepted_viol"),
+    )
+    li_wide = li.agg(
+        (F.count(F.lit(1)) - F.countDistinct("l_orderkey")).alias(
+            "li_uniq_viol"
+        )
+    )
+    orphans = (
+        o.select("o_custkey")
+        .join(c.select("c_custkey"), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("ref_viol"))
+    )
+    wide = orders_wide.crossJoin(F.broadcast(li_wide)).crossJoin(
+        F.broadcast(orphans)
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.lit(tbl).alias("table_name"),
+                F.col(col).cast("bigint").alias("n_violations"),
+                (F.col(col) == 0).cast("int").alias("passed"),
+            )
+            for name, tbl, col in [
+                ("unique(o_orderkey)", "orders", "uniq_viol"),
+                ("unique(l_orderkey)", "lineitem", "li_uniq_viol"),
+                ("complete(o_custkey)", "orders", "null_viol"),
+                (
+                    "referential(o_custkey->c_custkey)",
+                    "orders",
+                    "ref_viol",
+                ),
+                ("range(o_totalprice>0)", "orders", "range_viol"),
+                (
+                    "accepted(o_orderstatus in O,F,P)",
+                    "orders",
+                    "accepted_viol",
+                ),
+            ]
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+_DQ_CONSTRAINT_SQL = """
+WITH ow AS (
+  SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS uniq_viol,
+         CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS null_viol,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS range_viol,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS accepted_viol
+  FROM orders),
+lw AS (
+  SELECT CAST(COUNT(*) - COUNT(DISTINCT l_orderkey) AS BIGINT)
+           AS li_uniq_viol
+  FROM lineitem),
+rw AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ref_viol
+  FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT check_name, table_name, n_violations,
+       CAST(n_violations = 0 AS INT) AS passed
+FROM (
+  SELECT 'unique(o_orderkey)' AS check_name, 'orders' AS table_name,
+         uniq_viol AS n_violations FROM ow
+  UNION ALL
+  SELECT 'unique(l_orderkey)', 'lineitem', li_uniq_viol FROM lw
+  UNION ALL
+  SELECT 'complete(o_custkey)', 'orders', null_viol FROM ow
+  UNION ALL
+  SELECT 'referential(o_custkey->c_custkey)', 'orders', ref_viol FROM rw
+  UNION ALL
+  SELECT 'range(o_totalprice>0)', 'orders', range_viol FROM ow
+  UNION ALL
+  SELECT 'accepted(o_orderstatus in O,F,P)', 'orders', accepted_viol
+  FROM ow
+)
+"""
+
+
 def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q2 shape: the minimum-cost supplier per part, EUROPE
     market. No partsupp table, so "supply cost" is the supplier's
@@ -2108,6 +2228,10 @@ WHERE EXISTS (SELECT 1 FROM orders
 
 QUERIES: dict[str, QuerySpec] = {
     "profile_table": QuerySpec("profile_table", profile_table, _PROFILE_SQL),
+    # round-12 second-wave addition (fronted in _ROUND12_FRONT)
+    "dq_constraint_check": QuerySpec(
+        "dq_constraint_check", dq_constraint_check, _DQ_CONSTRAINT_SQL
+    ),
     # graduated to fully-oracled in r12 (VERDICT r11 item 5): pinned
     # HLL/percentile bound booleans + exact anchors, estimates out of
     # the surface

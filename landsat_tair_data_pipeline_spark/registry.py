@@ -142,6 +142,7 @@ _ROUND12_FRONT = [
     "text_quality_bucket",
     "sample_temperature",
     "ts_forecast_seasonal_naive",
+    "dq_constraint_check",
     "llm_data_pipeline_v6",
     # new in r12, fronted on arrival (6)
     "dedup_simhash_hamming_wide",
@@ -190,7 +191,6 @@ _ROUND12_FRONT = [
     "setop_intersect",
     "window_lag_lead",
     "window_rank",
-    "window_running_sum",
 ]
 
 # Historical r11 order kept for reference (drove CORRECTNESS_r11).

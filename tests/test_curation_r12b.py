@@ -273,3 +273,27 @@ def test_seasonal_naive_brute_force(spark, sf_dir):
             assert abs(r["mape"] - round(sum(apes) / len(apes) + 1e-9, 4)) < 1e-9
         assert r["n_zero_actual"] == sum(1 for a, _ in pairs if a == 0.0)
         assert r["mae"] > 0, "vacuous backtest"
+
+
+def test_dq_constraint_check_verdict_mix(spark, sf_dir):
+    """Both verdicts must occur (the all-pass-suite trap): the
+    lineitem uniqueness negative control fails with the exact
+    rows-minus-distinct count; every metric is a non-negative int and
+    passed == (metric == 0)."""
+    from landsat_tair_data_pipeline_spark.operators.relational import (
+        dq_constraint_check,
+    )
+    from landsat_tair_data_pipeline_spark.sources.tables import table
+
+    rows = {r["check_name"]: r for r in dq_constraint_check(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    verdicts = {r["passed"] for r in rows.values()}
+    assert verdicts == {0, 1}, "need both pass and fail on this corpus"
+    for r in rows.values():
+        assert r["n_violations"] >= 0
+        assert r["passed"] == int(r["n_violations"] == 0)
+    li = table(spark, sf_dir, "lineitem")
+    n = li.count()
+    d = li.select("l_orderkey").distinct().count()
+    assert rows["unique(l_orderkey)"]["n_violations"] == n - d
+    assert rows["unique(l_orderkey)"]["passed"] == 0
