@@ -31,6 +31,7 @@ from ..registry import QuerySpec
 from ..sources import landsat
 from ..util import persist_tracked
 from ..sources.landsat import FIXTURE_DIR
+from .text import _TOKS_SQL
 from .domain import (
     _GT1,
     _META,
@@ -790,9 +791,10 @@ def sample_temperature(spark: SparkSession, sf: str) -> DataFrame:
     shuffle), then two |sources|-row broadcast reductions. Output is
     |sources| rows; everything after the first aggregate is
     driver-scale arithmetic expressed as broadcast joins."""
+    from ..sources.tables import table
     from .text import TOKENS
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = table(spark, sf, "documents")
     per_src = persist_tracked(
         docs.groupBy("source").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -827,8 +829,7 @@ def sample_temperature(spark: SparkSession, sf: str) -> DataFrame:
 _TEMPERATURE_SQL = """
 WITH s AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+')))
-              AS BIGINT) AS n_tokens
+         CAST(SUM(len({toks})) AS BIGINT) AS n_tokens
   FROM documents GROUP BY 1
 ),
 t AS (SELECT SUM(n_tokens) AS tot FROM s),
@@ -846,7 +847,7 @@ SELECT source, n_docs, n_tokens,
        CASE WHEN ROUND(w / z.z / p + 1e-9, 4) > 1.0
             THEN 'up' ELSE 'down' END AS direction
 FROM p CROSS JOIN z
-""".format(alpha=_TEMP_ALPHA)
+""".format(alpha=_TEMP_ALPHA, toks=_TOKS_SQL)
 
 
 QUERIES: dict[str, QuerySpec] = {

@@ -3981,13 +3981,13 @@ QUERIES: dict[str, QuerySpec] = {
         "ts_autocorr_lag", ts_autocorr_lag, _AUTOCORR_SQL
     ),
     # r11: classical additive decomposition (fronted via _ROUND11_FRONT)
+    "ts_seasonal_decompose": QuerySpec(
+        "ts_seasonal_decompose", ts_seasonal_decompose, _SEASONAL_SQL
+    ),
     # round-12 second-wave addition (fronted in _ROUND12_FRONT)
     "ts_forecast_seasonal_naive": QuerySpec(
         "ts_forecast_seasonal_naive",
         ts_forecast_seasonal_naive,
         _SEASONAL_NAIVE_SQL,
-    ),
-    "ts_seasonal_decompose": QuerySpec(
-        "ts_seasonal_decompose", ts_seasonal_decompose, _SEASONAL_SQL
     ),
 }

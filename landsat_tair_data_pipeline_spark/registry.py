@@ -129,13 +129,13 @@ def all_queries() -> dict[str, QuerySpec]:
 # fixture-backed — their inputs NEVER regenerate, so their r7 rows
 # carry the least staleness risk in the registry.
 _ROUND12_FRONT = [
-    # new in r12 second wave, fronted on arrival (7) — displace the
+    # new in r12 second wave, fronted on arrival (8) — displace the
     # entire fixture-backed Landsat-core tail (map_band_remap_l8,
     # map_bt_l5, map_bt_l89, map_dn_to_radiance, proj_date_parts,
-    # src_csv_ground_truths, sink_csv_stations) into the r13 fill,
-    # alongside the six r7 spills of the same in-repo-fixture class —
-    # their inputs never regenerate, the least staleness-sensitive
-    # slots in the registry
+    # src_csv_ground_truths, sink_csv_stations) PLUS window_running_sum
+    # into the r13 fill, alongside the six r7 spills of the same
+    # in-repo-fixture class — their inputs never regenerate, the least
+    # staleness-sensitive slots in the registry
     "dedup_paragraph",
     "dedup_paragraph_scrub",
     "text_dsir_weight",
