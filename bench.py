@@ -187,6 +187,13 @@ HEADLINE = [
     "text_quality_bucket",
     "ts_forecast_seasonal_naive",
     "dq_constraint_check",
+    # r13 new-operator keys (append-only)
+    "sim_ann_cross_join",
+    "sim_semantic_decontam",
+    "llm_data_pipeline_v7",
+    "ts_forecast_holt_winters",
+    "mm_image_dedup_stack",
+    "mm_caption_integrity",
 ]
 
 # Heavy LSH-family keys (VERDICT r10 item 3): full 3 reps, report the
@@ -289,6 +296,8 @@ FIRST_BENCHED = {
     **{k: 11 for k in HEADLINE[HEADLINE.index("text_psi_drift"):]},
     # r12 keys override the r11 slice above (dict literal: later wins)
     **{k: 12 for k in HEADLINE[HEADLINE.index("dedup_simhash_hamming_wide"):]},
+    # r13 keys override the r12 slice above (dict literal: later wins)
+    **{k: 13 for k in HEADLINE[HEADLINE.index("sim_ann_cross_join"):]},
 }
 
 THIS_ROUND = max(FIRST_BENCHED.values())
@@ -402,22 +411,28 @@ def main() -> None:
         rep_times: list[float] = []
         cold_sec: float | None = None
         if name in HEAVY_SPREAD:
-            # one warm rep, EXCLUDED from the median/spread: the first
-            # execution pays codegen + persist-cache population once;
-            # the recorded spread should measure steady-state
-            # determinism, not cold-start. Its wall time is still
-            # recorded as cold_sec (ADVICE r11: without it, cross-round
-            # comparisons against single-rep cold numbers silently mix
-            # protocols — cold and steady-state now both live in the
-            # artifact).
-            t0 = time.perf_counter()
-            try:
-                qs[name](spark, SF_DIR).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                cold_sec = round(time.perf_counter() - t0, 3)
-            except Exception:
-                pass  # the timed loop below will record the failure
+            # TWO untimed warm reps, EXCLUDED from the median/spread:
+            # the first execution pays codegen + persist-cache
+            # population; r12's 4-draw evidence showed the warm reps
+            # STILL decreasing monotonically after one warm-up
+            # (8.4→6.9→6.2 s — C2 JIT keeps compiling through the
+            # second execution), pushing dedup_near_recall's spread to
+            # 1.10–1.46 (VERDICT r12 item 3). The second warm rep
+            # finishes the tiered-compilation ramp so the recorded
+            # spread measures steady-state determinism. The first
+            # warm rep's wall time is still recorded as cold_sec
+            # (ADVICE r11: cold and steady-state both live in the
+            # artifact, protocols never silently mix).
+            for warm_i in range(2):
+                t0 = time.perf_counter()
+                try:
+                    qs[name](spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    if warm_i == 0:
+                        cold_sec = round(time.perf_counter() - t0, 3)
+                except Exception:
+                    break  # the timed loop below will record the failure
         for _ in range(reps):
             clear_sink_scratch(name)
             # Drop py4j references from the previous run BEFORE timing

@@ -1501,39 +1501,72 @@ WHERE rank <= {k}
 """.format(emb=_EMB_SQL, cos=_COS_SQL.format(a="q", b="c"), k=_KNN_K)
 
 
-_IVF_GRAPH_CELLS = 16
+_IVF_GRAPH_CELLS_FLOOR = 16
 _IVF_GRAPH_NPROBE = 2
 
+# DuckDB-side mirror of _ivf_cells(): GREATEST(floor, CEIL(SQRT(n)))
+# over the live seed-corpus count. CAST-to-DOUBLE is exact below 2^53,
+# SQRT is IEEE-754 correctly rounded in both engines (hardware sqrt /
+# libm), CEIL is exact — so the derived cell count can never differ
+# between Spark and the oracle. {seed_where} restricts the seed corpus
+# (empty for the self-graph; a side predicate for the cross join).
+_IVF_CELLS_SQL_T = (
+    "GREATEST({floor}, CAST(CEIL(SQRT((SELECT COUNT(*) FROM embeddings"
+    "{{seed_where}}))) AS BIGINT))"
+).format(floor=_IVF_GRAPH_CELLS_FLOOR)
+_IVF_CELLS_SQL = _IVF_CELLS_SQL_T.format(seed_where="")
 
-def _ivf_cells() -> int:
-    """Cell count for the IVF graph family. Default 16 (the value the
-    DuckDB oracles are formatted with — driver parity always runs with
-    the env unset); SPARK_GRAFT_IVF_CELLS overrides for scale probes,
-    where cells must grow ~√n to demonstrate the O(n^1.5) candidate
-    contract (the faiss sizing rule — see sim_knn_graph_ivf)."""
+
+def _ivf_cells(n: int) -> int:
+    """Cell count for the IVF graph family: max(16, ⌈√n⌉) — the faiss
+    sizing rule IS the default (VERDICT r12 item 2: the former fixed
+    k=16 default was O(n²) by the builder's own ×100 probe — ×10,040
+    candidate volume; a default that needs an env var to be scale-safe
+    ships quadratic jobs). Derived from the live corpus count and
+    mirrored exactly in the DuckDB oracles via _IVF_CELLS_SQL, so the
+    driver hash check covers the derived-k path. math.sqrt is IEEE
+    correctly rounded, matching the oracle's SQRT bit-for-bit.
+    SPARK_GRAFT_IVF_CELLS still overrides for scale probes (engine
+    side only — probes never compare against the oracle)."""
+    import math
     import os
 
-    return int(os.environ.get("SPARK_GRAFT_IVF_CELLS", 0)) or _IVF_GRAPH_CELLS
+    env = int(os.environ.get("SPARK_GRAFT_IVF_CELLS", 0))
+    return env or max(_IVF_GRAPH_CELLS_FLOOR, math.ceil(math.sqrt(n)))
 
 
 def _ivf_graph_ranked(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic coarse-quantizer cell ranks for the IVF graph:
-    every vector's distance to the 16 SEEDED one-Lloyd-step centroids
-    (seeds = the 16 lowest vec_ids — the emb_kmeans_step recipe, which
-    unlike MLlib KMeans is byte-reproducible in DuckDB), rounded at
-    6dp before the rank so float noise can never flip a cell choice
-    between engines. Returns (vec_id, cid, rk) for rk ≤ nprobe; rk=1
-    is the vector's HOME cell (its assignment), rk=2 its second probe.
+    every vector's distance to the k = max(16, ⌈√n⌉) SEEDED
+    one-Lloyd-step centroids (seeds = the k lowest vec_ids — the
+    emb_kmeans_step recipe, which unlike MLlib KMeans is
+    byte-reproducible in DuckDB), rounded at 6dp before the rank so
+    float noise can never flip a cell choice between engines. Returns
+    (vec_id, cid, rk) for rk ≤ nprobe; rk=1 is the vector's HOME cell
+    (its assignment), rk=2 its second probe.
 
-    Shape: one posexplode dim-stream join against a broadcast k×d
-    centroid frame → hash agg per (vec, cid) → one window rank — the
-    emb_nearest_centroid shape, linear in n·d·k with no array
-    crossing."""
+    Shape: one driver-scalar corpus count (parquet-footer-dominated —
+    sizes k), then one posexplode dim-stream join against a broadcast
+    k×d centroid frame → hash agg per (vec, cid) → one window rank —
+    the emb_nearest_centroid shape, linear in n·d·k; with k ~ √n the
+    assignment scan is O(n^1.5·d) and the broadcast frame is √n·d
+    rows (10⁹ vectors × 64 dims → ~32k×64 ≈ 2M doubles — still a
+    comfortable broadcast)."""
     emb = _emb(spark, sf)
+    return _ranked_cells(emb, emb)
+
+
+def _ranked_cells(emb: DataFrame, seed_src: DataFrame) -> DataFrame:
+    """Core of _ivf_graph_ranked, parametrized on the seed source so
+    the cross-corpus join can seed centroids from the INDEX side only
+    (sim_ann_cross_join) while ranking EVERY vector in ``emb``. Cell
+    count derives from |seed_src| via _ivf_cells."""
     ex = emb.select("vec_id", F.posexplode("v").alias("d0", "x")).select(
         "vec_id", (F.col("d0") + 1).alias("d"), "x"
     )
-    seed_ids = emb.select("vec_id").orderBy("vec_id").limit(_ivf_cells())
+    seed_ids = seed_src.select("vec_id").orderBy("vec_id").limit(
+        _ivf_cells(seed_src.count())
+    )
     cent0 = ex.join(F.broadcast(seed_ids), "vec_id").select(
         F.col("vec_id").alias("cid"), "d", F.col("x").alias("c")
     )
@@ -1556,57 +1589,16 @@ def _ivf_graph_ranked(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def sim_knn_graph_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """APPROXIMATE k-NN graph via IVF-cell-blocked candidates — the
-    10⁵–10⁶-vector handoff the r11 100× probe priced for the
-    exact-quadratic sim_knn_graph (VERDICT r11 item 3: 503 s at 200k
-    vectors, ~3.5 h extrapolated at 1M — the exact graph stays the
-    sampled ground-truth oracle; THIS op is the production path).
-
-    Semantics: each vector probes its nprobe=2 nearest of 16
-    deterministic coarse-quantizer cells (seeded one-Lloyd-step
-    centroids — _ivf_graph_ranked) and takes its exact-cosine top-3
-    among the vectors ASSIGNED to those cells. FULLY ORACLED, unlike
-    MLlib-KMeans-backed sim_ivf_topk: the seeded centroids, rounded
-    distances, and id tiebreaks reproduce byte-identically in DuckDB,
-    so the driver hash checks the whole approximate graph, not just a
-    recall summary (that bound lives in sim_knn_graph_ivf_recall).
-
-    Scale shape: candidate generation is cell-blocked — members
-    shuffle once (n rows), probers nprobe× (2n rows), and each cell
-    group runs ONE BLAS matmul over |probers(cell)| × |members(cell)|
-    emitting only its block-local top-k per prober (the sim_knn_graph
-    kernel, minus the P² grid): compute is Σ_cell p_c·m_c ≈
-    nprobe·n²/k_cells — at production scale k_cells grows as √n (the
-    faiss sizing rule), making the scan O(n^1.5) instead of n², and
-    the post-matmul shuffle stays n·nprobe·k rows. The final window
-    merges each vector's ≤ nprobe·k block-local rows. k_cells=16 is
-    the test-scale setting (SURVEY IVF convention); the knob, not the
-    shape, changes at 100 TB.
-
-    Margin audit (r12): rounded-distance cell ranks tie-break on cid
-    and rounded cosines on nn_id (both engines); a rank-2-probed cell
-    with zero assigned members contributes no candidates in either
-    engine (inner join vs empty member frame); vectors in a singleton
-    cell with no second-probe candidates emit < k rows identically.
-    Measured recall vs the exact graph: see sim_knn_graph_ivf_recall
-    (pinned with ~3× margin)."""
-    from ..util import persist_tracked
-
-    emb = persist_tracked(_emb(spark, sf).select("vec_id", "v"))
-    ranked = persist_tracked(_ivf_graph_ranked(spark, sf))
-    members = (
-        ranked.where(F.col("rk") == 1)
-        .join(emb, "vec_id")
-        .select(
-            F.col("cid").alias("cell"), "vec_id", "v", F.lit(1).alias("side")
-        )
-    )
-    probers = ranked.join(emb, "vec_id").select(
-        F.col("cid").alias("cell"), "vec_id", "v", F.lit(0).alias("side")
-    )
-    both = probers.unionByName(members)
-    k = _KNN_K
+def _cell_block_topk(k: int):
+    """Shared per-cell BLAS kernel for the IVF family (sim_knn_graph_ivf
+    and sim_ann_cross_join): queries are the rows with side=0, members
+    side=1; one normalized matmul per cell group, emitting each query's
+    block-local top-k by rounded cosine (6dp half-away-from-zero with
+    the +1e-9 nudge — np.round is banker's, the ADVICE r10 lesson),
+    tie-broken by ascending member id via a stable argsort over
+    id-sorted columns. Self-pairs (same id on both sides) are excluded;
+    cross-corpus callers have disjoint ids, so the mask is a no-op
+    there."""
 
     def block(pdf):
         import numpy as np
@@ -1646,9 +1638,66 @@ def sim_knn_graph_ivf(spark: SparkSession, sf: str) -> DataFrame:
             {"vec_id": rows[keep], "nn_id": nn[keep], "cosine": cs[keep]}
         )
 
-    local = both.groupBy("cell").applyInPandas(
-        block, schema="vec_id bigint, nn_id bigint, cosine double"
+    return block
+
+
+def sim_knn_graph_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """APPROXIMATE k-NN graph via IVF-cell-blocked candidates — the
+    10⁵–10⁶-vector handoff the r11 100× probe priced for the
+    exact-quadratic sim_knn_graph (VERDICT r11 item 3: 503 s at 200k
+    vectors, ~3.5 h extrapolated at 1M — the exact graph stays the
+    sampled ground-truth oracle; THIS op is the production path).
+
+    Semantics: each vector probes its nprobe=2 nearest of
+    k = max(16, ⌈√n⌉) deterministic coarse-quantizer cells (seeded
+    one-Lloyd-step centroids — _ivf_graph_ranked; the faiss sizing
+    rule is the DEFAULT since r13, derived from the live corpus count
+    and mirrored in the oracle) and takes its exact-cosine top-3
+    among the vectors ASSIGNED to those cells. FULLY ORACLED, unlike
+    MLlib-KMeans-backed sim_ivf_topk: the seeded centroids, rounded
+    distances, and id tiebreaks reproduce byte-identically in DuckDB,
+    so the driver hash checks the whole approximate graph, not just a
+    recall summary (that bound lives in sim_knn_graph_ivf_recall).
+
+    Scale shape: candidate generation is cell-blocked — members
+    shuffle once (n rows), probers nprobe× (2n rows), and each cell
+    group runs ONE BLAS matmul over |probers(cell)| × |members(cell)|
+    emitting only its block-local top-k per prober (the sim_knn_graph
+    kernel, minus the P² grid): compute is Σ_cell p_c·m_c ≈
+    nprobe·n²/k_cells — and because k_cells = max(16, ⌈√n⌉) BY
+    DEFAULT (r13: the faiss rule moved from the SPARK_GRAFT_IVF_CELLS
+    env knob into the code path the oracle certifies), the scan is
+    O(n^1.5) out of the box, with the post-matmul shuffle at
+    n·nprobe·k rows. The final window merges each vector's ≤ nprobe·k
+    block-local rows.
+
+    Margin audit (r12): rounded-distance cell ranks tie-break on cid
+    and rounded cosines on nn_id (both engines); a rank-2-probed cell
+    with zero assigned members contributes no candidates in either
+    engine (inner join vs empty member frame); vectors in a singleton
+    cell with no second-probe candidates emit < k rows identically.
+    Measured recall vs the exact graph: see sim_knn_graph_ivf_recall
+    (pinned with ~3× margin)."""
+    from ..util import persist_tracked
+
+    emb = persist_tracked(_emb(spark, sf).select("vec_id", "v"))
+    ranked = persist_tracked(_ivf_graph_ranked(spark, sf))
+    members = (
+        ranked.where(F.col("rk") == 1)
+        .join(emb, "vec_id")
+        .select(
+            F.col("cid").alias("cell"), "vec_id", "v", F.lit(1).alias("side")
+        )
     )
+    probers = ranked.join(emb, "vec_id").select(
+        F.col("cid").alias("cell"), "vec_id", "v", F.lit(0).alias("side")
+    )
+    both = probers.unionByName(members)
+    local = both.groupBy("cell").applyInPandas(
+        _cell_block_topk(_KNN_K),
+        schema="vec_id bigint, nn_id bigint, cosine double",
+    )
+    k = _KNN_K
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
     return (
         local.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1657,12 +1706,13 @@ def sim_knn_graph_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_IVF_GRAPH_RANKED_SQL = """
+_IVF_RANKED_TEMPLATE = """
 ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS d,
          CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings),
-seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {cells}),
+seeds AS (SELECT vec_id FROM embeddings{seed_where}
+          ORDER BY vec_id LIMIT {cells}),
 cent0 AS (
   SELECT ex.vec_id AS cid, d, x AS c
   FROM ex JOIN seeds ON ex.vec_id = seeds.vec_id),
@@ -1673,7 +1723,18 @@ ranked AS (
   SELECT vec_id, cid,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
   FROM dist2)
-""".format(cells=_IVF_GRAPH_CELLS)
+"""
+_IVF_GRAPH_RANKED_SQL = _IVF_RANKED_TEMPLATE.format(
+    seed_where="", cells=_IVF_CELLS_SQL
+)
+# Cross-corpus variant (sim_ann_cross_join): centroids seeded from —
+# and sized by — the INDEX side (even vec_ids) only; ranks still cover
+# every vector so the query side gets its probes from the same frame.
+_IVF_CROSS_SEED_WHERE = " WHERE vec_id % 2 = 0"
+_IVF_CROSS_RANKED_SQL = _IVF_RANKED_TEMPLATE.format(
+    seed_where=_IVF_CROSS_SEED_WHERE,
+    cells=_IVF_CELLS_SQL_T.format(seed_where=_IVF_CROSS_SEED_WHERE),
+)
 
 
 _KNN_GRAPH_IVF_SQL = """
@@ -1720,7 +1781,8 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     which is equally non-transitive — determinism is what makes this
     oracle-able). τ = 0.4 matches dedup_embedding_cosine's
     distribution-tail cut on this synthetic corpus (real corpora run
-    ~0.95+).
+    ~0.95+). Since r13 the cell count is k = max(16, ⌈√n⌉) by default
+    (_ivf_cells — derived in-query in both engines), not fixed 16.
 
     Surface: one row per DROPPED vector — (vec_id, cell, witness_id =
     its lowest-id qualifying cell-mate, cosine to that witness) — the
@@ -1732,15 +1794,16 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     rows), then each cell group runs one BLAS gram matmul and the
     vectorized first-qualifying-witness scan in-kernel — pair volume
     Σ_c m_c²/2 ≈ n²/(2·k_cells) never crosses a shuffle at all, and
-    k_cells grows as √n at production scale (the faiss sizing rule,
-    same SPARK_GRAFT_IVF_CELLS knob as sim_knn_graph_ivf) making
-    compute O(n^1.5). The kernel replaced an earlier JVM zip_with
+    k_cells = max(16, ⌈√n⌉) by default (r13 — the faiss sizing rule
+    is the code path, SPARK_GRAFT_IVF_CELLS now only overrides for
+    probes) making compute O(n^1.5). The kernel replaced an earlier JVM zip_with
     pair join after the r12 100× probe priced that at ~5.6 µs/pair
     (191 s at 200k vectors) vs the BLAS shape's ~6× less — and it
     kills the pair-row shuffle entirely.
 
-    Margin audit (r12): output is non-vacuous at every sf (19 / 11 /
-    174 dropped at sf0.001/0.01/0.1 — measured before fronting);
+    Margin audit (r12, re-measured r13 under derived √n cells):
+    output is non-vacuous at every sf (12 / 10 / 143 dropped at
+    sf0.001/0.01/0.1);
     cosine rounds half-away-from-zero at 6dp with the +1e-9 nudge
     before BOTH the τ cut and the surface (np.round is banker's —
     the ADVICE r10 lesson, same kernel recipe as sim_knn_graph);
@@ -1832,12 +1895,14 @@ def sim_knn_graph_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     EXACT cosine top-3 edges over a 50-query probe set (150 exact
     pairs — the binomial-margin size the r8 review established).
 
-    Floor derivation (r12 margin audit): measured recall 0.513 /
-    0.560 / 0.560 at sf0.001 / 0.01 / 0.1 — the 0.25 pin carries ~2×
-    headroom (a dip below it at true p≈0.51 over 150 pairs is a
-    ~1e-10 binomial event), and 0.25 is still 2× the random-candidate
-    baseline (nprobe/k_cells = 2/16 of the corpus lands in probed
-    cells), so the pin stays meaningful. Unlike sim_ivf_recall the
+    Floor derivation (r12 margin audit, re-measured r13 under the
+    derived √n cell default): measured recall 0.567 / 0.620 / 0.880
+    at sf0.001 / 0.01 / 0.1 (UP from 0.513/0.560/0.560 at fixed 16 —
+    smaller cells make the 2 probed ones tighter fits) — the 0.25 pin
+    carries ≥ 2.3× headroom (a dip below it at true p≈0.57 over 150
+    pairs is a < 1e-13 binomial event), and 0.25 is ≥ 2.9× the
+    random-candidate baseline (nprobe/k_cells ≤ 2/23 of the corpus
+    lands in probed cells), so the pin stays meaningful. Unlike sim_ivf_recall the
     graph under test is itself fully oracled — this key pins the
     APPROXIMATION QUALITY (cells are a good index), the graph key
     pins the SEMANTICS (cells compute what they claim).
@@ -1887,6 +1952,182 @@ SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_floor_met FROM topk
     cos=_COS_SQL.format(a="q", b="c"),
     nq=_RECALL_QUERIES,
     k=_KNN_K,
+)
+
+
+_DECONTAM_EVAL_N = 50
+_DECONTAM_TAU = 0.35
+
+
+def sim_ann_cross_join(spark: SparkSession, sf: str) -> DataFrame:
+    """CROSS-CORPUS approximate-nearest-neighbor JOIN (VERDICT r12
+    item 4) — the retrieval shape every prior op lacked: corpus B's
+    queries joined to corpus A's nearest neighbors, where BOTH sides
+    are large (no broadcast side). This is the semantic-level
+    eval-contamination scan, the RAG index build, and the
+    train/test-embedding-overlap audit in one operator. The two
+    corpora are carved deterministically from the embeddings table
+    (index side A = even vec_ids, query side B = odd — in production
+    they are two tables; the carve keeps the op oracle-able on the
+    fixed testdata without a second fixture).
+
+    Semantics: coarse-quantizer cells are seeded from — and √n-sized
+    by — the INDEX side only (k = max(16, ⌈√n_A⌉) lowest even ids;
+    an index's cell structure must not depend on who queries it).
+    A-side vectors are ASSIGNED to their nearest cell (rk=1); each
+    B-side query probes its nprobe=2 nearest cells and takes its
+    exact-cosine top-3 among the A-members of those cells. Fully
+    oracled: seeded centroids, 6dp-rounded distances/cosines, and id
+    tiebreaks reproduce byte-identically in DuckDB.
+
+    Scale shape: identical to sim_knn_graph_ivf's — members shuffle
+    once (n_A rows), probers nprobe× (2·n_B rows), one BLAS matmul
+    per cell emitting block-local top-k, final window merges ≤
+    nprobe·k rows per query. Compute ≈ nprobe·n_A·n_B/k_cells =
+    O(n^1.5) under the √n default; NOTHING is broadcast-joined on the
+    data path (the centroid frame is √n_A·d — the only broadcast).
+    At 10⁹×10⁹ this is the faiss-on-Spark sharded-index recipe.
+
+    Margin audit (r13): cells/rounding/tiebreak discipline inherited
+    from sim_knn_graph_ivf verbatim (the shared _cell_block_topk
+    kernel + _ranked_cells helper); disjoint sides make the kernel's
+    self-pair mask a no-op; a probed cell with zero A-members emits
+    no candidates in either engine; output non-vacuous at every sf
+    (each odd query meets ≥ 1 even member through its probes on this
+    data — verified 750/750/3000 rows at sf0.001/0.01/0.1)."""
+    from ..util import persist_tracked
+
+    emb = persist_tracked(_emb(spark, sf).select("vec_id", "v"))
+    idx_side = emb.where(F.col("vec_id") % 2 == 0)
+    ranked = persist_tracked(_ranked_cells(emb, idx_side))
+    members = (
+        ranked.where((F.col("rk") == 1) & (F.col("vec_id") % 2 == 0))
+        .join(emb, "vec_id")
+        .select(
+            F.col("cid").alias("cell"), "vec_id", "v", F.lit(1).alias("side")
+        )
+    )
+    probers = (
+        ranked.where(F.col("vec_id") % 2 == 1)
+        .join(emb, "vec_id")
+        .select(
+            F.col("cid").alias("cell"), "vec_id", "v", F.lit(0).alias("side")
+        )
+    )
+    local = probers.unionByName(members).groupBy("cell").applyInPandas(
+        _cell_block_topk(_KNN_K),
+        schema="vec_id bigint, nn_id bigint, cosine double",
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _KNN_K)
+        .select(
+            F.col("vec_id").alias("query_id"), "nn_id", "rank", "cosine"
+        )
+    )
+
+
+_ANN_CROSS_SQL = """
+WITH e AS ({emb}),
+{ranked},
+assign AS (SELECT vec_id, cid AS cell FROM ranked
+           WHERE vec_id % 2 = 0 AND rk = 1),
+probes AS (SELECT vec_id, cid AS cell FROM ranked
+           WHERE vec_id % 2 = 1 AND rk <= {nprobe}),
+cand AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS cand_id
+  FROM probes p JOIN assign a ON a.cell = p.cell),
+scored AS (
+  SELECT cand.query_id, cand.cand_id AS nn_id, {cos} AS cosine
+  FROM cand JOIN e q ON q.vec_id = cand.query_id
+            JOIN e c ON c.vec_id = cand.cand_id)
+SELECT query_id, nn_id, rank, cosine FROM (
+  SELECT query_id, nn_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, nn_id) AS BIGINT) AS rank
+  FROM scored) t
+WHERE rank <= {k}
+""".format(
+    emb=_EMB_SQL,
+    ranked=_IVF_CROSS_RANKED_SQL,
+    nprobe=_IVF_GRAPH_NPROBE,
+    cos=_COS_SQL.format(a="q", b="c"),
+    k=_KNN_K,
+)
+
+
+def sim_semantic_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """SEMANTIC decontamination flags — the embedding-level twin of
+    text_contamination's 5-gram scan (VERDICT r12 item 4's composition
+    target): a training document is CONTAMINATED when its embedding
+    sits at cosine ≥ 0.35 of any eval-set embedding, even if no
+    n-gram matches (paraphrased benchmark leakage — the failure mode
+    the text-level scan cannot see). Eval set = vec_id < 50 (the
+    engine's standing deterministic probe-set convention,
+    _RECALL_QUERIES); τ = 0.35 is this corpus's ~p90 of best-match
+    cosine (measured 44/450, 48/450, 202/1950 flagged at
+    sf0.001/0.01/0.1 — non-vacuous, non-total at every sf; real
+    corpora run ~0.8+). Surface: one row per contaminated train doc —
+    (doc_id, eval_id = its BEST eval match with lowest-id tiebreak,
+    cosine) — the drop list llm_data_pipeline_v7 anti-joins.
+
+    Scale shape: the eval set is SMALL BY NATURE (benchmarks are
+    thousands of rows, the corpus is billions), so this is an EXACT
+    broadcast scan, not an ANN: eval broadcasts, one pass over the
+    train side computes |eval| cosines per doc map-side and keeps the
+    argmax — linear in n_train·|eval|·d, zero shuffle beyond the
+    final filter. No recall caveat: unlike the IVF ops this flags
+    EVERY doc over τ, which is what a decontamination contract needs
+    (a missed contaminated doc is a silent eval leak). When the eval
+    side outgrows broadcast (~10⁷+), sim_ann_cross_join is the
+    handoff.
+
+    Margin audit (r13): max-cosine per doc is unique-argmax-safe via
+    the (cosine DESC, eval_id ASC) window tiebreak on the 6dp-rounded
+    value in BOTH engines; τ compares on the rounded cosine so the
+    boundary cannot flip on last-ulp drift; docs with best < τ emit
+    nothing in either engine; vec_id ≡ doc_id is the established
+    embeddings↔documents join convention (llm_data_pipeline_v5/v6)."""
+    emb = _emb(spark, sf)
+    ev = emb.where(F.col("vec_id") < _DECONTAM_EVAL_N).select(
+        F.col("vec_id").alias("eval_id"), F.col("v").alias("qv")
+    )
+    tr = emb.where(F.col("vec_id") >= _DECONTAM_EVAL_N).select(
+        F.col("vec_id").alias("doc_id"), F.col("v").alias("cv")
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "doc_id", "eval_id", F.round(cos + 1e-9, 6).alias("cosine")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cosine"), F.asc("eval_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") == 1) & (F.col("cosine") >= _DECONTAM_TAU))
+        .select("doc_id", "eval_id", "cosine")
+    )
+
+
+_SEM_DECONTAM_SQL = """
+WITH e AS ({emb}),
+scored AS (
+  SELECT t.vec_id AS doc_id, q.vec_id AS eval_id, {cos} AS cosine
+  FROM e t JOIN e q ON q.vec_id < {n_eval}
+  WHERE t.vec_id >= {n_eval}),
+best AS (
+  SELECT doc_id, eval_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cosine DESC, eval_id) AS rk
+  FROM scored)
+SELECT doc_id, eval_id, cosine FROM best WHERE rk = 1 AND cosine >= {tau}
+""".format(
+    emb=_EMB_SQL,
+    cos=_COS_SQL.format(a="t", b="q"),
+    n_eval=_DECONTAM_EVAL_N,
+    tau=_DECONTAM_TAU,
 )
 
 
@@ -1952,5 +2193,13 @@ QUERIES: dict[str, QuerySpec] = {
     # r12 addition (VERDICT r11 item 6b): semantic dedup drop list
     "dedup_semdedup": QuerySpec(
         "dedup_semdedup", dedup_semdedup, _SEMDEDUP_SQL
+    ),
+    # r13 additions (VERDICT r12 item 4): the cross-corpus retrieval
+    # pair — large×large ANN join + broadcast-exact eval decontam
+    "sim_ann_cross_join": QuerySpec(
+        "sim_ann_cross_join", sim_ann_cross_join, _ANN_CROSS_SQL
+    ),
+    "sim_semantic_decontam": QuerySpec(
+        "sim_semantic_decontam", sim_semantic_decontam, _SEM_DECONTAM_SQL
     ),
 }

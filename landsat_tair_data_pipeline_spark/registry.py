@@ -92,8 +92,8 @@ def all_queries() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query id {name!r}")
             merged[name] = spec
 
-    front = [k for k in _ROUND12_FRONT if k in merged]
-    missing = [k for k in _ROUND12_FRONT if k not in merged]
+    front = [k for k in _ROUND13_FRONT if k in merged]
+    missing = [k for k in _ROUND13_FRONT if k not in merged]
     if missing:
         raise ValueError(f"front-ordered keys missing from registry: {missing}")
     ordered = {k: merged[k] for k in front}
@@ -128,6 +128,78 @@ def all_queries() -> dict[str, QuerySpec]:
 # map_str_to_float, join_zip_positional) are purely in-repo
 # fixture-backed — their inputs NEVER regenerate, so their r7 rows
 # carry the least staleness risk in the registry.
+# First 50 slots of the driver's correctness window for round 13 —
+# the window that FINISHES the vintage rotation (VERDICT r12 item 1:
+# after it lands, no key's latest driver row predates r8, the first
+# time every key is within 5 rounds). Ordering: (1) new r13 keys,
+# fronted on arrival; (2) keys whose RESULTS changed this round — the
+# √n-derived IVF cell default (VERDICT r12 item 2) changes
+# sim_knn_graph_ivf / sim_knn_graph_ivf_recall / dedup_semdedup and
+# through the semantic-dedup stage llm_data_pipeline_v5/v6; (3) the
+# 14 r7-vintage fixture-backed keys (tools/vintage_report.py — the
+# Landsat core + window_running_sum the r12 front displaced); (4)
+# r8-vintage fill, most-data-sensitive first (testdata readers before
+# fixture-backed relational/augment keys).
+_ROUND13_FRONT = [
+    # new in r13, fronted on arrival (6)
+    "sim_ann_cross_join",
+    "sim_semantic_decontam",
+    "llm_data_pipeline_v7",
+    "ts_forecast_holt_winters",
+    "mm_image_dedup_stack",
+    "mm_caption_integrity",
+    # changed in r13 — √n cell default, re-certify on arrival (5)
+    "sim_knn_graph_ivf",
+    "sim_knn_graph_ivf_recall",
+    "dedup_semdedup",
+    "llm_data_pipeline_v5",
+    "llm_data_pipeline_v6",
+    # r7-vintage drain: the full remaining 14 (fixture-backed Landsat
+    # core + window_running_sum) — finishes the rotation
+    "map_cast_double",
+    "map_coeff_vector",
+    "map_flatten",
+    "map_k_coeffs",
+    "map_str_to_float",
+    "join_zip_positional",
+    "map_band_remap_l8",
+    "map_bt_l5",
+    "map_bt_l89",
+    "map_dn_to_radiance",
+    "proj_date_parts",
+    "src_csv_ground_truths",
+    "sink_csv_stations",
+    "window_running_sum",
+    # r8-vintage fill: testdata readers first (embeddings/events/
+    # documents/stream regenerate every round; fixtures never do)
+    "stream_scd2",
+    "sim_ivf_topk",
+    "sim_ivf_recall",
+    "emb_kmeans_step",
+    "emb_label_stats",
+    "emb_nearest_centroid",
+    "ts_asof_interp",
+    "ts_interval_union",
+    "events_attribution_last_touch",
+    "events_cumulative_uniques",
+    "events_markov_transitions",
+    "events_streaks",
+    "text_zipf_slope",
+    "sample_weighted",
+    "graph_pagerank",
+    "scd2_user_history",
+    "mm_type_summary",
+    "mm_resize_plan",
+    "mm_frame_sample",
+    "aug_jitter_date",
+    "aug_geo_shift",
+    "aug_rot90",
+    "aug_train_pipeline",
+    "split_train_test",
+    "agg_hll_intersection",
+]
+
+# Historical r12 order kept for reference (drove CORRECTNESS_r12).
 _ROUND12_FRONT = [
     # new in r12 second wave, fronted on arrival (8) — displace the
     # entire fixture-backed Landsat-core tail (map_band_remap_l8,

@@ -1,0 +1,150 @@
+"""Round-13 wave 2: Holt-Winters backtest + multimodal widening.
+
+Structural invariants beyond the oracle hash: the HW recursion matched
+against an independent in-test reimplementation (catching a shared-SQL
+bug the parity check can't), protocol fairness (same scored days for
+both forecasters), and the mm funnel/integrity contracts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _hw_reference(y, m=7, a=0.125, bt=0.0, g=0.375, score_from=14):
+    """Independent append-list implementation (the offline prototype
+    shape — indexes s[t-m] instead of the rolling slot the engine
+    uses, so a slot-arithmetic bug cannot be self-consistent)."""
+    l = sum(y[0:m]) / m
+    b = (sum(y[m : 2 * m]) / m - l) / m
+    s = [y[i] - l for i in range(m)]
+    errs, nerrs = [], []
+    for t in range(m, len(y)):
+        if t >= score_from:
+            errs.append(abs(y[t] - (l + b + s[t - m])))
+            nerrs.append(abs(y[t] - y[t - m]))
+        l_new = a * (y[t] - s[t - m]) + (1 - a) * (l + b)
+        b_new = bt * (l_new - l) + (1 - bt) * b
+        s.append(g * (y[t] - (l + b)) + (1 - g) * s[t - m])
+        l, b = l_new, b_new
+    return sum(errs) / len(errs), sum(nerrs) / len(nerrs), len(errs)
+
+
+def _r4(x):
+    return (1.0 if x + 1e-9 >= 0 else -1.0) * (
+        int(abs(x + 1e-9) * 1e4 + 0.5) / 1e4
+    )
+
+
+def test_holt_winters_matches_reference(spark, sf_dir):
+    from landsat_tair_data_pipeline_spark.operators.events import (
+        ts_forecast_holt_winters,
+    )
+    from landsat_tair_data_pipeline_spark.sources.tables import table
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value") + 1e-9, 4).alias("total"))
+        .collect()
+    )
+    series = {}
+    for r in sorted(daily, key=lambda r: (r["event_type"], r["day"])):
+        series.setdefault(r["event_type"], []).append(float(r["total"]))
+    got = {
+        r["event_type"]: r
+        for r in ts_forecast_holt_winters(spark, sf_dir).collect()
+    }
+    assert set(got) == {t for t, y in series.items() if len(y) >= 15}
+    for t, y in series.items():
+        if len(y) < 15:
+            continue
+        hw, nv, n = _hw_reference(y)
+        assert got[t]["n_scored"] == n
+        assert got[t]["hw_mae"] == _r4(hw), t
+        assert got[t]["naive_mae"] == _r4(nv), t
+        assert got[t]["beats_naive"] == (_r4(hw) <= _r4(nv)), t
+
+
+def test_holt_winters_beats_naive_in_aggregate(spark, sf_dir):
+    """The forecaster must earn its place: summed across types, HW MAE
+    must beat seasonal-naive MAE on live data (measured margin 9-13%
+    across sfs — a regression to parity means the recursion broke)."""
+    from landsat_tair_data_pipeline_spark.operators.events import (
+        ts_forecast_holt_winters,
+    )
+
+    rows = ts_forecast_holt_winters(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["hw_mae"] for r in rows) < sum(
+        r["naive_mae"] for r in rows
+    )
+
+
+def test_mm_stack_funnel_monotone_and_consistent(spark, sf_dir):
+    from landsat_tair_data_pipeline_spark.operators.multimodal import (
+        mm_dedup_binary,
+        mm_image_dedup_stack,
+    )
+
+    stack = {
+        r["media_type"]: r for r in mm_image_dedup_stack(spark, sf_dir).collect()
+    }
+    binary = {
+        r["media_type"]: r for r in mm_dedup_binary(spark, sf_dir).collect()
+    }
+    assert set(stack) == set(binary) == {"image", "audio", "video"}
+    for t, r in stack.items():
+        assert r["n_items"] >= r["n_after_binary"] >= r["n_after_semantic"]
+        # stage-1 counts must agree with the standalone binary-dedup op
+        assert r["n_items"] == binary[t]["n_payloads"]
+        assert r["n_after_binary"] == binary[t]["n_distinct_payloads"]
+
+
+def test_mm_caption_integrity_both_verdicts(spark, sf_dir):
+    from landsat_tair_data_pipeline_spark.operators.multimodal import (
+        mm_caption_integrity,
+    )
+
+    rows = {
+        r["check_name"]: r for r in mm_caption_integrity(spark, sf_dir).collect()
+    }
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r["passed"] == (r["n_violations"] == 0)
+    verdicts = {r["passed"] for r in rows.values()}
+    assert verdicts == {True, False}, (
+        "integrity suite must be non-vacuous: both verdicts occur on "
+        "live data"
+    )
+
+
+def test_mm_caption_orphans_brute_force(spark, sf_dir):
+    """Recompute the two orphan counts from the raw carve arithmetic."""
+    from landsat_tair_data_pipeline_spark.operators.multimodal import (
+        _CAPTION_DANGLE_STRIDE,
+        _CAPTION_HOLDOUT_MOD,
+        _MEDIA_HOLDOUT_MOD,
+        mm_caption_integrity,
+    )
+    from landsat_tair_data_pipeline_spark.sources.tables import table
+
+    ids = [
+        r["doc_id"]
+        for r in table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    media = {i for i in ids if i % _MEDIA_HOLDOUT_MOD != _MEDIA_HOLDOUT_MOD - 1}
+    caps = {
+        i: (i + 10**6 if i % _CAPTION_DANGLE_STRIDE == 0 else i)
+        for i in ids
+        if i % _CAPTION_HOLDOUT_MOD != _CAPTION_HOLDOUT_MOD - 1
+    }
+    want_orphan_caps = sum(1 for ref in caps.values() if ref not in media)
+    refs = set(caps.values())
+    want_orphan_media = sum(1 for m in media if m not in refs)
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in mm_caption_integrity(spark, sf_dir).collect()
+    }
+    assert got["caption_ref_resolves"] == want_orphan_caps
+    assert got["media_has_caption"] == want_orphan_media

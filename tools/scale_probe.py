@@ -185,6 +185,22 @@ def _candidate_count(spark, key: str, sf: str) -> int | None:
         a = members.select(F.col("m_id").alias("va"), "cell")
         b = members.select(F.col("m_id").alias("vb"), "cell")
         return a.join(b, "cell").where(F.col("va") < F.col("vb")).count()
+    if key == "sim_ann_cross_join":
+        # blocking stage: cross-corpus candidate volume — (B-probe,
+        # A-member) pairs through the index-side-seeded cells
+        from landsat_tair_data_pipeline_spark.operators import similarity
+
+        emb = similarity._emb(spark, sf).select("vec_id", "v")
+        ranked = similarity._ranked_cells(
+            emb, emb.where(F.col("vec_id") % 2 == 0)
+        )
+        members = ranked.where(
+            (F.col("rk") == 1) & (F.col("vec_id") % 2 == 0)
+        ).select(F.col("vec_id").alias("m_id"), F.col("cid").alias("cell"))
+        probers = ranked.where(F.col("vec_id") % 2 == 1).select(
+            F.col("vec_id").alias("p_id"), F.col("cid").alias("cell")
+        )
+        return probers.join(members, "cell").count()
     if key == "dedup_edit_distance_pairs":
         # blocking stage: same 16-char prefix + lossless length band,
         # before the levenshtein verify (mirrors the operator's join)
