@@ -189,6 +189,7 @@ HEADLINE = [
     "dq_constraint_check",
     # r13 new-operator keys (append-only)
     "sim_ann_cross_join",
+    "sim_ann_cross_recall",
     "sim_semantic_decontam",
     "llm_data_pipeline_v7",
     "ts_forecast_holt_winters",

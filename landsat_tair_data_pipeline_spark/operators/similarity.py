@@ -2057,6 +2057,88 @@ WHERE rank <= {k}
 )
 
 
+_CROSS_RECALL_QBOUND = 400  # odd ids < 400 → 200 probe queries
+
+
+def sim_ann_cross_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus ANN-join recall floor asserted against LIVE data,
+    hash-checked (the sim_knn_graph_ivf_recall pattern, closing the
+    VERDICT r12 item 4 done-bar): the approximate cross join must
+    recover ≥ 12.5% of the EXACT cosine top-3 (query side vs the FULL
+    index side) over a 200-query probe set (600 exact pairs — larger
+    than the 50-query self-graph set because cross-corpus recall runs
+    lower: no self-similar near-twin sits in the query's own cell).
+
+    Floor derivation (r13 margin audit): measured recall 0.325 /
+    0.285 / 0.220 at sf0.001/0.01/0.1 under the √n cell default — the
+    0.125 pin has z ≤ −5.6 (≲1e-8 binomial tail per testdata
+    regeneration) at every sf, and equals 2× the random-candidate
+    baseline (nprobe/k_cells = 2/32) at the sf where k actually
+    derives from √n; at the k=16-floor-clamped small sfs the pin
+    coincides with the random baseline and the 2.3–2.6× measured
+    margin is the meaningful number.
+
+    Scale shape: exact side is a broadcast-query brute-force scan over
+    the index side — linear in n_A × 200; the approximate side is the
+    production operator filtered to the probe set."""
+    from ..util import persist_tracked
+
+    emb = _emb(spark, sf).select("vec_id", "v")
+    q = emb.where(
+        (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < _CROSS_RECALL_QBOUND)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = emb.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id", "cand_id", F.round(cos + 1e-9, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    exact = persist_tracked(
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+        .select("query_id", "cand_id")
+    )
+    approx = sim_ann_cross_join(spark, sf).where(
+        F.col("query_id") < _CROSS_RECALL_QBOUND
+    ).select("query_id", F.col("nn_id").alias("cand_id"))
+    hit = exact.join(approx, ["query_id", "cand_id"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("_n_hit"))
+    return n_exact.crossJoin(F.broadcast(n_hit)).select(
+        "n_exact_pairs",
+        (F.col("_n_hit") >= 0.125 * F.col("n_exact_pairs")).alias(
+            "recall_floor_met"
+        ),
+    )
+
+
+_ANN_CROSS_RECALL_SQL = """
+WITH e AS ({emb}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {cos} AS cosine
+  FROM e q JOIN e c ON c.vec_id % 2 = 0
+  WHERE q.vec_id % 2 = 1 AND q.vec_id < {qb}),
+topk AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand_id) AS rank
+    FROM scored) t
+  WHERE rank <= {k})
+SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_floor_met FROM topk
+""".format(
+    emb=_EMB_SQL,
+    cos=_COS_SQL.format(a="q", b="c"),
+    qb=_CROSS_RECALL_QBOUND,
+    k=_KNN_K,
+)
+
+
 def sim_semantic_decontam(spark: SparkSession, sf: str) -> DataFrame:
     """SEMANTIC decontamination flags — the embedding-level twin of
     text_contamination's 5-gram scan (VERDICT r12 item 4's composition
@@ -2198,6 +2280,9 @@ QUERIES: dict[str, QuerySpec] = {
     # pair — large×large ANN join + broadcast-exact eval decontam
     "sim_ann_cross_join": QuerySpec(
         "sim_ann_cross_join", sim_ann_cross_join, _ANN_CROSS_SQL
+    ),
+    "sim_ann_cross_recall": QuerySpec(
+        "sim_ann_cross_recall", sim_ann_cross_recall, _ANN_CROSS_RECALL_SQL
     ),
     "sim_semantic_decontam": QuerySpec(
         "sim_semantic_decontam", sim_semantic_decontam, _SEM_DECONTAM_SQL

@@ -141,8 +141,9 @@ def all_queries() -> dict[str, QuerySpec]:
 # r8-vintage fill, most-data-sensitive first (testdata readers before
 # fixture-backed relational/augment keys).
 _ROUND13_FRONT = [
-    # new in r13, fronted on arrival (6)
+    # new in r13, fronted on arrival (7)
     "sim_ann_cross_join",
+    "sim_ann_cross_recall",
     "sim_semantic_decontam",
     "llm_data_pipeline_v7",
     "ts_forecast_holt_winters",
@@ -196,7 +197,6 @@ _ROUND13_FRONT = [
     "aug_rot90",
     "aug_train_pipeline",
     "split_train_test",
-    "agg_hll_intersection",
 ]
 
 # Historical r12 order kept for reference (drove CORRECTNESS_r12).
