@@ -195,6 +195,8 @@ HEADLINE = [
     "ts_forecast_holt_winters",
     "mm_image_dedup_stack",
     "mm_caption_integrity",
+    "sample_shuffle_deterministic",
+    "pack_curriculum_order",
 ]
 
 # Heavy LSH-family keys (VERDICT r10 item 3): full 3 reps, report the

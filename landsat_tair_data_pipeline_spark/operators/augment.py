@@ -850,6 +850,62 @@ FROM p CROSS JOIN z
 """.format(alpha=_TEMP_ALPHA, toks=_TOKS_SQL)
 
 
+_SHUFFLE_SEED = "r13"
+
+
+def sample_shuffle_deterministic(spark: SparkSession, sf: str) -> DataFrame:
+    """Seeded REPRODUCIBLE global shuffle — the training-data ordering
+    primitive every run script needs: the same (corpus, seed) must
+    yield the same example order on any cluster, any partition count,
+    any Spark version (an rand()-based shuffle is none of those).
+    Position = global rank of md5(seed ‖ ':' ‖ doc_id) with doc_id
+    tiebreak (md5 collisions are 2⁻¹²⁸ but the tiebreak makes
+    determinism unconditional). Changing the seed re-deals the order;
+    the seed is data, not session state.
+
+    Scale shape: one narrow hash map + util.global_prefix's
+    range-partitioned distributed rank — never a single-partition
+    window; the order key is a uniform 128-bit hex string, so the
+    range partitioner gets perfectly spreadable boundaries (no skew
+    by construction).
+
+    Margin audit (r13): position is a permutation of 1..n by
+    construction in both engines (row_number over a total order);
+    md5 of the identical 'seed:id' string matches byte-for-byte
+    between Spark and DuckDB (established md5-on-string parity);
+    no floats anywhere."""
+    from ..sources.tables import table as _table
+    from ..util import global_prefix
+
+    docs = _table(spark, sf, "documents").select("doc_id", "source")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string")
+            )
+        ).alias("shuffle_key"),
+    )
+    ranked = global_prefix(keyed, ["shuffle_key", "doc_id"])
+    return ranked.select(
+        "doc_id",
+        "source",
+        "shuffle_key",
+        F.col("_prefix").cast("bigint").alias("position"),
+    )
+
+
+_SHUFFLE_DET_SQL = """
+SELECT doc_id, source,
+       md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5('{seed}:' || CAST(doc_id AS VARCHAR)), doc_id)
+         AS BIGINT) AS position
+FROM documents
+""".format(seed=_SHUFFLE_SEED)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "aug_rot90": QuerySpec("aug_rot90", aug_rot90, _ROT90_SQL),
     "aug_explode_4x": QuerySpec("aug_explode_4x", aug_explode_4x, _EXPLODE4X_SQL),
@@ -868,6 +924,12 @@ QUERIES: dict[str, QuerySpec] = {
     # round-8 addition (fronted in registry._ROUND8_FRONT on arrival)
     "sample_weighted": QuerySpec(
         "sample_weighted", sample_weighted, _WEIGHTED_SQL
+    ),
+    # r13 addition: seeded reproducible global shuffle
+    "sample_shuffle_deterministic": QuerySpec(
+        "sample_shuffle_deterministic",
+        sample_shuffle_deterministic,
+        _SHUFFLE_DET_SQL,
     ),
     # round-9 addition (fronted in registry._ROUND9_FRONT on arrival)
     "sample_negative_pairs": QuerySpec(

@@ -3359,6 +3359,70 @@ GROUP BY bg.doc_id
 """.format(toks=_TOKENS_SQL)
 
 
+def pack_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum / source-interleaved global ordering — the step
+    between curation and the shuffle: rank every doc WITHIN its source
+    by quality (corpus-bigram LM score desc — the text_quality_bucket
+    signal at doc grain, doc_id tiebreak since avg_logp is a rounded
+    4dp value with real ties), then interleave sources round-robin by
+    taking rank-1 of every source, then rank-2, ... (global order =
+    (src_rank, source)). The output position stream starts with every
+    source's best doc and degrades evenly — the curriculum-learning
+    ordering, and the anti-pattern killer for long same-source runs
+    that bias early training. Docs with < 2 tokens have no bigrams
+    and drop (text_bigram_lm_score's inner semantics, same both
+    engines).
+
+    Scale shape: the quality score is the already-priced bigram-LM
+    join; the within-source rank is a source-partitioned window
+    (largest source bounds the partition — acceptable: sources are
+    the mixing grain); the GLOBAL position is util.global_prefix's
+    range-partitioned rank over (src_rank, source) — never a
+    single-partition window.
+
+    Margin audit (r13): (src_rank, source) is a unique total order by
+    construction (row_number within source), so the global rank has
+    no float ties to break; both engines compose the IDENTICAL
+    published bigram-LM SQL (compose-don't-copy)."""
+    from ..util import global_prefix
+
+    lm = text_bigram_lm_score(spark, sf).select("doc_id", "avg_logp")
+    docs = (
+        table(spark, sf, "documents")
+        .select("doc_id", "source")
+        .join(lm, "doc_id")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("avg_logp"), F.asc("doc_id")
+    )
+    ranked = docs.withColumn(
+        "src_rank", F.row_number().over(w).cast("bigint")
+    )
+    pos = global_prefix(ranked, ["src_rank", "source"])
+    return pos.select(
+        "doc_id",
+        "source",
+        "avg_logp",
+        "src_rank",
+        F.col("_prefix").cast("bigint").alias("position"),
+    )
+
+
+_CURRICULUM_SQL = """
+WITH lm AS ({lm_sql}),
+r AS (
+  SELECT d.doc_id, d.source, lm.avg_logp,
+         CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+                                 ORDER BY lm.avg_logp DESC, d.doc_id)
+              AS BIGINT) AS src_rank
+  FROM documents d JOIN lm ON d.doc_id = lm.doc_id)
+SELECT doc_id, source, avg_logp, src_rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY src_rank, source) AS BIGINT)
+         AS position
+FROM r
+""".format(lm_sql="SELECT doc_id, avg_logp FROM (" + _BIGRAM_LM_SQL.strip() + ")")
+
+
 def text_quality_bucket(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet head/middle/tail quality buckets (Wenzek et al. 2020):
     rank every document by its corpus-bigram LM score (high avg ln P =
@@ -4084,6 +4148,11 @@ QUERIES: dict[str, QuerySpec] = {
         "dedup_shared_ngram_pairs",
         dedup_shared_ngram_pairs,
         _shared_ngram_sql(),
+    ),
+    # r13 addition: the curriculum interleave between curation and
+    # the deterministic shuffle
+    "pack_curriculum_order": QuerySpec(
+        "pack_curriculum_order", pack_curriculum_order, _CURRICULUM_SQL
     ),
     "text_bigram_lm_score": QuerySpec(
         "text_bigram_lm_score", text_bigram_lm_score, _BIGRAM_LM_SQL

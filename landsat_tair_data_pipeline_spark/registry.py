@@ -141,7 +141,7 @@ def all_queries() -> dict[str, QuerySpec]:
 # r8-vintage fill, most-data-sensitive first (testdata readers before
 # fixture-backed relational/augment keys).
 _ROUND13_FRONT = [
-    # new in r13, fronted on arrival (7)
+    # new in r13, fronted on arrival (9)
     "sim_ann_cross_join",
     "sim_ann_cross_recall",
     "sim_semantic_decontam",
@@ -149,6 +149,8 @@ _ROUND13_FRONT = [
     "ts_forecast_holt_winters",
     "mm_image_dedup_stack",
     "mm_caption_integrity",
+    "sample_shuffle_deterministic",
+    "pack_curriculum_order",
     # changed in r13 — √n cell default, re-certify on arrival (5)
     "sim_knn_graph_ivf",
     "sim_knn_graph_ivf_recall",
@@ -195,8 +197,6 @@ _ROUND13_FRONT = [
     "aug_jitter_date",
     "aug_geo_shift",
     "aug_rot90",
-    "aug_train_pipeline",
-    "split_train_test",
 ]
 
 # Historical r12 order kept for reference (drove CORRECTNESS_r12).

@@ -148,3 +148,52 @@ def test_mm_caption_orphans_brute_force(spark, sf_dir):
     }
     assert got["caption_ref_resolves"] == want_orphan_caps
     assert got["media_has_caption"] == want_orphan_media
+
+
+def test_shuffle_deterministic_is_permutation(spark, sf_dir):
+    from landsat_tair_data_pipeline_spark.operators.augment import (
+        sample_shuffle_deterministic,
+    )
+    from landsat_tair_data_pipeline_spark.sources.tables import table
+
+    rows = sample_shuffle_deterministic(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert sorted(r["position"] for r in rows) == list(range(1, n_docs + 1))
+    # order follows the hash key (with doc_id tiebreak)
+    by_pos = sorted(rows, key=lambda r: r["position"])
+    keys = [(r["shuffle_key"], r["doc_id"]) for r in by_pos]
+    assert keys == sorted(keys)
+    # two runs are identical (the whole point)
+    again = {
+        r["doc_id"]: r["position"]
+        for r in sample_shuffle_deterministic(spark, sf_dir).collect()
+    }
+    assert all(again[r["doc_id"]] == r["position"] for r in rows)
+
+
+def test_curriculum_order_interleaves_sources(spark, sf_dir):
+    """Round-robin contract: positions ordered by (src_rank, source);
+    within a source, quality must be non-increasing along src_rank;
+    the head of the stream must contain every source's rank-1 doc."""
+    from landsat_tair_data_pipeline_spark.operators.dedup import (
+        pack_curriculum_order,
+    )
+
+    rows = pack_curriculum_order(spark, sf_dir).collect()
+    assert rows
+    assert sorted(r["position"] for r in rows) == list(
+        range(1, len(rows) + 1)
+    )
+    by_pos = sorted(rows, key=lambda r: r["position"])
+    keys = [(r["src_rank"], r["source"]) for r in by_pos]
+    assert keys == sorted(keys)
+    per_src = {}
+    for r in sorted(rows, key=lambda r: (r["source"], r["src_rank"])):
+        prev = per_src.get(r["source"])
+        if prev is not None:
+            assert r["avg_logp"] <= prev, r["source"]
+        per_src[r["source"]] = r["avg_logp"]
+    n_sources = len(per_src)
+    head = {r["source"] for r in by_pos[:n_sources]}
+    assert head == set(per_src), "stream head must cover every source"
