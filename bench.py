@@ -197,6 +197,7 @@ HEADLINE = [
     "mm_caption_integrity",
     "sample_shuffle_deterministic",
     "pack_curriculum_order",
+    "dedup_incremental_shard",
 ]
 
 # Heavy LSH-family keys (VERDICT r10 item 3): full 3 reps, report the

@@ -141,7 +141,7 @@ def all_queries() -> dict[str, QuerySpec]:
 # r8-vintage fill, most-data-sensitive first (testdata readers before
 # fixture-backed relational/augment keys).
 _ROUND13_FRONT = [
-    # new in r13, fronted on arrival (9)
+    # new in r13, fronted on arrival (10)
     "sim_ann_cross_join",
     "sim_ann_cross_recall",
     "sim_semantic_decontam",
@@ -151,6 +151,7 @@ _ROUND13_FRONT = [
     "mm_caption_integrity",
     "sample_shuffle_deterministic",
     "pack_curriculum_order",
+    "dedup_incremental_shard",
     # changed in r13 — √n cell default, re-certify on arrival (5)
     "sim_knn_graph_ivf",
     "sim_knn_graph_ivf_recall",
@@ -196,7 +197,6 @@ _ROUND13_FRONT = [
     "mm_frame_sample",
     "aug_jitter_date",
     "aug_geo_shift",
-    "aug_rot90",
 ]
 
 # Historical r12 order kept for reference (drove CORRECTNESS_r12).

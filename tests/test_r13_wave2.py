@@ -197,3 +197,37 @@ def test_curriculum_order_interleaves_sources(spark, sf_dir):
     n_sources = len(per_src)
     head = {r["source"] for r in by_pos[:n_sources]}
     assert head == set(per_src), "stream head must cover every source"
+
+
+def test_incremental_shard_partitions_exactly(spark, sf_dir):
+    """The three outcomes must partition the shard per source, and the
+    vs-corpus count must match a brute-force fingerprint recompute."""
+    from landsat_tair_data_pipeline_spark.operators.dedup import (
+        _SHARD_MOD,
+        dedup_incremental_shard,
+    )
+    from landsat_tair_data_pipeline_spark.operators.text import TOKENS
+    from landsat_tair_data_pipeline_spark.sources.tables import table
+
+    rows = dedup_incremental_shard(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_dup_vs_corpus"] + r["n_dup_within"] + r["n_kept"]
+            == r["n_shard"]
+        ), r["source"]
+    from pyspark.sql import functions as F
+
+    fp = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(TOKENS())))
+        ).alias("h"),
+    ).collect()
+    corpus_h = {
+        r["h"] for r in fp if r["doc_id"] % _SHARD_MOD != _SHARD_MOD - 1
+    }
+    shard = [r for r in fp if r["doc_id"] % _SHARD_MOD == _SHARD_MOD - 1]
+    want_vs = sum(1 for r in shard if r["h"] in corpus_h)
+    assert sum(r["n_dup_vs_corpus"] for r in rows) == want_vs
+    assert want_vs > 0, "vacuous corpus: no cross-shard duplicates"
