@@ -34,6 +34,14 @@ from ..sources.tables import table
 
 HIST_BINS = 16
 
+# Shared media-type derivation, composed into every oracle that carves
+# the media frame out of documents (compose-don't-copy: one tokenizer-
+# style constant, five oracles — a change propagates everywhere).
+_MEDIA_TYPE_CASE_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
+    " ELSE 'video' END"
+)
+
 
 def media_table(spark: SparkSession, sf: str) -> DataFrame:
     """documents → media frame: (doc_id, media_type, payload binary,
@@ -110,7 +118,7 @@ def mm_type_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _TYPE_SUMMARY_SQL = """
-SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+SELECT {mtype}
          AS media_type,
        COUNT(*) AS n_items,
        ROUND(AVG(64 + (doc_id % 64) * 8) + 1e-9, 4) AS avg_width,
@@ -118,7 +126,7 @@ SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
        CAST(MAX(10 + (doc_id % 90)) AS INT) AS max_frames
 FROM documents
 GROUP BY 1
-"""
+""".format(mtype=_MEDIA_TYPE_CASE_SQL)
 
 
 def mm_resize_plan(spark: SparkSession, sf: str) -> DataFrame:
@@ -278,8 +286,7 @@ LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin_idx = b.bin_idx
 # sum of ords mod 2^31 — upgraded from rows-only to hash-checked in r5.
 _DECODE_STATS_SQL = """
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-            ELSE 'video' END AS media_type,
+       {mtype} AS media_type,
        length(text) AS n_bytes,
        CAST(CASE WHEN length(text) = 0 THEN -1 ELSE ord(text[1]) END
             AS INT) AS first_byte,
@@ -287,7 +294,7 @@ SELECT doc_id,
                                              c -> ord(c))), 0)
             % 2147483648 AS BIGINT) AS byte_sum
 FROM documents
-"""
+""".format(mtype=_MEDIA_TYPE_CASE_SQL)
 
 
 def mm_dedup_binary(spark: SparkSession, sf: str) -> DataFrame:
@@ -320,8 +327,7 @@ def mm_dedup_binary(spark: SparkSession, sf: str) -> DataFrame:
 
 _MM_DEDUP_SQL = """
 WITH g AS (
-  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-              ELSE 'video' END AS media_type,
+  SELECT {mtype} AS media_type,
          md5(text) AS payload_md5,
          COUNT(*) AS n_copies,
          MIN(doc_id) AS keeper_doc_id
@@ -336,7 +342,7 @@ SELECT media_type,
        MIN(keeper_doc_id) AS min_keeper
 FROM g
 GROUP BY media_type
-"""
+""".format(mtype=_MEDIA_TYPE_CASE_SQL)
 
 
 def mm_image_dedup_stack(spark: SparkSession, sf: str) -> DataFrame:
@@ -405,8 +411,7 @@ def _mm_stack_sql() -> str:
     return """
 WITH media AS (
   SELECT doc_id,
-         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-              ELSE 'video' END AS media_type,
+         {mtype} AS media_type,
          md5(text) AS payload_md5
   FROM documents),
 keepers AS (
@@ -426,7 +431,7 @@ SELECT n0.media_type, n0.n_items,
 FROM n0
 LEFT JOIN n1 USING (media_type)
 LEFT JOIN n2 USING (media_type)
-""".format(semdedup_sql=_SEMDEDUP_SQL.strip())
+""".format(semdedup_sql=_SEMDEDUP_SQL.strip(), mtype=_MEDIA_TYPE_CASE_SQL)
 
 
 # Deterministic caption↔media carve for the integrity checks: captions
@@ -537,8 +542,7 @@ WITH captions AS (
   FROM documents WHERE doc_id % {cmod} != {cmod} - 1),
 media AS (
   SELECT doc_id,
-         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-              ELSE 'video' END AS media_type,
+         {mtype} AS media_type,
          CAST(10 + (doc_id % 90) AS INT) AS n_frames
   FROM documents WHERE doc_id % {mmod} != {mmod} - 1),
 orphan_caps AS (
@@ -564,6 +568,7 @@ UNION ALL SELECT 'video_caption_fits_frames', CAST(COUNT(*) AS BIGINT),
        COUNT(*) = 0 FROM overlong
 """.format(
         toks=_TOKS_SQL,
+        mtype=_MEDIA_TYPE_CASE_SQL,
         dangle=_CAPTION_DANGLE_STRIDE,
         cmod=_CAPTION_HOLDOUT_MOD,
         mmod=_MEDIA_HOLDOUT_MOD,

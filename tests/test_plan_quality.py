@@ -1006,3 +1006,33 @@ def test_seasonal_naive_daily_grain_join(spark):
     assert "partial_sum" in plan
     assert plan.count("InMemoryTableScan") >= 2
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_incremental_shard_never_shuffles_corpus(spark):
+    """dedup_incremental_shard's whole value is that the corpus side
+    is probed map-side against broadcast shard fingerprints — every
+    join must be a BroadcastHashJoin; one SortMergeJoin means the
+    corpus got shuffled and the operator's 100 TB contract is gone."""
+    plan = _plan(spark, "dedup_incremental_shard")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "corpus side must never shuffle"
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_ann_join_single_arrow_stage(spark):
+    """sim_ann_cross_join's scoring must run as exactly ONE
+    Arrow-batched applyInPandas stage (the shared _cell_block_topk
+    kernel), same contract as sim_knn_graph_ivf."""
+    plan = _plan(spark, "sim_ann_cross_join")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_semantic_decontam_broadcasts_eval(spark):
+    """sim_semantic_decontam must broadcast the EVAL side (benchmarks
+    are small by nature) — the scan over the train side is the only
+    data-sized pass; a SortMergeJoin would shuffle the corpus."""
+    plan = _plan(spark, "sim_semantic_decontam")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
