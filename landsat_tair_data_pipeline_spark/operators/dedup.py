@@ -564,20 +564,61 @@ FROM s WHERE containment >= 0.8
 _MH_BANDS = 64
 _MH_ROWS = 4
 
+# r13 hash family swap (graduating ext_dedup_near from rows-only):
+# mod-prime universal hashing over an md5-derived token hash, chosen so
+# EVERY stage reproduces in DuckDB. Token hash h = first 15 hex digits
+# of md5(token) parsed base-16 (Spark conv ≡ DuckDB '0x…'::BIGINT —
+# verified equal), reduced mod 2^30; permutation p = (A_p·h30 + B_p)
+# mod (2^31−1). Bounds are the point: A_p < 2^31 and h30 < 2^30 keep
+# every product < 2^61, so the arithmetic is exact BIGINT in both
+# engines with no overflow (Spark 4 runs ANSI mode — a Java-wrap
+# trick would throw) and no float. Constants come from a fixed-seed
+# PRNG at import (deterministic, committed behavior); the old
+# xxhash64 family was engine-private, which is the only reason
+# ext_dedup_near was rows-only.
+_MH_P = 2_147_483_647  # 2^31 − 1, Mersenne prime
+_MH_H_MOD = 1 << 30
+
+
+def _mh_consts() -> tuple[list[int], list[int]]:
+    import random
+
+    rng = random.Random(13)
+    n = _MH_BANDS * _MH_ROWS
+    return (
+        [rng.randrange(1, _MH_P) for _ in range(n)],
+        [rng.randrange(0, _MH_P) for _ in range(n)],
+    )
+
+
+_MH_A, _MH_B = _mh_consts()
+
+
+def _md5_long(col):
+    """First 60 bits of md5 as a non-negative BIGINT — the
+    cross-engine token hash (DuckDB mirror:
+    ('0x' || substr(md5(x), 1, 15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
 
 def _minhash_mins(docs: DataFrame) -> DataFrame:
     """256 MinHash signature components per doc: m_p = min over the
-    doc's (pre-hashed int64) tokens of xxhash64(p, token_hash) — one
-    explode + one map-side-combinable 256-column MIN aggregate (one
-    doc_id shuffle). Hashing the 8-byte long per permutation, not the
-    token string, keeps the per-permutation cost flat. Shared by
+    doc's tokens of (A_p·h30 + B_p) mod P, h30 = md5-long(token) mod
+    2^30 — one explode + one map-side-combinable 256-column MIN
+    aggregate (one doc_id shuffle). One md5 per token; the 256
+    permutations are integer mult-add-mod on the same h30. Shared by
     ext_dedup_near (band keys) and dedup_minhash_est_error (estimator
-    quality pin). ``docs`` must carry (doc_id, toks array<long>)."""
+    quality pin). ``docs`` must carry (doc_id, toks array<string> —
+    RAW tokens; min over a multiset equals min over its set)."""
     n_perm = _MH_BANDS * _MH_ROWS
-    tok = docs.select("doc_id", F.explode("toks").alias("h"))
+    tok = docs.select("doc_id", F.explode("toks").alias("t")).select(
+        "doc_id", (_md5_long(F.col("t")) % _MH_H_MOD).alias("h30")
+    )
     return tok.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(p), F.col("h"))).alias(f"m{p}")
+            F.min(
+                (F.lit(_MH_A[p]) * F.col("h30") + F.lit(_MH_B[p])) % _MH_P
+            ).alias(f"m{p}")
             for p in range(n_perm)
         ]
     )
@@ -585,16 +626,20 @@ def _minhash_mins(docs: DataFrame) -> DataFrame:
 
 def _banded_candidates(docs: DataFrame) -> DataFrame:
     """Banded-MinHash candidate pairs (the blocking stage, before the
-    exact-jaccard verify): 64 band keys per doc (xxhash64 over each
-    band's 4 signature rows), narrow (doc_id, band_index, band_value)
-    equi-join, map-side-combinable distinct on the bare pair key.
-    Split out so tools/scale_probe.py can count the blocking stage
-    separately from the verify. ``docs``: (doc_id, toks array<long>)."""
+    exact-jaccard verify): 64 band keys per doc (md5-long over each
+    band's ':'-joined 4 signature rows — 8-byte join keys, and DuckDB
+    reproduces them), narrow (doc_id, band_index, band_value) equi-join,
+    map-side-combinable distinct on the bare pair key. Split out so
+    tools/scale_probe.py can count the blocking stage separately from
+    the verify. ``docs``: (doc_id, toks array<string> RAW tokens)."""
     mins = _minhash_mins(docs)
     band_arr = F.array(
         *[
-            F.xxhash64(
-                *[F.col(f"m{k * _MH_ROWS + r}") for r in range(_MH_ROWS)]
+            _md5_long(
+                F.concat_ws(
+                    ":",
+                    *[F.col(f"m{k * _MH_ROWS + r}") for r in range(_MH_ROWS)],
+                )
             )
             for k in range(_MH_BANDS)
         ]
@@ -626,14 +671,18 @@ def ext_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     three consecutive rounds).
 
     Pipeline (every stage a linear shuffle, no corpus broadcast):
-    1. distinct tokens → one xxhash64 per token string, then 256
-       permutation values xxhash64(p, h) per token — hashing the
-       8-byte long, not the string, per permutation;
+    1. distinct tokens → one md5-long per token, then 256 permutation
+       values (A_p·h30 + B_p) mod (2^31−1) per token — integer
+       mult-add-mod on the same 30-bit reduced hash (the r13
+       cross-engine family; see the _MH_P comment block);
     2. per-doc MinHash signature = 256 map-side-combinable MIN aggs
        (one shuffle keyed by doc_id);
-    3. band keys: xxhash64 over each band's 4 signature rows → 64
-       longs; band equi-join on (band_index, band_value) over NARROW
-       (doc_id, k, band_value) rows with doc_a < doc_b;
+    3. band keys: md5-long over each band's ':'-joined 4 signature
+       rows → 64 longs (8-byte join keys — the 32-char md5 STRING key
+       variant measured 26 s vs 5.9 s warm at sf0.1, the string
+       shuffle+compare being the entire difference); band equi-join
+       on (band_index, band_value) over NARROW (doc_id, k,
+       band_value) rows with doc_a < doc_b;
     4. pair dedup via map-side-combinable distinct() on the bare pair
        key. Deliberately NOT the dedup_simhash_hamming canonical-band
        emit: that trick needs both signatures in hand at the join, and
@@ -647,12 +696,18 @@ def ext_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
        keep rounded exact jaccard >= 0.5 (one array_intersect per
        candidate, same as the prefix-filter verify).
 
-    Still rows-only vs the oracle: banded recall at the 0.5 output
-    threshold is probabilistic (miss (1-0.5^4)^64 ≈ 1.6% per pair at
-    exactly 0.5), so the output is not quadratic-oracle-reproducible —
-    but it is now byte-deterministic run-to-run, and the recall
-    companion (dedup_near_recall) hash-pins full recall at >= 0.7
-    against the exact prefix-filter pairs every round.
+    FULLY ORACLED since r13 (rows-only 5 → 4): the old xxhash64
+    family was engine-private, so the oracle could not reproduce the
+    banded candidate set; the md5-derived mod-prime family reproduces
+    byte-identically in DuckDB, so the oracle now runs the ENTIRE
+    pipeline — same signatures, same bands, same candidates, same
+    exact verify — and the driver hash checks the real output, not a
+    recall summary. (The verify sets stay xxhash64-hashed Spark-side
+    for speed; intersection SIZES are hash-invariant, the
+    dedup_jaccard_pairs precedent.) The recall companion
+    (dedup_near_recall) still hash-pins full recall at >= 0.7 against
+    the exact prefix-filter pairs every round — band-miss math is
+    family-independent: (1-j^4)^64.
 
     Scale shape at 100 TB: token explode + 256-column min-agg are one
     linear shuffle; the band join shuffles 64 (band, long) rows per
@@ -661,6 +716,10 @@ def ext_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     no int overflow anywhere; sz_a+sz_b-inter <= 2·|doc| fits int.
     Reference anchor: SURVEY §2.12 ext_dedup_near (MinHash/Jaccard
     near-dup contract)."""
+    raw = table(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(TOKENS()).alias("toks")
+    )
+    cand = _banded_candidates(raw)
     docs = table(spark, sf, "documents").select(
         "doc_id",
         F.array_distinct(
@@ -668,7 +727,6 @@ def ext_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("toks"),
     )
     docs = persist_tracked(docs.withColumn("sz", F.size("toks")))
-    cand = _banded_candidates(docs)
     ta = docs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("toks").alias("toks_a"),
@@ -700,6 +758,77 @@ def ext_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return scored.where(F.col("jaccard_sim") >= 0.5)
+
+
+def _minhash_ctes_sql(toks_sql: str) -> str:
+    """The DuckDB mirror of _minhash_mins + _banded_candidates' band
+    derivation, as a CTE block (no leading WITH) over ``documents``:
+    th (30-bit reduced md5 token hash) → mins (256 formula-generated
+    MIN permutation aggregates, same A/B/P constants as the engine) →
+    bands (64 md5 band keys) → bd (narrow doc_id, k, bv rows)."""
+    n_perm = _MH_BANDS * _MH_ROWS
+    mins = ",\n         ".join(
+        f"MIN(({_MH_A[p]} * h30 + {_MH_B[p]}) % {_MH_P}) AS m{p}"
+        for p in range(n_perm)
+    )
+    bands = ",\n         ".join(
+        "('0x' || substr(md5("
+        + " || ':' || ".join(
+            f"CAST(m{k * _MH_ROWS + r} AS VARCHAR)" for r in range(_MH_ROWS)
+        )
+        + f"), 1, 15))::BIGINT AS b{k}"
+        for k in range(_MH_BANDS)
+    )
+    band_list = ", ".join(f"b{k}" for k in range(_MH_BANDS))
+    return """
+th AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(tok), 1, 15))::BIGINT % {hmod}) AS h30
+  FROM (SELECT doc_id, unnest(list_distinct({toks})) AS tok
+        FROM documents)),
+mins AS (
+  SELECT doc_id, {mins}
+  FROM th GROUP BY 1),
+band_cols AS (
+  SELECT doc_id, {bands} FROM mins),
+bands AS (
+  SELECT doc_id, [{band_list}] AS bl FROM band_cols),
+bd AS (
+  SELECT doc_id, generate_subscripts(bl, 1) AS k, unnest(bl) AS bv
+  FROM bands)
+""".format(hmod=_MH_H_MOD, toks=toks_sql, mins=mins, bands=bands,
+           band_list=band_list)
+
+
+_NEAR_SQL = """
+WITH {mh},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bd a JOIN bd b ON a.k = b.k AND a.bv = b.bv
+  WHERE a.doc_id < b.doc_id),
+sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform({toks}, t ->
+           ('0x' || substr(md5(t), 1, 15))::BIGINT)) AS s
+  FROM documents),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.s, sb.s)) AS inter,
+         len(sa.s) AS za, len(sb.s) AS zb
+  FROM cand c JOIN sets sa ON sa.doc_id = c.doc_a
+              JOIN sets sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / (za + zb - inter) + 1e-9, 4)
+         AS jaccard_sim
+FROM scored
+WHERE ROUND(CAST(inter AS DOUBLE) / (za + zb - inter) + 1e-9, 4) >= 0.5
+"""
+
+
+def _near_sql() -> str:
+    return _NEAR_SQL.format(
+        mh=_minhash_ctes_sql(_TOKENS_SQL).strip(), toks=_TOKENS_SQL
+    )
 
 
 def dedup_near_recall(spark: SparkSession, sf: str) -> DataFrame:
@@ -795,10 +924,7 @@ def dedup_minhash_est_error(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard")
     )
     docs = table(spark, sf, "documents").select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(TOKENS(), lambda t: F.xxhash64(t))
-        ).alias("toks"),
+        "doc_id", F.array_distinct(TOKENS()).alias("toks")
     )
     n_perm = _MH_BANDS * _MH_ROWS
     # persist: sig feeds BOTH join sides — unpersisted, the 256-column
@@ -4236,7 +4362,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_jaccard_pairs": QuerySpec(
         "dedup_jaccard_pairs", dedup_jaccard_pairs, _JACCARD_SQL
     ),
-    "ext_dedup_near": QuerySpec("ext_dedup_near", ext_dedup_near, None),
+    # r13: graduated from rows-only — the md5-derived mod-prime hash
+    # family reproduces the ENTIRE banded pipeline in DuckDB
+    "ext_dedup_near": QuerySpec("ext_dedup_near", ext_dedup_near, _near_sql()),
     "dedup_simhash": QuerySpec("dedup_simhash", dedup_simhash, _SIMHASH_SQL),
     # appended post-r2: must stay AFTER the first 50 merged keys so the
     # driver's correctness window keeps covering the planned surface

@@ -152,12 +152,16 @@ _ROUND13_FRONT = [
     "sample_shuffle_deterministic",
     "pack_curriculum_order",
     "dedup_incremental_shard",
-    # changed in r13 — √n cell default, re-certify on arrival (5)
+    # changed in r13 — √n cell default (5) + the md5-family MinHash
+    # graduation (3), re-certify on arrival
     "sim_knn_graph_ivf",
     "sim_knn_graph_ivf_recall",
     "dedup_semdedup",
     "llm_data_pipeline_v5",
     "llm_data_pipeline_v6",
+    "ext_dedup_near",
+    "dedup_near_recall",
+    "dedup_minhash_est_error",
     # r7-vintage drain: the full remaining 14 (fixture-backed Landsat
     # core + window_running_sum) — finishes the rotation
     "map_cast_double",
@@ -194,9 +198,6 @@ _ROUND13_FRONT = [
     "scd2_user_history",
     "mm_type_summary",
     "mm_resize_plan",
-    "mm_frame_sample",
-    "aug_jitter_date",
-    "aug_geo_shift",
 ]
 
 # Historical r12 order kept for reference (drove CORRECTNESS_r12).

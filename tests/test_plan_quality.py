@@ -668,7 +668,9 @@ def test_banded_minhash_single_min_aggregate_shuffle(spark):
     # frame schema below), and the whole pipeline stays within a
     # bounded shuffle count — a per-permutation shuffle regression
     # would blow far past this
-    assert "min(xxhash64(0" in plan, "permutation min aggregate missing"
+    assert re.search(r"min\(+h30#\d+L? \* \d+", plan), (
+        "permutation min aggregate missing"
+    )
     assert _shuffles(plan) <= 8, _shuffles(plan)
     from pyspark.sql import functions as F
 
@@ -676,10 +678,7 @@ def test_banded_minhash_single_min_aggregate_shuffle(spark):
     from landsat_tair_data_pipeline_spark.sources.tables import table
 
     docs = table(spark, SF, "documents").select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(dedup.TOKENS(), lambda t: F.xxhash64(t))
-        ).alias("toks"),
+        "doc_id", F.array_distinct(dedup.TOKENS()).alias("toks")
     )
     mins = dedup._minhash_mins(docs)
     assert len(mins.columns) == 1 + dedup._MH_BANDS * dedup._MH_ROWS == 257

@@ -145,12 +145,10 @@ def _candidate_count(spark, key: str, sf: str) -> int | None:
         return cand.select("doc_a", "doc_b").count()
     if key == "ext_dedup_near":
         # blocking stage: banded-MinHash distinct candidate pairs,
-        # before the exact-jaccard verify join-back
+        # before the exact-jaccard verify join-back (r13: RAW tokens —
+        # the md5-derived mod-prime family hashes inside _minhash_mins)
         docs = table(spark, sf, "documents").select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(dedup.TOKENS(), lambda t: F.xxhash64(t))
-            ).alias("toks"),
+            "doc_id", F.array_distinct(dedup.TOKENS()).alias("toks")
         )
         return dedup._banded_candidates(docs).count()
     if key == "dedup_simhash_hamming":
