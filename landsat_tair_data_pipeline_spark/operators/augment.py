@@ -850,6 +850,123 @@ FROM p CROSS JOIN z
 """.format(alpha=_TEMP_ALPHA, toks=_TOKS_SQL)
 
 
+# token budget as a multiple of the corpus's total token mass. 4× —
+# the budget at the repeat ceiling — is deliberate for THIS corpus:
+# its sources are near-uniform (tempered boost spans only
+# 0.89–1.13 across the 3 sfs), so any budget well above 4× flags
+# every source and any budget below flags none; at 4× the mixture's
+# up/down-sampling is exactly what decides who over-repeats, and both
+# verdicts occur at every sf (measured over_repeat counts 11/10/9 of
+# 20 at sf0.001/0.01/0.1)
+_EPOCH_BUDGET_MULT = 4
+_EPOCH_REPEAT_MAX = 4.0
+
+
+def tokens_epoch_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-epoch token-budget accounting — the data-constrained
+    scaling question every training run asks (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models": repeating data beyond
+    ~4 epochs has sharply diminishing returns): given a token budget
+    B = 4 × the corpus's total token mass and sample_temperature's
+    tempered mixture q, each source is DRAWN B·q_s tokens but only
+    OWNS n_tokens_s unique ones — epochs_s = B·q_s / n_tokens_s.
+    Because B = 4·Σn and q = (p^α)/Σp^α, epochs_s = 4·q_s/p_s =
+    4 × the mixture's boost factor: up-sampled small sources are
+    exactly the ones that repeat. Per source: token mass, tempered
+    share, epochs, the over-repeat flag (epochs > 4 compared on the
+    ROUNDED value, house boundary discipline), and the budget-feasible
+    unique-token share — this source's drawn tokens after capping at 4
+    epochs, as a fraction of B (the max-unique-mixture surface: how a
+    curator would re-allocate the excess).
+
+    Compose-don't-copy: the Spark side rebuilds sample_temperature's
+    exact arithmetic (same per-source aggregate, same pow/Σ order);
+    the oracle embeds _TEMPERATURE_SQL's CTE chain. Pure deterministic
+    arithmetic over |sources| rows — zero new scan shape.
+
+    Margin audit (r14): epochs = 4·(w/z)/p with p ∈ (0,1], w,z > 0 —
+    finite positive; the over_repeat comparison runs on the
+    4dp-ROUNDED epochs, identical in both engines (cross-engine
+    drift ~1e-15 vs a 1e-4 rounding step), so the boolean cannot
+    flip cross-engine — its VALUE legitimately tracks each testdata
+    regeneration (min |rounded epochs − 4| = 0.0194/0.0089/0.0007
+    at sf0.001/0.01/0.1). capped_share's LEAST runs on unrounded
+    doubles computed in the same order both sides; a last-ulp arm
+    swap only matters within 1e-6 of the cap boundary and the
+    readout rounds at 6dp (+1e-9). Measured over_repeat split:
+    11/10/9 of 20 sources over at sf0.001/0.01/0.1 — both verdicts
+    at every sf."""
+    from .text import TOKENS as DOC_TOKENS
+
+    from ..sources.tables import table
+
+    docs = table(spark, sf, "documents")
+    per_src = persist_tracked(
+        docs.groupBy("source").agg(
+            F.sum(F.size(DOC_TOKENS())).cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("tot_tokens"))
+    p = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")
+    shares = persist_tracked(
+        per_src.crossJoin(F.broadcast(tot)).select(
+            "source",
+            "n_tokens",
+            "tot_tokens",
+            p.alias("p"),
+            F.pow(p, _TEMP_ALPHA).alias("w"),
+        )
+    )
+    z = shares.agg(F.sum("w").alias("z"))
+    q = F.col("w") / F.col("z")
+    epochs = F.lit(float(_EPOCH_BUDGET_MULT)) * q / F.col("p")
+    budget = (
+        F.lit(float(_EPOCH_BUDGET_MULT))
+        * F.col("tot_tokens").cast("double")
+    )
+    drawn = budget * q
+    capped = F.least(drawn, F.lit(_EPOCH_REPEAT_MAX) * F.col("n_tokens"))
+    repochs = F.round(epochs + 1e-9, 4)
+    return shares.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round(q + 1e-9, 6).alias("q_temp"),
+        repochs.alias("epochs"),
+        (repochs > _EPOCH_REPEAT_MAX).alias("over_repeat"),
+        F.round(capped / budget + 1e-9, 6).alias("capped_share"),
+    )
+
+
+_EPOCH_BUDGET_SQL = """
+WITH s AS (
+  SELECT source,
+         CAST(SUM(len({toks})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+t AS (SELECT SUM(n_tokens) AS tot FROM s),
+p AS (
+  SELECT s.source, s.n_tokens, t.tot,
+         CAST(s.n_tokens AS DOUBLE) / t.tot AS p,
+         pow(CAST(s.n_tokens AS DOUBLE) / t.tot, {alpha}) AS w
+  FROM s CROSS JOIN t
+),
+z AS (SELECT SUM(w) AS z FROM p)
+SELECT source, n_tokens,
+       ROUND(w / z.z + 1e-9, 6) AS q_temp,
+       ROUND({mult} * (w / z.z) / p + 1e-9, 4) AS epochs,
+       ROUND({mult} * (w / z.z) / p + 1e-9, 4) > {rmax} AS over_repeat,
+       ROUND(LEAST({mult} * CAST(tot AS DOUBLE) * (w / z.z),
+                   {rmax} * n_tokens)
+             / ({mult} * CAST(tot AS DOUBLE)) + 1e-9, 6) AS capped_share
+FROM p CROSS JOIN z
+""".format(
+    toks=_TOKS_SQL,
+    alpha=_TEMP_ALPHA,
+    mult=float(_EPOCH_BUDGET_MULT),
+    rmax=_EPOCH_REPEAT_MAX,
+)
+
+
 _SHUFFLE_SEED = "r13"
 
 
@@ -940,5 +1057,10 @@ QUERIES: dict[str, QuerySpec] = {
     # round-12 second-wave addition (fronted in _ROUND12_FRONT)
     "sample_temperature": QuerySpec(
         "sample_temperature", sample_temperature, _TEMPERATURE_SQL
+    ),
+    # r14: data-constrained-scaling epoch accounting (VERDICT r13
+    # item 5)
+    "tokens_epoch_budget": QuerySpec(
+        "tokens_epoch_budget", tokens_epoch_budget, _EPOCH_BUDGET_SQL
     ),
 }

