@@ -198,6 +198,12 @@ HEADLINE = [
     "sample_shuffle_deterministic",
     "pack_curriculum_order",
     "dedup_incremental_shard",
+    # r14 new-operator keys (append-only)
+    "text_url_canonicalize",
+    "dedup_url_grain",
+    "tokens_epoch_budget",
+    "llm_data_pipeline_v8",
+    "stream_dedup_shard",
 ]
 
 # Heavy LSH-family keys (VERDICT r10 item 3): full 3 reps, report the
@@ -302,6 +308,8 @@ FIRST_BENCHED = {
     **{k: 12 for k in HEADLINE[HEADLINE.index("dedup_simhash_hamming_wide"):]},
     # r13 keys override the r12 slice above (dict literal: later wins)
     **{k: 13 for k in HEADLINE[HEADLINE.index("sim_ann_cross_join"):]},
+    # r14 keys override the r13 slice above (dict literal: later wins)
+    **{k: 14 for k in HEADLINE[HEADLINE.index("text_url_canonicalize"):]},
 }
 
 THIS_ROUND = max(FIRST_BENCHED.values())

@@ -3033,11 +3033,20 @@ def _pipeline_v67(
         # statistic: the domain dup-ratio flagging below runs on the
         # post-URL corpus (a mirror crawled twice must not count
         # toward its source's dup ratio), which is why the stage is
-        # spliced here rather than anti-joined at the tail
+        # spliced here rather than anti-joined at the tail.
+        # localCheckpoint, NOT persist (the funnel-tail rule applied
+        # at the head): a persisted base ABOVE the whole funnel puts
+        # its InMemoryRelation — whose subtree now contains the
+        # canon-URL window + the bigram-LM aggregates — into every
+        # funnel layer's printed plan, and AQE's explain-string
+        # regeneration turned that into driver CPU: v8 measured
+        # 23.0 s persisted vs 10.2 s checkpointed at sf0.1 (warm,
+        # same machine, back-to-back). Same lineage-non-recoverable
+        # trade as the three tail cuts, documented in v6's docstring.
         url_dups = _url_ranked(spark, sf).where(F.col("_rn") > 1).select(
             "doc_id"
         )
-        base = persist_tracked(docs.join(url_dups, "doc_id", "left_anti"))
+        base = docs.join(url_dups, "doc_id", "left_anti").localCheckpoint()
     else:
         base = docs
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(TOKENS()))))

@@ -92,8 +92,8 @@ def all_queries() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query id {name!r}")
             merged[name] = spec
 
-    front = [k for k in _ROUND13_FRONT if k in merged]
-    missing = [k for k in _ROUND13_FRONT if k not in merged]
+    front = [k for k in _ROUND14_FRONT if k in merged]
+    missing = [k for k in _ROUND14_FRONT if k not in merged]
     if missing:
         raise ValueError(f"front-ordered keys missing from registry: {missing}")
     ordered = {k: merged[k] for k in front}
@@ -140,6 +140,79 @@ def all_queries() -> dict[str, QuerySpec]:
 # Landsat core + window_running_sum the r12 front displaced); (4)
 # r8-vintage fill, most-data-sensitive first (testdata readers before
 # fixture-backed relational/augment keys).
+# First 50 slots of the driver's correctness window for round 14 —
+# the window that finishes the r8 drain (VERDICT r13 item 1: after it
+# lands, the vintage floor reaches r9 and every key's driver row is
+# within 5 rounds). Ordering: (1) new r14 keys, fronted on arrival;
+# (2) keys whose IMPLEMENTATION changed this round — the vectorized
+# MinHash kernel + shared _hashed_docs frame (ext_dedup_near,
+# dedup_near_recall, dedup_minhash_est_error) and the xxhash64 →
+# md5-long token-hash unification (jaccard/containment/ngram/
+# clusters/text_repetition and the v4–v7 pipeline containment
+# stages) — results are hash-invariant by construction, re-certified
+# anyway; (3) the FULL 29-key r8-vintage fill
+# (tools/vintage_report.py), finishing the rotation; (4) three
+# r9-vintage spares, embeddings/documents readers first.
+_ROUND14_FRONT = [
+    # new in r14, fronted on arrival (5)
+    "text_url_canonicalize",
+    "dedup_url_grain",
+    "llm_data_pipeline_v8",
+    "tokens_epoch_budget",
+    "stream_dedup_shard",
+    # changed in r14 — vectorized MinHash kernel + md5-long
+    # unification (13)
+    "ext_dedup_near",
+    "dedup_near_recall",
+    "dedup_minhash_est_error",
+    "dedup_jaccard_pairs",
+    "dedup_containment_pairs",
+    "dedup_containment_asym",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "text_repetition",
+    "llm_data_pipeline_v4",
+    "llm_data_pipeline_v5",
+    "llm_data_pipeline_v6",
+    "llm_data_pipeline_v7",
+    # r8-vintage fill: the full remaining 29 (tools/vintage_report.py)
+    # — closes the rotation at a r9 floor
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_decayed_sum",
+    "agg_grouping_sets",
+    "agg_hll_intersection",
+    "agg_quantile_vs_exact",
+    "agg_rollup",
+    "aug_explode_4x",
+    "aug_geo_shift",
+    "aug_jitter_date",
+    "aug_rot90",
+    "aug_train_pipeline",
+    "ext_topk",
+    "join_anti",
+    "join_bloom_prefilter",
+    "join_outer_coalesce",
+    "join_salted_skew",
+    "join_semi",
+    "mm_frame_sample",
+    "q11_important_parts",
+    "q12_ship_delay_priority",
+    "q20_dominant_share_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "setop_union",
+    "sort_limit",
+    "split_train_test",
+    "window_percent_rank",
+    "window_range_frame",
+    # r9-vintage spares (3): data-sensitive readers first
+    "dedup_edit_distance_pairs",
+    "emb_kmeans_converged",
+    "emb_pca_power",
+]
+
+# Historical r13 order kept for reference (drove CORRECTNESS_r13).
 _ROUND13_FRONT = [
     # new in r13, fronted on arrival (10)
     "sim_ann_cross_join",
