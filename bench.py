@@ -202,6 +202,7 @@ HEADLINE = [
     "text_url_canonicalize",
     "dedup_url_grain",
     "tokens_epoch_budget",
+    "tokens_budget_waterfill",
     "llm_data_pipeline_v8",
     "stream_dedup_shard",
 ]

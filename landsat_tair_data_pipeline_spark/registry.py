@@ -154,11 +154,12 @@ def all_queries() -> dict[str, QuerySpec]:
 # (tools/vintage_report.py), finishing the rotation; (4) three
 # r9-vintage spares, embeddings/documents readers first.
 _ROUND14_FRONT = [
-    # new in r14, fronted on arrival (5)
+    # new in r14, fronted on arrival (6)
     "text_url_canonicalize",
     "dedup_url_grain",
     "llm_data_pipeline_v8",
     "tokens_epoch_budget",
+    "tokens_budget_waterfill",
     "stream_dedup_shard",
     # changed in r14 — vectorized MinHash kernel + md5-long
     # unification (13)
@@ -206,10 +207,11 @@ _ROUND14_FRONT = [
     "split_train_test",
     "window_percent_rank",
     "window_range_frame",
-    # r9-vintage spares (3): data-sensitive readers first
+    # r9-vintage spares (2): data-sensitive readers first
+    # (emb_pca_power displaced by tokens_budget_waterfill's arrival —
+    # the r8 lesson: new keys front on arrival; it leads the r15 fill)
     "dedup_edit_distance_pairs",
     "emb_kmeans_converged",
-    "emb_pca_power",
 ]
 
 # Historical r13 order kept for reference (drove CORRECTNESS_r13).

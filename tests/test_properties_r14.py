@@ -132,6 +132,87 @@ def _r(x: float, nd: int) -> float:
     return round(x + 1e-9, nd)
 
 
+def _waterfill_model(masses, alpha, mult):
+    """Independent ITERATIVE water-filling model (the convergence-loop
+    formulation the op's closed-form sorted-breakpoint solve must
+    equal): repeatedly allocate the remaining budget over uncapped
+    sources by weight, cap any overflow, until stable."""
+    tot = sum(masses.values())
+    w = {s: (n / tot) ** alpha for s, n in masses.items()}
+    c = {s: 4.0 * n for s, n in masses.items()}
+    alloc = {}
+    remaining = mult * tot
+    live = set(masses)
+    while True:
+        zs = sum(w[s] for s in live)
+        newly = []
+        for s in live:
+            a = remaining * w[s] / zs
+            if a >= c[s]:
+                newly.append(s)
+        if not newly:
+            for s in live:
+                alloc[s] = remaining * w[s] / zs
+            break
+        for s in newly:
+            alloc[s] = c[s]
+            remaining -= c[s]
+            live.discard(s)
+        if not live:
+            break
+    return alloc
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.integers(1, 40), min_size=2, max_size=6))
+def test_waterfill_random_masses(spark, tmp_path_factory, reps):
+    """The closed-form sorted-breakpoint water level must equal the
+    iterative model's allocation on random per-source token masses
+    (incl. heavily skewed ones where most sources cap)."""
+    from landsat_tair_data_pipeline_spark.operators.augment import (
+        _TEMP_ALPHA,
+        _WF_BUDGET_MULT,
+        tokens_budget_waterfill,
+    )
+
+    docs = []
+    i = 0
+    for s, n_docs in enumerate(reps):
+        for _ in range(n_docs):
+            toks = " ".join(f"w{j}" for j in range(3 + i % 5))
+            docs.append((i, toks, "en", f"s{s}", len(toks)))
+            i += 1
+    d = tmp_path_factory.mktemp("wf")
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    masses = {}
+    for _, toks, _, s, _n in docs:
+        masses[s] = masses.get(s, 0) + len(toks.split())
+    want = _waterfill_model(masses, _TEMP_ALPHA, _WF_BUDGET_MULT)
+    rows = tokens_budget_waterfill(spark, str(d)).collect()
+    assert len(rows) == len(masses)
+    total_share = 0.0
+    for r in rows:
+        s = r["source"]
+        assert math.isclose(
+            r["alloc_tokens"], _r(want[s], 2), rel_tol=1e-9, abs_tol=0.02
+        ), (s, r["alloc_tokens"], want[s])
+        assert r["epochs_alloc"] <= 4.0 + 1e-9
+        assert r["is_capped"] == (
+            _r(want[s], 2) >= _r(4.0 * masses[s], 2)
+        )
+        total_share += r["alloc_share"]
+    # budget exhausted unless everything capped
+    if not all(r["is_capped"] for r in rows):
+        assert math.isclose(total_share, 1.0, abs_tol=1e-4)
+
+
 @settings(
     max_examples=15,
     deadline=None,
