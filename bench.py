@@ -205,6 +205,8 @@ HEADLINE = [
     "tokens_budget_waterfill",
     "llm_data_pipeline_v8",
     "stream_dedup_shard",
+    "text_host_reputation",
+    "emb_dedup_incremental",
 ]
 
 # Heavy LSH-family keys (VERDICT r10 item 3): full 3 reps, report the

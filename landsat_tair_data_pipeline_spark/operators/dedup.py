@@ -3832,6 +3832,89 @@ FROM un0 LEFT JOIN un1 USING (source)
 """.format(ctes=_url_ranked_ctes_sql().strip())
 
 
+def text_host_reputation(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-HOST reputation table — the domain-level quality ledger
+    CCNet-style pipelines publish beside the corpus (and the first
+    thing a curator consults before blocking a domain): for each
+    canonical host, document count, distinct canonical URLs, the
+    crawl dup factor (docs per distinct address — a mirror crawled
+    three times reads 3.0), and the mean corpus-bigram LM quality of
+    its documents. The host grain sits ABOVE dedup_url_grain's
+    address grain: that op decides which doc survives per address,
+    this one decides whether the whole domain is worth keeping.
+
+    Margin audit (r14): counts exact int64; dup_factor is an exact
+    small rational read out at 4dp (+1e-9); mean quality averages the
+    already-4dp-ROUNDED avg_logp values (identical inputs both
+    engines, Σ-order drift ~1e-15 vs the 4dp readout); docs the LM
+    drops (< 2 tokens) are NULL-skipped by AVG identically in both
+    engines. Live values at sf0.01: 10 hosts × 50 docs / 25 distinct
+    addresses each, dup_factor 2.0 across hosts (the 6-variant
+    derivation's 3→1/3→2 alternation averages to 2), quality spread
+    −3.39…−3.38.
+
+    Scale shape: the canonicalization map fused into the scan, the
+    priced linear bigram-LM aggregate, one host-grain aggregate
+    (hosts ≪ docs — map-side combinable). Nothing pairwise, nothing
+    corpus-sized broadcast."""
+    from .text import _url_canon, url_table
+
+    canon = _url_canon(F.col("raw_url"))
+    u = url_table(spark, sf).select(
+        "doc_id",
+        F.regexp_extract(canon, r"^([^/?]*)", 1).alias("host"),
+        canon.alias("canon_url"),
+    )
+    lm = text_bigram_lm_score(spark, sf).select("doc_id", "avg_logp")
+    j = u.join(lm, "doc_id", "left")
+    return j.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("canon_url").cast("bigint").alias("n_urls"),
+        F.round(
+            F.count(F.lit(1)).cast("double")
+            / F.countDistinct("canon_url").cast("double")
+            + 1e-9,
+            4,
+        ).alias("dup_factor"),
+        F.round(F.avg("avg_logp") + 1e-9, 4).alias("mean_quality"),
+    )
+
+
+def _host_reputation_sql() -> str:
+    # lazy: pulls the URL SQL fragments from text (compose-don't-
+    # copy) without a module-level text↔dedup import edge — the op
+    # lives HERE because text importing dedup at module scope closes
+    # an augment→text→dedup→augment cycle (found live)
+    from .text import _URL_CANON_SQL_TMPL, _URL_RAW_SQL
+
+    return """
+WITH u AS (
+  SELECT doc_id, source, {raw} AS raw_url FROM documents),
+c AS (
+  SELECT doc_id, {canon} AS canon_url FROM u),
+h AS (
+  SELECT doc_id, regexp_extract(canon_url, '^([^/?]*)', 1) AS host,
+         canon_url
+  FROM c),
+lm AS (SELECT doc_id, avg_logp FROM ({lm})),
+j AS (
+  SELECT h.host, h.canon_url, lm.avg_logp
+  FROM h LEFT JOIN lm USING (doc_id))
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT canon_url) AS BIGINT) AS n_urls,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / COUNT(DISTINCT canon_url) + 1e-9, 4) AS dup_factor,
+       ROUND(AVG(avg_logp) + 1e-9, 4) AS mean_quality
+FROM j GROUP BY 1
+""".format(
+        raw=_URL_RAW_SQL.strip(),
+        canon=_URL_CANON_SQL_TMPL.format(u="raw_url").strip(),
+        lm=_BIGRAM_LM_SQL.strip(),
+    )
+
+
+
 _SHARD_MOD = 10  # doc_id % 10 == 9 → the incoming shard
 
 
@@ -4755,6 +4838,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "llm_data_pipeline_v8": QuerySpec(
         "llm_data_pipeline_v8", llm_data_pipeline_v8, _v67_sql(True, True)
+    ),
+    "text_host_reputation": QuerySpec(
+        "text_host_reputation", text_host_reputation, _host_reputation_sql()
     ),
     "text_bigram_lm_score": QuerySpec(
         "text_bigram_lm_score", text_bigram_lm_score, _BIGRAM_LM_SQL

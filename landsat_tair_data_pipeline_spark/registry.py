@@ -151,15 +151,18 @@ def all_queries() -> dict[str, QuerySpec]:
 # clusters/text_repetition and the v4–v7 pipeline containment
 # stages) — results are hash-invariant by construction, re-certified
 # anyway; (3) the FULL 29-key r8-vintage fill
-# (tools/vintage_report.py), finishing the rotation; (4) three
-# r9-vintage spares, embeddings/documents readers first.
+# (tools/vintage_report.py), finishing the rotation. The r9-vintage
+# spares that briefly held the tail slots were displaced by late r14
+# arrivals (see the list-end comment).
 _ROUND14_FRONT = [
-    # new in r14, fronted on arrival (6)
+    # new in r14, fronted on arrival (8)
     "text_url_canonicalize",
     "dedup_url_grain",
+    "text_host_reputation",
     "llm_data_pipeline_v8",
     "tokens_epoch_budget",
     "tokens_budget_waterfill",
+    "emb_dedup_incremental",
     "stream_dedup_shard",
     # changed in r14 — vectorized MinHash kernel + md5-long
     # unification (13)
@@ -207,11 +210,11 @@ _ROUND14_FRONT = [
     "split_train_test",
     "window_percent_rank",
     "window_range_frame",
-    # r9-vintage spares (2): data-sensitive readers first
-    # (emb_pca_power displaced by tokens_budget_waterfill's arrival —
-    # the r8 lesson: new keys front on arrival; it leads the r15 fill)
-    "dedup_edit_distance_pairs",
-    "emb_kmeans_converged",
+    # the r9-vintage spares (dedup_edit_distance_pairs,
+    # emb_kmeans_converged, emb_pca_power) were all displaced by the
+    # late r14 arrivals (text_host_reputation, tokens_budget_waterfill,
+    # emb_dedup_incremental) — the r8 lesson: new keys front on
+    # arrival; the three spares lead the r15 fill plan
 ]
 
 # Historical r13 order kept for reference (drove CORRECTNESS_r13).

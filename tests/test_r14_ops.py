@@ -15,8 +15,26 @@ from __future__ import annotations
 import math
 from collections import defaultdict
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
+
+
+def _emb_np(spark, sf_dir):
+    from landsat_tair_data_pipeline_spark.operators.similarity import _emb
+
+    rows = _emb(spark, sf_dir).select("vec_id", "v").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    V = np.array([r["v"] for r in rows], dtype=np.float64)
+    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+    order = np.argsort(ids)
+    return ids[order], V[order]
+
+
+def _round6(x):
+    # mirror the kernel exactly: nudge BEFORE sign/abs
+    raw = x + 1e-9
+    return np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
 
 
 # --- URL canonicalizer: one test per rule -----------------------------------
@@ -219,6 +237,87 @@ def test_v8_funnel_monotone_and_url_stage_bites(spark, sf_dir):
     for r in rows:
         if r["epochs_at_4x"] is not None:
             assert r["over_repeat"] == (r["epochs_at_4x"] > 4.0)
+
+
+# --- host reputation: consistency with the canonicalizer --------------------
+
+
+def test_host_reputation_consistent_with_canon(spark, sf_dir):
+    from landsat_tair_data_pipeline_spark.operators.dedup import (
+        text_host_reputation,
+    )
+    from landsat_tair_data_pipeline_spark.operators.text import (
+        text_url_canonicalize,
+    )
+
+    canon = text_url_canonicalize(spark, sf_dir).collect()
+    per_host = defaultdict(lambda: [0, set()])
+    for r in canon:
+        host = r["canon_url"].split("/")[0].split("?")[0]
+        per_host[host][0] += 1
+        per_host[host][1].add(r["canon_url"])
+    rows = text_host_reputation(spark, sf_dir).collect()
+    assert {r["host"] for r in rows} == set(per_host)
+    for r in rows:
+        n, urls = per_host[r["host"]]
+        assert r["n_docs"] == n
+        assert r["n_urls"] == len(urls)
+        assert abs(r["dup_factor"] - round(n / len(urls) + 1e-9, 4)) < 1e-9
+        assert r["mean_quality"] is None or r["mean_quality"] < 0
+
+
+# --- incremental semantic dedup: exactness over probed cells ----------------
+
+
+def test_emb_dedup_incremental_shape_and_flags(spark, sf_dir):
+    """Shard coverage, side disjointness, flag consistency, and
+    within-probed-cells exactness: each emitted best match must BE the
+    exact-cosine argmax among the corpus members of the shard vector's
+    probed cells (recomputed in numpy from the same frames)."""
+    import numpy as np
+
+    from landsat_tair_data_pipeline_spark.operators.similarity import (
+        _INCR_SEM_SHARD_MOD,
+        _SEMDEDUP_TAU,
+        _emb,
+        _ranked_cells,
+        emb_dedup_incremental,
+    )
+
+    m = _INCR_SEM_SHARD_MOD
+    rows = emb_dedup_incremental(spark, sf_dir).collect()
+    assert rows
+    ids_e, V = _emb_np(spark, sf_dir)
+    id_pos = {int(i): p for p, i in enumerate(ids_e)}
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    corpus = emb.where((F.col("vec_id") % m) != m - 1)
+    ranked = _ranked_cells(emb, corpus).collect()
+    assign = {}
+    probes = defaultdict(list)
+    for r in ranked:
+        if r["vec_id"] % m != m - 1 and r["rk"] == 1:
+            assign.setdefault(r["cid"], []).append(r["vec_id"])
+        if r["vec_id"] % m == m - 1:
+            probes[r["vec_id"]].append(r["cid"])
+    seen = set()
+    for r in rows:
+        q = r["shard_vec_id"]
+        assert q % m == m - 1
+        assert r["best_corpus_id"] % m != m - 1
+        assert r["is_dup"] == (r["cosine"] >= _SEMDEDUP_TAU)
+        assert q not in seen
+        seen.add(q)
+        cands = [
+            c for cell in probes[q] for c in assign.get(cell, [])
+        ]
+        assert cands, q
+        qv = V[id_pos[q]]
+        cos = {
+            c: float(_round6(np.dot(qv, V[id_pos[c]])))
+            for c in cands
+        }
+        best = min(cos, key=lambda c: (-cos[c], c))
+        assert (r["best_corpus_id"], r["cosine"]) == (best, cos[best]), q
 
 
 # --- streaming shard dedup: equals the batch op row-for-row -----------------
