@@ -25,8 +25,11 @@ the shared `_hashed_docs` frame — so intersection-size invariance is
 backed by construction identity, not collision-freeness of an
 engine-private hash. `xxhash64` survives in this package only where
 the hash IS the declared behavior of a random-by-design permutation
-(augment.py's shuffles) or a pure partitioning salt / Bloom position
-(events.py, relational.py) — never on an oracled value path.
+(augment.py's shuffles), a pure partitioning salt / Bloom position
+(events.py, relational.py), or the engine-internal CC convergence
+signature below (never surfaces; the md5 variant measured ~+1 s
+median on dedup_clusters — see its docstring) — never on an oracled
+value path.
 """
 
 from __future__ import annotations
@@ -1789,12 +1792,19 @@ def _alternating_star_cc(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     fixed point, a star forest rooted at each component's minimum id
     — at which point every canonical edge (a, b) with a < b IS the
     label assignment b → a. Convergence detection: the canonical edge
-    set's (count, md5-long-sum) signature repeating means the set is
+    set's (count, xxhash64-sum) signature repeating means the set is
     a fixed point (a hash collision would need two distinct edge sets
-    with equal count and colliding 60-bit sums — negligible against
-    the silent-wrongness it guards; the hash is the shared _md5_long
-    family since r14 — engine-internal here, but one family repo-wide
-    beats a private one).
+    with equal count and colliding 64-bit sums — negligible against
+    the silent-wrongness it guards). This signature is the ONE
+    deliberate exception to the r14 md5-long unification: it is
+    engine-INTERNAL (never surfaces, no oracle role — the md5 rule
+    exists for cross-engine value paths), and the md5 variant (a
+    string concat + md5 + hex parse per edge per CC round, vs a few
+    ns of xxhash64) measured ~+1 s median at sf0.1 — md5 draws
+    7.9–10.3 median 9.9 vs xxhash64 draws 8.2–13.7 median 8.8; this
+    key swings ±40% on identical code, and the remaining r13→r14
+    drift tracks the regenerated testdata's pair-graph density, not
+    the hash — rejected with numbers, r14.
 
     Input: symmetric ``(doc_a, doc_b)`` edges. Output: ``doc, lbl``
     labels (roots label themselves), same shape as _min_label_prop.
@@ -1851,11 +1861,7 @@ def _alternating_star_cc(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
                 F.count(F.lit(1)).alias("n"),
                 # decimal(38,0) sum: int64 hash sums overflow BIGINT
                 # (ANSI mode raises) after ~2^32 rows-worth of mass
-                F.sum(
-                    _md5_long(F.concat_ws(":", "a", "b")).cast(
-                        "decimal(38,0)"
-                    )
-                ).alias("h"),
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
             ).first()
         )
         if sig == prev_sig:
