@@ -216,7 +216,15 @@ HEADLINE = [
 # source in the round-over-round signal. The r11 deterministic
 # banded-MinHash rewrite cut them to seconds; the recorded spread is
 # the standing proof they stay flat.
-HEAVY_SPREAD = {"ext_dedup_near", "dedup_near_recall"}
+# dedup_clusters joined r15 (VERDICT r14 item 3): its recorded number
+# was a single cold draw whose ±40% same-code swing (C2 JIT ramp over
+# ~12 iterative-CC jobs + page-cache luck) flagged phantom regressions
+# every round; the heavy protocol's 2 untimed warm reps + median-of-3
+# makes the recorded figure steady-state, and the artifact carries the
+# per-rep CC round counts (dedup.CC_LAST_ROUNDS) so a 4-round vs
+# 6-round run — the data-density axis of the drift — is attributable
+# at a glance.
+HEAVY_SPREAD = {"ext_dedup_near", "dedup_near_recall", "dedup_clusters"}
 
 # Round each key FIRST appeared in HEADLINE. The total grows whenever
 # a round appends keys, so a naive round-over-round 2x gate on `value`
@@ -422,9 +430,12 @@ def main() -> None:
     times: dict[str, float] = {}
     heavy_spread: dict[str, dict] = {}
     failures: dict[str, str] = {}
+    from landsat_tair_data_pipeline_spark.operators.dedup import CC_LAST_ROUNDS
+
     for name in HEADLINE:
         rep_times: list[float] = []
         cold_sec: float | None = None
+        cc_rounds: list[dict] = []
         if name in HEAVY_SPREAD:
             # TWO untimed warm reps, EXCLUDED from the median/spread:
             # the first execution pays codegen + persist-cache
@@ -467,6 +478,8 @@ def main() -> None:
                 print(f"BENCH FAILURE {name}: {failures[name]}", file=sys.stderr)
                 break
             rep_times.append(time.perf_counter() - t0)
+            if name == "dedup_clusters":
+                cc_rounds.append(dict(CC_LAST_ROUNDS))
         # A key that failed mid-loop records ONLY its failures entry
         # (ADVICE r11: a partial rep list would otherwise publish a
         # median, and a single surviving rep reads as spread 1.0 —
@@ -482,6 +495,7 @@ def main() -> None:
                     "median": times[name],
                     "spread": round(max(rep_times) / min(rep_times), 3),
                     "cold_sec": cold_sec,
+                    **({"cc_rounds": cc_rounds} if cc_rounds else {}),
                 }
             else:
                 times[name] = round(min(rep_times), 3)

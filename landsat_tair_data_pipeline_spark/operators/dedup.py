@@ -614,16 +614,25 @@ def _hashed_docs(spark: SparkSession, sf: str) -> DataFrame:
     md5-long family (vs the pre-r14 engine-private xxhash64) makes the
     construction itself engine-portable (VERDICT r13 item 3).
 
-    The repartition spreads tokenize+md5 (and everything downstream of
-    this now shuffle-free frame — the signature kernel, the band join)
-    off the single source split at test scale; without it the whole
-    MinHash pipeline ran in ONE task (61 s vs ~3 s for the blocking
-    stage at sf0.1 — the pre-r14 shape was accidentally saved by its
-    groupBy shuffle). At 100 TB the source is already many splits and
-    this is a no-op cost-wise (the text_contamination precedent)."""
+    The CONDITIONAL repartition spreads tokenize+md5 (and everything
+    downstream of this now shuffle-free frame — the signature kernel,
+    the band join) off the single source split at test scale; without
+    it the whole MinHash pipeline ran in ONE task (61 s vs ~3 s for
+    the blocking stage at sf0.1 — the pre-r14 shape was accidentally
+    saved by its groupBy shuffle). It fires ONLY when the scan has
+    fewer splits than defaultParallelism (ADVICE r14: an unconditional
+    repartition() is a full round-robin exchange of the hashed-token
+    corpus regardless of split count — at 100 TB the source is already
+    thousands of splits and the old shape would have shuffled the
+    whole corpus for nothing; now the exchange exists only at test
+    scale, where it is the fix, and the production path is genuinely
+    zero-shuffle until the band join)."""
+    src = table(spark, sf, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
     return persist_tracked(
-        table(spark, sf, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        src
         .select(
             "doc_id",
             "source",
@@ -682,35 +691,33 @@ def _minhash_sig(docs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_bands(docs: DataFrame) -> DataFrame:
+def _bands_from_sig(sigs: DataFrame) -> DataFrame:
     """64 banded-MinHash join keys per doc as ONE array<long> column:
-    bands[k] = md5-long of the ':'-joined 4 signature rows of band k.
-    Same vectorized kernel as _minhash_sig plus the 64 band digests in
-    Python hashlib — byte-identical to the Spark/DuckDB construction
-    (str(int) = CAST(BIGINT AS VARCHAR) for non-negatives, hashlib
-    hexdigest = md5() lowercase hex, int(h[:15], 16) = the _md5_long
-    parse). Doing the digests INSIDE the kernel is load-bearing, not
-    taste: the declarative form — a 64-element array of
+    bands[k] = md5-long of the ':'-joined 4 signature rows of band k,
+    derived from the PERSISTED _minhash_sig frame (ADVICE r14: the old
+    fused kernel re-ran the (n_tokens × 256) mult-add-mod lattice that
+    _minhash_sig already computes, so composed scopes using both — the
+    estimator beside the banded candidates — paid the vectorized
+    kernel twice per doc; this split makes the signature the single
+    shared artifact and the band digests a cheap second pandas_udf
+    over 256 longs/doc). Digests in Python hashlib — byte-identical to
+    the Spark/DuckDB construction (str(int) = CAST(BIGINT AS VARCHAR)
+    for non-negatives, hashlib hexdigest = md5() lowercase hex,
+    int(h[:15], 16) = the _md5_long parse). Doing the digests in a
+    pandas_udf rather than declaratively is load-bearing, not taste:
+    the declarative form — a 64-element array of
     md5(concat_ws(':', element_at(sig, ...)×4)) — overflows janino's
     64 KB method limit, and the silent interpreted fallback ran the
     whole blocking stage at ~60 s vs ~3 s (measured at sf0.1, r14).
-    ``docs``: the _hashed_docs frame (doc_id, toks array<long>)."""
+    ``sigs``: the _minhash_sig frame (doc_id, sig array<long>)."""
     import hashlib
-
-    import numpy as np
 
     from pyspark.sql.functions import pandas_udf
 
-    a_np = np.array(_MH_A, dtype=np.int64)
-    b_np = np.array(_MH_B, dtype=np.int64)
-
     @pandas_udf("array<long>")
-    def bands64(th: pd.Series) -> pd.Series:
+    def bands64(sig: pd.Series) -> pd.Series:
         out = []
-        for arr in th:
-            h = np.asarray(arr, dtype=np.int64) % _MH_H_MOD
-            vals = (h[:, None] * a_np[None, :] + b_np[None, :]) % _MH_P
-            m = vals.min(axis=0)
+        for m in sig:
             bl = []
             for k in range(_MH_BANDS):
                 s = ":".join(
@@ -722,9 +729,7 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
             out.append(bl)
         return pd.Series(out)
 
-    return docs.where(F.size("toks") > 0).select(
-        "doc_id", bands64("toks").alias("bands")
-    )
+    return sigs.select("doc_id", bands64("sig").alias("bands"))
 
 
 def _banded_candidates(docs: DataFrame) -> DataFrame:
@@ -734,9 +739,12 @@ def _banded_candidates(docs: DataFrame) -> DataFrame:
     reproduces them), narrow (doc_id, band_index, band_value) equi-join,
     map-side-combinable distinct on the bare pair key. Split out so
     tools/scale_probe.py can count the blocking stage separately from
-    the verify. ``docs``: the _hashed_docs frame (doc_id, toks
-    array<long>)."""
-    sigs = persist_tracked(_minhash_bands(docs))
+    the verify. The signature frame is persisted with the SAME plan
+    _minhash_sig callers build (one _hashed_docs scan → one sig
+    kernel), so a scope composing candidates + estimator reuses ONE
+    InMemoryRelation for the lattice (ADVICE r14). ``docs``: the
+    _hashed_docs frame (doc_id, toks array<long>)."""
+    sigs = persist_tracked(_bands_from_sig(persist_tracked(_minhash_sig(docs))))
 
     def side(s: str) -> DataFrame:
         return sigs.select(
@@ -1696,6 +1704,7 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     computing the same transitive closure, so the iterative execution
     is value-checked end to end.
     """
+    CC_LAST_ROUNDS.clear()
     pairs = dedup_jaccard_pairs(spark, sf).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -1713,6 +1722,14 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Per-run CC iteration counts, published by bench.py in the artifact
+# tail (VERDICT r14 item 3: dedup_clusters' ±40% same-code swing kept
+# flagging phantom regressions — a 4-round vs 6-round run must be
+# attributable at a glance). Written by _min_label_prop /
+# _alternating_star_cc on every execution; keys: "label_prop", "star".
+CC_LAST_ROUNDS: dict[str, int] = {}
+
+
 def _min_label_prop(
     edges: DataFrame, max_rounds: int
 ) -> tuple[DataFrame, bool]:
@@ -1727,7 +1744,8 @@ def _min_label_prop(
         .withColumn("lbl", F.col("doc"))
         .localCheckpoint()
     )
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
+        CC_LAST_ROUNDS["label_prop"] = rnd + 1
         nbr = edges.join(
             labels.withColumnRenamed("doc", "nbr_doc"),
             edges.doc_b == F.col("nbr_doc"),
@@ -1820,7 +1838,8 @@ def _alternating_star_cc(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     )
     prev_sig = None
     converged = False
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
+        CC_LAST_ROUNDS["star"] = rnd + 1
         # large-star over both orientations of every canonical edge
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))

@@ -692,8 +692,14 @@ def stream_dedup_shard(spark: SparkSession, sf: str) -> DataFrame:
     shard = docs.where(F.col("doc_id") % _SHARD_MOD == _SHARD_MOD - 1)
     corpus = docs.where(F.col("doc_id") % _SHARD_MOD != _SHARD_MOD - 1)
 
+    # scratch keyed by data vintage AND session (ADVICE r14: tag-only
+    # naming let two concurrent sessions on the same testdata
+    # interleave their append-mode seen/out sinks; the applicationId
+    # is unique per SparkSession and stable across bench reps within
+    # one session, so reps still reuse the staged input files)
     tag = content_tag(f"{sf}/documents.parquet")
-    base = os.path.join(SCRATCH_DIR, f"stream_shard_{tag}")
+    app = spark.sparkContext.applicationId
+    base = os.path.join(SCRATCH_DIR, f"stream_shard_{tag}_{app}")
     in_dir = os.path.join(base, "in")
     ledger_dir = os.path.join(base, "ledger")
     seen_dir = os.path.join(base, "seen")
@@ -811,7 +817,7 @@ def stream_dedup_shard(spark: SparkSession, sf: str) -> DataFrame:
     agg = res.groupBy("source").pivot(
         "outcome", ["dup_vs_corpus", "dup_within", "kept"]
     ).count()
-    return agg.select(
+    final = agg.select(
         "source",
         (
             F.coalesce("dup_vs_corpus", F.lit(0))
@@ -826,6 +832,11 @@ def stream_dedup_shard(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.coalesce("kept", F.lit(0)).cast("bigint").alias("n_kept"),
     )
+    # eager localCheckpoint: the returned frame must not keep a lazy
+    # dependency on out_dir — a later invocation wipes it at entry, so
+    # a held DataFrame re-evaluated after a re-run would silently read
+    # the NEXT drain's files (ADVICE r14). |sources| rows — tiny.
+    return final.localCheckpoint()
 
 
 def _incr_shard_oracle() -> str:

@@ -661,10 +661,12 @@ def test_seasonal_decompose_window_sees_daily_rows_only(spark):
 
 
 def test_banded_minhash_vectorized_kernel_shape(spark):
-    """ext_dedup_near (r14 shape): the 256-permutation signature and
-    the 64 band keys come from ONE Arrow-batched vectorized kernel
-    over the shared _hashed_docs frame — a per-row map, so the plan
-    must carry ArrowEvalPython (never row-at-a-time BatchEvalPython)
+    """ext_dedup_near (r15 shape): the 256-permutation signature is
+    ONE Arrow-batched vectorized kernel over the shared _hashed_docs
+    frame, and the 64 band keys a second cheap pandas_udf over the
+    PERSISTED signature (ADVICE r14 — the fused kernel re-ran the
+    lattice in composed scopes) — per-row maps, so the plan must
+    carry ArrowEvalPython (never row-at-a-time BatchEvalPython)
     and NO aggregate shuffle before the band join. Shuffle budget
     tightens vs the pre-r14 pin (<= 8): the signature groupBy is gone,
     and a per-permutation-shuffle regression would blow far past
@@ -691,7 +693,7 @@ def test_banded_minhash_vectorized_kernel_shape(spark):
     assert sig.columns == ["doc_id", "sig"]
     row = sig.limit(1).collect()[0]
     assert len(row["sig"]) == dedup._MH_BANDS * dedup._MH_ROWS == 256
-    bands = dedup._minhash_bands(docs)
+    bands = dedup._bands_from_sig(sig)
     row = bands.limit(1).collect()[0]
     assert len(row["bands"]) == dedup._MH_BANDS == 64
 
