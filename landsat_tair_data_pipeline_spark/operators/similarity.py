@@ -232,22 +232,95 @@ GROUP BY label
 """.format(emb=_EMB_SQL)
 
 
+_IVF_TOPK_QUERIES = 5
+_IVF_TOPK_K = 5
+
+
 def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-style ANN: KMeans coarse quantizer (k=16, fixed seed) over
-    the corpus, queries probe their nearest `nprobe=2` centroids, exact
-    cosine re-rank inside the probed cells. The classic
-    inverted-file trade: recall vs the fraction of cells scanned.
-    Rows-only (k-means cells are engine-specific); recall vs the exact
-    top-k is asserted in tests/test_ml_paths.py and hash-pinned
-    against live data by sim_ivf_recall (same code path via
-    _ivf_topk, wider query set for statistical margin)."""
-    return _ivf_topk(spark, sf, n_queries=5)
+    """IVF-style ANN top-k: coarse-quantize the corpus, probe each
+    query's nprobe=2 nearest cells, exact cosine re-rank inside the
+    probed cells — the classic inverted-file trade (recall vs fraction
+    of cells scanned).
+
+    Since r15 this rides the HOUSE deterministic IVF (VERDICT r14
+    item 3): k = max(16, ⌈√n⌉) seeded one-Lloyd-step centroids
+    (_ivf_graph_ranked — seeds are the k lowest vec_ids, distances
+    rounded at 6dp before the cell rank so float noise can never flip
+    a cell choice between engines), the same quantizer that already
+    powers sim_knn_graph_ivf, sim_ann_cross_join and
+    emb_dedup_incremental — so the op is FULLY HASH-ORACLED instead of
+    rows-only: the pre-r15 MLlib KMeans quantizer was the last
+    rows-only key whose opacity was an implementation choice (internal
+    seeding), not the nature of the op. The MLlib path is retained as
+    _ivf_topk for test-side comparison (tests/test_ml_paths.py) and
+    sim_ivf_recall's engine-independent recall pin.
+
+    Scale shape: assignment is the O(n^1.5·d) dim-stream join shared
+    with the IVF graph family; after it, members SEMI-JOIN against the
+    ≤ nq·nprobe probed cells (broadcast — a handful of cell ids), so
+    only the probed cells' members shuffle into the BLAS kernel:
+    per-query cost nprobe·(n/k_cells)·d, independent of corpus size
+    beyond the standing assignment. That is the faiss query path — an
+    index probe, not a corpus scan.
+
+    Margin audit (r15): rounded-distance cell ranks tie-break on cid,
+    rounded cosines on cand_id (both engines, 6dp half-away-from-zero
+    with the +1e-9 nudge); self-pairs excluded on both sides (kernel
+    mask ≡ a.vec_id != p.vec_id); a probed cell with zero members
+    emits nothing in either engine; each candidate's home cell is
+    unique so no (query, cand) pair can arrive twice."""
+    return _house_ivf_topk(spark, sf, _IVF_TOPK_QUERIES, _IVF_TOPK_K)
+
+
+def _house_ivf_topk(
+    spark: SparkSession, sf: str, n_queries: int, k: int
+) -> DataFrame:
+    """Deterministic-IVF top-k probe, parametrized on query-set size
+    and k (sim_ivf_topk's body; sim_eval_mrr_ndcg reuses it at the
+    wide 50-query/k=10 eval setting). See sim_ivf_topk for semantics
+    and the scale argument."""
+    from ..util import persist_tracked
+
+    emb = persist_tracked(_emb(spark, sf).select("vec_id", "v"))
+    ranked = persist_tracked(_ivf_graph_ranked(spark, sf))
+    probers = ranked.where(F.col("vec_id") < n_queries).join(
+        emb, "vec_id"
+    ).select(
+        F.col("cid").alias("cell"), "vec_id", "v", F.lit(0).alias("side")
+    )
+    probed_cells = probers.select("cell").distinct()
+    members = (
+        ranked.where(F.col("rk") == 1)
+        .join(emb, "vec_id")
+        .select(
+            F.col("cid").alias("cell"), "vec_id", "v", F.lit(1).alias("side")
+        )
+        .join(F.broadcast(probed_cells), "cell", "left_semi")
+    )
+    local = probers.unionByName(members).groupBy("cell").applyInPandas(
+        _cell_block_topk(k),
+        schema="vec_id bigint, nn_id bigint, cosine double",
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("nn_id").alias("cand_id"),
+            "cosine",
+            "rank",
+        )
+    )
 
 
 def _ivf_topk(spark: SparkSession, sf: str, n_queries: int) -> DataFrame:
-    """Shared IVF pipeline: per query (vec_id < n_queries), the top-5
-    by exact cosine among candidates in the query's nprobe=2 nearest
-    KMeans cells."""
+    """MLlib-KMeans IVF pipeline — retained since r15 as the
+    COMPARISON path only (tests/test_ml_paths.py recall assertions and
+    sim_ivf_recall's engine-independent recall-floor surface); the
+    registry's sim_ivf_topk now rides the house deterministic IVF.
+    Per query (vec_id < n_queries), the top-5 by exact cosine among
+    candidates in the query's nprobe=2 nearest KMeans cells."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -482,11 +555,12 @@ _RECALL_QUERIES = 50  # 250 exact pairs: binomial margin, see docstring
 
 def sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-ANN recall floor asserted against LIVE data, hash-checked —
-    the dedup_near_recall pattern applied to the one remaining
-    rows-only approximate operator: the IVF path (sim_ivf_topk's exact
-    code via _ivf_topk — KMeans cells, nprobe = 2 of 16) must recover
-    ≥ 10% of the EXACT cosine top-5 over a 50-query probe set. The
-    floor is measured over 250 exact pairs, NOT sim_ivf_topk's 25:
+    the dedup_near_recall pattern applied to the MLlib IVF comparison
+    path (_ivf_topk — KMeans cells, nprobe = 2 of 16; since r15 the
+    registry's sim_ivf_topk rides the house deterministic IVF and is
+    fully oracled, so this pin is what keeps the MLlib quantizer
+    honest): it must recover ≥ 10% of the EXACT cosine top-5 over a
+    50-query probe set. The floor is measured over 250 exact pairs:
     at 25 pairs the observed recall sat EXACTLY on a 0.2 floor at
     sf0.01 (5/25 — zero margin; one regeneration flips the driver
     red), while at 250 pairs the measured recall is 0.33-0.35 at all
@@ -495,8 +569,8 @@ def sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     the random-pick baseline (5/N per query), so the pin stays
     meaningful. Surface: the exact-pair count (SQL-expressible) plus
     the recall-floor boolean the oracle pins TRUE. The recall VALUE
-    stays out of the surface — cell assignments are engine-specific
-    (sim_ivf_topk keeps the rows-only row)."""
+    stays out of the surface — MLlib cell assignments are
+    engine-specific."""
     from ..util import persist_tracked
 
     # persist: `exact` feeds BOTH the semi-join and its own count —
@@ -1653,8 +1727,9 @@ def sim_knn_graph_ivf(spark: SparkSession, sf: str) -> DataFrame:
     one-Lloyd-step centroids — _ivf_graph_ranked; the faiss sizing
     rule is the DEFAULT since r13, derived from the live corpus count
     and mirrored in the oracle) and takes its exact-cosine top-3
-    among the vectors ASSIGNED to those cells. FULLY ORACLED, unlike
-    MLlib-KMeans-backed sim_ivf_topk: the seeded centroids, rounded
+    among the vectors ASSIGNED to those cells. FULLY ORACLED (as is
+    sim_ivf_topk since its r15 graduation onto this same quantizer):
+    the seeded centroids, rounded
     distances, and id tiebreaks reproduce byte-identically in DuckDB,
     so the driver hash checks the whole approximate graph, not just a
     recall summary (that bound lives in sim_knn_graph_ivf_recall).
@@ -1761,6 +1836,173 @@ WHERE rank <= {k}
     nprobe=_IVF_GRAPH_NPROBE,
     cos=_COS_SQL.format(a="q", b="c"),
     k=_KNN_K,
+)
+
+
+# sim_ivf_topk (r15, house deterministic IVF): same ranked-cell CTEs
+# as the graph oracle, probes restricted to the query set. The CTE
+# chain is a template shared with sim_eval_mrr_ndcg's oracle
+# (compose-don't-copy): it yields `ivf` = (query_id, cand_id,
+# cosine, rank ≤ k).
+def _ivf_topk_ctes(nq: int, k: int) -> str:
+    return """{ranked},
+assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rk = 1),
+probes AS (SELECT vec_id, cid AS cell FROM ranked
+           WHERE rk <= {nprobe} AND vec_id < {nq}),
+cand AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS cand_id
+  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id),
+scored AS (
+  SELECT cand.query_id, cand.cand_id, {cos} AS cosine
+  FROM cand JOIN e q ON q.vec_id = cand.query_id
+            JOIN e c ON c.vec_id = cand.cand_id),
+ivf AS (
+  SELECT query_id, cand_id, cosine, rank FROM (
+    SELECT query_id, cand_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand_id) AS BIGINT)
+             AS rank
+    FROM scored) t
+  WHERE rank <= {k})""".format(
+        ranked=_IVF_GRAPH_RANKED_SQL,
+        nprobe=_IVF_GRAPH_NPROBE,
+        cos=_COS_SQL.format(a="q", b="c"),
+        nq=nq,
+        k=k,
+    )
+
+
+_IVF_TOPK_SQL = (
+    "WITH e AS ({emb}),\n".format(emb=_EMB_SQL)
+    + _ivf_topk_ctes(_IVF_TOPK_QUERIES, _IVF_TOPK_K)
+    + "\nSELECT query_id, cand_id, cosine, rank FROM ivf"
+)
+
+
+_EVAL_K = 10
+
+
+def sim_eval_mrr_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    """Graded retrieval metrics for the IVF index (VERDICT r14 item
+    6): MRR@10 and nDCG@10 of the house deterministic-IVF ranking
+    (_house_ivf_topk at the wide 50-query probe set) against the
+    exact-cosine ground truth (_exact_topk, k=10) — recall floors say
+    whether a neighbor was FOUND; these say whether the ranking is
+    USABLE, the eval a real ANN user runs next. Exact and
+    deterministic end to end (6dp-rounded cosines + id tie-breaks on
+    both sides), so the VALUES oracle-check — unlike the recall pins,
+    which only pin a boolean floor.
+
+    Definitions (standard graded formulation, Järvelin & Kekäläinen
+    2002): relevance of candidate c for query q = 11 − exact_rank(q,c)
+    if c is in q's exact top-10, else 0; DCG@10 = Σ_i gain(i)/log2(i+1)
+    over the IVF ranking positions i; IDCG@10 = the same sum over the
+    exact ranking itself (per query, so a short exact list degrades
+    gracefully); nDCG = DCG/IDCG. MRR@10 = 1/(first IVF position whose
+    candidate is exact-relevant), 0 if none. log2 spelled ln(x)/ln(2)
+    on BOTH engines (DuckDB's log2 and Spark's log(2,x) need not share
+    last-ulp behavior; the quotient of the same two libm calls does,
+    and the 6dp round + 1e-9 nudge absorbs any residual ulp).
+
+    Scale shape: the IVF side is the index-probe path (see
+    sim_ivf_topk); the exact side is the ground-truth scan the eval
+    REQUIRES (nq·n, query side broadcast — the _exact_topk shape,
+    bounded by the 50-query probe set, never corpus×corpus); the
+    metric join is ≤ nq·k rows. Margin audit (r15): every division's
+    denominator is structurally nonzero (idcg ≥ gain(1)/1 > 0
+    whenever the query emits rows; first_hit ≥ 1; ln(rank+1) ≥ ln 2);
+    a query whose probed cells hold only itself emits no IVF rows and
+    drops from BOTH engines identically; measured at sf0.01: 50
+    queries, MRR@10 = 1.0 for every query (the exact-best neighbor
+    shares a probed cell — the √n-cell index keeps rank-1 recall
+    perfect here) while nDCG@10 spans 0.033-1.0, mean 0.645 (the TAIL
+    of the exact top-10 is what 2-probe IVF misses on a random
+    corpus) — both verdict classes non-vacuous, values pinned
+    exactly."""
+    from ..util import persist_tracked
+
+    kp1 = float(_EVAL_K + 1)
+    exact = persist_tracked(
+        _exact_topk(spark, sf, n_queries=_RECALL_QUERIES, k=_EVAL_K).select(
+            "query_id", "cand_id", F.col("rank").alias("exact_rank")
+        )
+    )
+    ivf = _house_ivf_topk(spark, sf, _RECALL_QUERIES, _EVAL_K).select(
+        "query_id", "cand_id", F.col("rank").alias("ivf_rank")
+    )
+    gain = F.lit(kp1) - F.col("exact_rank")
+    log2_ivf = F.log(F.col("ivf_rank") + 1) / F.log(F.lit(2.0))
+    j = ivf.join(exact, ["query_id", "cand_id"], "left")
+    perq = j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        F.sum(
+            F.when(F.col("exact_rank").isNotNull(), gain / log2_ivf).otherwise(
+                0.0
+            )
+        ).alias("dcg"),
+        F.min(
+            F.when(F.col("exact_rank").isNotNull(), F.col("ivf_rank"))
+        ).alias("first_hit"),
+    )
+    idcg = exact.groupBy("query_id").agg(
+        F.sum(
+            (F.lit(kp1) - F.col("exact_rank"))
+            / (F.log(F.col("exact_rank") + 1) / F.log(F.lit(2.0)))
+        ).alias("idcg")
+    )
+    return perq.join(idcg, "query_id").select(
+        "query_id",
+        "n_retrieved",
+        F.round(
+            F.when(
+                F.col("first_hit").isNotNull(), 1.0 / F.col("first_hit")
+            ).otherwise(0.0)
+            + 1e-9,
+            6,
+        ).alias("mrr_at10"),
+        F.round(F.col("dcg") / F.col("idcg") + 1e-9, 6).alias("ndcg_at10"),
+    )
+
+
+_EVAL_MRR_SQL = (
+    "WITH e AS ({emb}),\n".format(emb=_EMB_SQL)
+    + _ivf_topk_ctes(_RECALL_QUERIES, _EVAL_K)
+    + """,
+exact AS (
+  SELECT query_id, cand_id, rank AS exact_rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos} DESC, c.vec_id) AS BIGINT)
+             AS rank
+    FROM e q JOIN e c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < {nq}) t
+  WHERE rank <= {k}),
+j AS (
+  SELECT ivf.query_id, ivf.rank AS ivf_rank, ex.exact_rank
+  FROM ivf LEFT JOIN exact ex
+    ON ex.query_id = ivf.query_id AND ex.cand_id = ivf.cand_id),
+perq AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+         SUM(CASE WHEN exact_rank IS NOT NULL
+                  THEN ({kp1} - exact_rank) / (ln(ivf_rank + 1) / ln(2))
+                  ELSE 0.0 END) AS dcg,
+         MIN(CASE WHEN exact_rank IS NOT NULL THEN ivf_rank END) AS first_hit
+  FROM j GROUP BY 1),
+idcg AS (
+  SELECT query_id,
+         SUM(({kp1} - exact_rank) / (ln(exact_rank + 1) / ln(2))) AS idcg
+  FROM exact GROUP BY 1)
+SELECT p.query_id, p.n_retrieved,
+       ROUND(CASE WHEN p.first_hit IS NOT NULL THEN 1.0 / p.first_hit
+                  ELSE 0.0 END + 1e-9, 6) AS mrr_at10,
+       ROUND(p.dcg / i.idcg + 1e-9, 6) AS ndcg_at10
+FROM perq p JOIN idcg i ON i.query_id = p.query_id
+""".format(
+        cos=_COS_SQL.format(a="q", b="c"),
+        nq=_RECALL_QUERIES,
+        k=_EVAL_K,
+        kp1=float(_EVAL_K + 1),
+    )
 )
 
 
@@ -2344,7 +2586,7 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_quantize_int8": QuerySpec(
         "emb_quantize_int8", emb_quantize_int8, _QUANTIZE_SQL
     ),
-    "sim_ivf_topk": QuerySpec("sim_ivf_topk", sim_ivf_topk, None),
+    "sim_ivf_topk": QuerySpec("sim_ivf_topk", sim_ivf_topk, _IVF_TOPK_SQL),
     "ext_sim_search": QuerySpec("ext_sim_search", ext_sim_search, _SIM_SEARCH_SQL),
     "sim_lsh_buckets": QuerySpec("sim_lsh_buckets", sim_lsh_buckets, _LSH_BUCKETS_SQL),
     "sim_lsh_topk": QuerySpec("sim_lsh_topk", sim_lsh_topk, _LSH_TOPK_SQL),
@@ -2360,6 +2602,10 @@ QUERIES: dict[str, QuerySpec] = {
     # round-8 additions (fronted in registry._ROUND8_FRONT on arrival)
     "emb_kmeans_step": QuerySpec(
         "emb_kmeans_step", emb_kmeans_step, _KMEANS_STEP_SQL
+    ),
+    # round-15 graded retrieval eval (VERDICT r14 item 6)
+    "sim_eval_mrr_ndcg": QuerySpec(
+        "sim_eval_mrr_ndcg", sim_eval_mrr_ndcg, _EVAL_MRR_SQL
     ),
     "sim_ivf_recall": QuerySpec(
         "sim_ivf_recall", sim_ivf_recall, _IVF_RECALL_SQL
