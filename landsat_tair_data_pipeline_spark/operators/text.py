@@ -1731,9 +1731,369 @@ FROM p
 """.format(toks=_TOKS_SQL, tgt=_DSIR_TARGET, nb=_DSIR_BUCKETS)
 
 
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (VERDICT r14 item 5): the dataset-versioning
+# question every curation team asks between training runs (the
+# Delta-Lake/DVC shape) — given two corpus vintages, what changed per
+# source, at the content-fingerprint grain, and how did token mass
+# move? The two vintages derive deterministically from the one
+# documents table (the split_train_test carve precedent): slot =
+# doc_id % 11; slot 3 is MISSING from v1 (so it reads as added in
+# v2), slot 7 is MISSING from v2 (removed), slot 5 has its text
+# EDITED in v2 (deterministic suffix — changes both the fingerprint
+# and the token count), everything else is carried unchanged.
+#
+# Fingerprint = md5 of the whitespace-canonicalized text (the
+# dedup_normalized canon — order-SENSITIVE, unlike
+# text_fingerprint's sorted-set key: an edit that reorders words must
+# read as changed). Statuses partition the doc_id universe of
+# v1 ∪ v2 structurally: added (v2 only), removed (v1 only), changed
+# (both, fingerprints differ), unchanged.
+#
+# Scale shape: fingerprint + token count are narrow maps fused into
+# each side's scan; the diff is ONE doc_id equi-join (both sides
+# shuffle-partitioned on the same key) and one per-source hash-agg —
+# no window, no driver state. At 100 TB vintages would be real
+# snapshots; the carve only replaces their scans.
+
+_DIFF_MOD = 11
+_DIFF_ADD_SLOT = 3
+_DIFF_DEL_SLOT = 7
+_DIFF_EDIT_SLOT = 5
+_DIFF_EDIT_SUFFIX = " rev2 edit"
+
+
+def corpus_diff_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").select("doc_id", "source", "text")
+    slot = F.col("doc_id") % _DIFF_MOD
+    v1 = docs.where(slot != _DIFF_ADD_SLOT)
+    v2 = docs.where(slot != _DIFF_DEL_SLOT).select(
+        "doc_id",
+        "source",
+        F.when(
+            slot == _DIFF_EDIT_SLOT,
+            F.concat(F.col("text"), F.lit(_DIFF_EDIT_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+    def fingerprinted(df: DataFrame) -> DataFrame:
+        canon = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        return df.select(
+            "doc_id",
+            "source",
+            F.md5(canon).alias("fp"),
+            F.size(TOKENS()).cast("long").alias("toks"),
+        )
+
+    a = fingerprinted(v1).alias("a")
+    b = fingerprinted(v2).alias("b")
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("a.fp").isNull(), F.lit("added"))
+        .when(F.col("b.fp").isNull(), F.lit("removed"))
+        .when(F.col("a.fp") != F.col("b.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    per_doc = j.select(
+        F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+        status.alias("status"),
+        (
+            F.coalesce(F.col("b.toks"), F.lit(0))
+            - F.coalesce(F.col("a.toks"), F.lit(0))
+        ).alias("tok_delta"),
+    )
+
+    def n(s: str):
+        return (
+            F.sum(F.when(F.col("status") == s, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{s}")
+        )
+
+    return per_doc.groupBy("source").agg(
+        n("added"),
+        n("removed"),
+        n("changed"),
+        n("unchanged"),
+        F.sum("tok_delta").alias("tok_delta"),
+    )
+
+
+_DIFF_SQL = """
+WITH d AS (SELECT doc_id, source, text, doc_id % {mod} AS slot
+           FROM documents),
+v1 AS (SELECT doc_id, source, text FROM d WHERE slot != {add}),
+v2 AS (SELECT doc_id, source,
+              CASE WHEN slot = {edit} THEN text || '{suffix}'
+                   ELSE text END AS text
+       FROM d WHERE slot != {del_}),
+fa AS (SELECT doc_id, source,
+              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+              CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                   AS BIGINT) AS toks
+       FROM v1),
+fb AS (SELECT doc_id, source,
+              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+              CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                   AS BIGINT) AS toks
+       FROM v2),
+j AS (
+  SELECT COALESCE(fa.source, fb.source) AS source,
+         CASE WHEN fa.fp IS NULL THEN 'added'
+              WHEN fb.fp IS NULL THEN 'removed'
+              WHEN fa.fp != fb.fp THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         COALESCE(fb.toks, 0) - COALESCE(fa.toks, 0) AS tok_delta
+  FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id)
+SELECT source,
+       CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unchanged,
+       CAST(SUM(tok_delta) AS BIGINT) AS tok_delta
+FROM j
+GROUP BY source
+""".format(
+    mod=_DIFF_MOD,
+    add=_DIFF_ADD_SLOT,
+    del_=_DIFF_DEL_SLOT,
+    edit=_DIFF_EDIT_SLOT,
+    suffix=_DIFF_EDIT_SUFFIX,
+)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-step tokenizer induction (VERDICT r14 item 4): Sennrich,
+# Haddow & Birch 2016 ("Neural Machine Translation of Rare Words with
+# Subword Units", arXiv 1508.07909) — the greedy merge loop that turns
+# a character vocabulary into a subword vocabulary. Each round counts
+# adjacent-symbol pairs over the DISTINCT-word state weighted by word
+# frequency (the paper's dictionary trick: merges act on word TYPES,
+# counts weight by occurrences), picks the globally most frequent pair
+# (deterministic tie-break: count DESC, then lexicographic on the two
+# symbols), and applies the merge leftmost-non-overlapping to every
+# word. text_bpe_merge_step is the one-round primitive;
+# text_bpe_vocab unrolls 3 rounds (the emb_pca_power unroll pattern —
+# each round is a CTE block in the oracle).
+#
+# Representation is the whole trick for cross-engine exactness: each
+# word's symbol sequence is ONE string with every symbol wrapped in
+# '|' sentinels ("abc" → "|a||b||c|"), so applying merge (l, r) is
+# replace(w, '|l||r|', '|lr|') — and both Spark's and DuckDB's
+# replace() scan leftmost-non-overlapping ("|a||a||a|" with (a,a) →
+# "|aa||a|", verified in both engines; that IS the BPE application
+# order), while the sentinels make partial-symbol matches impossible
+# (("b","c") cannot fire inside ["ab","c"]: '|b||c|' ∉ '|ab||c|').
+# The corpus tokenizer (house whitespace-split lowercase) emits no
+# '|' characters, asserted in tests. Pair counting is per adjacent
+# INDEX (so "aaa" counts (a,a) twice but merges once — the standard
+# overlap semantics); compression is token-weighted symbols-per-char.
+#
+# Scale shape: the state is |vocab| rows (word types, not tokens) —
+# the wordcount reduction happens ONCE; each round is a pair-explode →
+# hash-agg shuffle on the pair key (map-side combinable — the exact
+# wordcount shape), a 1-row global top-1, and a broadcast-crossJoin
+# map to apply the merge. localCheckpoint per round cuts the iterated
+# crossJoin lineage (the AQE explain-string pathology). At 100 TB the
+# corpus scan happens once; rounds cost O(|vocab|·len) each.
+
+_BPE_VOCAB_ROUNDS = 3
+
+
+def _bpe_arr(col: str = "w"):
+    """Symbol array from the sentinel-wrapped string: '|a||bc|' →
+    ['a','bc'] (strip one '|' each end, split on the '||' seams)."""
+    return F.split(
+        F.expr(f"substring({col}, 2, length({col}) - 2)"), r"\|\|"
+    )
+
+
+def _bpe_word_state(spark: SparkSession, sf: str) -> DataFrame:
+    """(word, n, w): distinct words with occurrence counts and the
+    initial character-symbol wrapped string."""
+    docs = table(spark, sf, "documents")
+    words = (
+        docs.select(F.explode(TOKENS()).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return words.select(
+        "word", "n", F.regexp_replace("word", "(.)", r"|$1|").alias("w")
+    )
+
+
+def _bpe_round(state: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE merge round: returns (top, new_state) where top is the
+    1-row (l, r, cnt) winning pair (localCheckpointed — it feeds both
+    the output row and the merge application) and new_state the word
+    state with the merge applied."""
+    st = state.withColumn("arr", _bpe_arr())
+    # adjacent pairs by index: element i of the last-dropped slice
+    # pairs with arr[i+1] (Spark [] indexing is 0-based; a 1-symbol
+    # word slices to [] and contributes nothing, as in the oracle)
+    prs = F.expr(
+        "transform(slice(arr, 1, size(arr) - 1), "
+        "(x, i) -> struct(x AS l, arr[i + 1] AS r))"
+    )
+    pairs = (
+        st.select("n", F.explode(prs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+    top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).localCheckpoint()
+    pat = F.concat(
+        F.lit("|"), F.col("l"), F.lit("||"), F.col("r"), F.lit("|")
+    )
+    merged = F.concat(F.lit("|"), F.col("l"), F.col("r"), F.lit("|"))
+    new_state = st.crossJoin(F.broadcast(top)).select(
+        "word", "n", F.replace(F.col("w"), pat, merged).alias("w")
+    )
+    return top, new_state
+
+
+def _bpe_round_row(
+    rank: int, top: DataFrame, state: DataFrame, chars: DataFrame
+) -> DataFrame:
+    """Per-round readout over the POST-merge state: the merged pair +
+    vocab size (distinct symbols across word types), token-weighted
+    total symbols, and compression = symbols per character."""
+    st = state.withColumn("arr", _bpe_arr())
+    syms = st.agg(
+        F.sum(F.col("n") * F.size("arr")).alias("total_symbols")
+    )
+    vocab = st.select(F.explode("arr").alias("s")).agg(
+        F.countDistinct("s").alias("vocab_size")
+    )
+    return (
+        top.crossJoin(F.broadcast(syms))
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(chars))
+        .select(
+            F.lit(rank).cast("long").alias("merge_rank"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.col("cnt").alias("pair_count"),
+            "vocab_size",
+            "total_symbols",
+            F.round(
+                F.col("total_symbols").cast("double") / F.col("total_chars")
+                + 1e-9,
+                6,
+            ).alias("compression"),
+        )
+    )
+
+
+def _bpe_merge_rounds(spark: SparkSession, sf: str, k: int) -> DataFrame:
+    state = _bpe_word_state(spark, sf).localCheckpoint()
+    chars = state.agg(
+        F.sum(F.col("n") * F.length("word")).alias("total_chars")
+    ).localCheckpoint()
+    rows: list[DataFrame] = []
+    for r in range(1, k + 1):
+        top, new_state = _bpe_round(state)
+        state = new_state.localCheckpoint()
+        rows.append(_bpe_round_row(r, top, state, chars))
+    out = rows[0]
+    for fr in rows[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def text_bpe_merge_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One deterministic BPE merge round (see the family comment
+    above): the single tokenizer-induction primitive between text
+    cleaning and packing. Surface: 1 row — the winning pair, its
+    token-weighted count, and the post-merge vocab/compression
+    readout."""
+    return _bpe_merge_rounds(spark, sf, 1)
+
+
+def text_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Three unrolled BPE merge rounds — one row per merge in rank
+    order, each with the post-merge vocab-coverage/compression
+    readout; the oracle mirrors every round as its own CTE block."""
+    return _bpe_merge_rounds(spark, sf, _BPE_VOCAB_ROUNDS)
+
+
+def _bpe_sql(k: int) -> str:
+    """Compose the k-round BPE oracle — each round's CTE block is
+    generated from one template so the engines cannot drift per-round
+    (the compose-don't-copy rule)."""
+    head = """WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest({toks}) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+chars AS (
+  SELECT CAST(SUM(n * length(word)) AS BIGINT) AS total_chars FROM words),
+st0 AS (
+  SELECT word, n, regexp_replace(word, '(.)', '|\\1|', 'g') AS w
+  FROM words)""".format(toks=_TOKS_SQL)
+    blocks = [head]
+    for r in range(1, k + 1):
+        blocks.append(
+            """,
+arr{r} AS (
+  SELECT word, n, w,
+         string_split(substring(w, 2, length(w) - 2), '||') AS arr
+  FROM st{p}),
+pairs{r} AS (
+  SELECT pr['l'] AS l, pr['r'] AS r_, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM (SELECT n,
+               unnest(list_transform(range(1, len(arr)),
+                      i -> {{'l': arr[i], 'r': arr[i + 1]}})) AS pr
+        FROM arr{r}) t
+  GROUP BY 1, 2),
+top{r} AS (SELECT l, r_, cnt FROM pairs{r} ORDER BY cnt DESC, l, r_ LIMIT 1),
+st{r} AS (
+  SELECT word, n,
+         replace(w, '|' || t.l || '||' || t.r_ || '|',
+                 '|' || t.l || t.r_ || '|') AS w
+  FROM arr{r}, top{r} t),
+stat{r} AS (
+  SELECT CAST(SUM(n * len(string_split(substring(w, 2, length(w) - 2),
+                                       '||'))) AS BIGINT) AS total_symbols,
+         (SELECT COUNT(DISTINCT s) FROM (
+            SELECT unnest(string_split(substring(w, 2, length(w) - 2),
+                                       '||')) AS s
+            FROM st{r})) AS vocab_size
+  FROM st{r}),
+row{r} AS (
+  SELECT CAST({r} AS BIGINT) AS merge_rank, t.l AS left_sym,
+         t.r_ AS right_sym, t.cnt AS pair_count, s.vocab_size,
+         s.total_symbols,
+         ROUND(CAST(s.total_symbols AS DOUBLE) / c.total_chars + 1e-9,
+               6) AS compression
+  FROM top{r} t, stat{r} s, chars c)""".format(r=r, p=r - 1)
+        )
+    blocks.append(
+        "\n"
+        + "\nUNION ALL\n".join(f"SELECT * FROM row{r}" for r in range(1, k + 1))
+    )
+    return "".join(blocks)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(
         "text_token_count", text_token_count, _TOKEN_COUNT_SQL
+    ),
+    # round-15 tokenizer-induction primitives (VERDICT r14 item 4)
+    "text_bpe_merge_step": QuerySpec(
+        "text_bpe_merge_step", text_bpe_merge_step, _bpe_sql(1)
+    ),
+    "text_bpe_vocab": QuerySpec(
+        "text_bpe_vocab", text_bpe_vocab, _bpe_sql(_BPE_VOCAB_ROUNDS)
+    ),
+    # round-15 corpus versioning (VERDICT r14 item 5)
+    "corpus_diff_snapshot": QuerySpec(
+        "corpus_diff_snapshot", corpus_diff_snapshot, _DIFF_SQL
     ),
     # round-14 URL/address grain (fronted in _ROUND14_FRONT)
     "text_url_canonicalize": QuerySpec(
