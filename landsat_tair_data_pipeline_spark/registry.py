@@ -92,8 +92,8 @@ def all_queries() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query id {name!r}")
             merged[name] = spec
 
-    front = [k for k in _ROUND14_FRONT if k in merged]
-    missing = [k for k in _ROUND14_FRONT if k not in merged]
+    front = [k for k in _ROUND15_FRONT if k in merged]
+    missing = [k for k in _ROUND15_FRONT if k not in merged]
     if missing:
         raise ValueError(f"front-ordered keys missing from registry: {missing}")
     ordered = {k: merged[k] for k in front}
@@ -140,7 +140,84 @@ def all_queries() -> dict[str, QuerySpec]:
 # Landsat core + window_running_sum the r12 front displaced); (4)
 # r8-vintage fill, most-data-sensitive first (testdata readers before
 # fixture-backed relational/augment keys).
-# First 50 slots of the driver's correctness window for round 14 —
+# First 50 slots of the driver's correctness window for round 15 —
+# the first of the TWO windows that drain the 48-key r9-vintage cohort
+# (VERDICT r14 item 1: 48 keys don't fit one 50-slot window beside new
+# arrivals; this window takes 40, the remaining 8 lead the r16 fill).
+# Ordering: (1) new r15 keys, fronted on arrival; (2) keys whose
+# IMPLEMENTATION changed this round — sim_ivf_topk (graduated onto the
+# house deterministic IVF, now fully oracled), the MinHash trio
+# (bands now derive from the persisted signature instead of a second
+# lattice pass — value-identical, re-certified anyway),
+# dedup_clusters (CC round instrumentation), stream_dedup_shard
+# (materialized return + session-keyed scratch); (3) the r9-vintage
+# fill, led by the three spares the late r14 arrivals displaced
+# (dedup_edit_distance_pairs, emb_kmeans_converged, emb_pca_power —
+# the r8 lesson twice over), then most-data-sensitive first:
+# documents readers, embeddings readers, graph, the stream_* drains,
+# events/ts, the join family, upsert/window. The 8 keys spilling to
+# r16 (written down per the two-round plan): agg_bitmap_distinct,
+# agg_histogram_equidepth, agg_moments_merge, est_join_cardinality,
+# profile_join_key_skew, pack_batches_padding, pack_shards_bytes,
+# layout_zorder_stats — aggregate/packing profiles whose relational
+# inputs carry the least regeneration sensitivity in the cohort.
+_ROUND15_FRONT = [
+    # new in r15, fronted on arrival (4)
+    "text_bpe_merge_step",
+    "text_bpe_vocab",
+    "corpus_diff_snapshot",
+    "sim_eval_mrr_ndcg",
+    # changed in r15 (6)
+    "sim_ivf_topk",
+    "ext_dedup_near",
+    "dedup_near_recall",
+    "dedup_minhash_est_error",
+    "dedup_clusters",
+    "stream_dedup_shard",
+    # r9-vintage fill (40 of 48; the three displaced r14 spares lead)
+    "dedup_edit_distance_pairs",
+    "emb_kmeans_converged",
+    "emb_pca_power",
+    "ext_text_stats",
+    "text_token_count",
+    "text_quality",
+    "text_lang_guess",
+    "text_fingerprint",
+    "text_bigrams_top",
+    "text_tfidf_top",
+    "text_heavy_hitters",
+    "text_ngram_novelty",
+    "text_rolling_hash",
+    "text_contamination",
+    "llm_data_pipeline_v2",
+    "sample_negative_pairs",
+    "emb_pq_codes",
+    "sim_pq_recall",
+    "graph_label_propagation",
+    "graph_triangle_count",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup",
+    "stream_dedup_then_window",
+    "stream_stream_join",
+    "stream_sink_parquet",
+    "ext_stream_window",
+    "events_ab_welch",
+    "events_rfm_segment",
+    "events_user_overlap_jaccard",
+    "ts_changepoint_cusum",
+    "ts_gapfill",
+    "join_asof",
+    "join_asof_tolerance",
+    "join_interval_overlap",
+    "join_nn_radius_2d",
+    "join_scd2_pointintime",
+    "upsert_snapshot",
+    "window_distinct_trailing",
+]
+
+# Historical r14 order kept for reference (drove CORRECTNESS_r14) —
 # the window that finishes the r8 drain (VERDICT r13 item 1: after it
 # lands, the vintage floor reaches r9 and every key's driver row is
 # within 5 rounds). Ordering: (1) new r14 keys, fronted on arrival;
