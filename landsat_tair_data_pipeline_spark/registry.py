@@ -162,9 +162,10 @@ def all_queries() -> dict[str, QuerySpec]:
 # layout_zorder_stats — aggregate/packing profiles whose relational
 # inputs carry the least regeneration sensitivity in the cohort.
 _ROUND15_FRONT = [
-    # new in r15, fronted on arrival (4)
+    # new in r15, fronted on arrival (5)
     "text_bpe_merge_step",
     "text_bpe_vocab",
+    "text_bpe_encode",
     "corpus_diff_snapshot",
     "sim_eval_mrr_ndcg",
     # changed in r15 (6)
@@ -214,7 +215,9 @@ _ROUND15_FRONT = [
     "join_nn_radius_2d",
     "join_scd2_pointintime",
     "upsert_snapshot",
-    "window_distinct_trailing",
+    # window_distinct_trailing was displaced from the fill tail by
+    # text_bpe_encode's arrival (new keys front on arrival); it joins
+    # the 8 named spill keys at the head of the r16 fill
 ]
 
 # Historical r14 order kept for reference (drove CORRECTNESS_r14) —

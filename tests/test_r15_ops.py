@@ -160,6 +160,40 @@ def test_bpe_corpus_tokens_carry_no_sentinel(spark, sf_dir):
     assert n == 0
 
 
+def test_bpe_encode_token_totals_and_bounds(spark, sf_dir):
+    """The encode join must drop nothing (n_tokens equals the direct
+    per-source whitespace totals), symbol counts must sit between the
+    fully-merged floor (n_tokens) and the character ceiling, and the
+    corpus-wide symbol total must equal text_bpe_vocab's round-3
+    readout (two independent aggregations of the same state)."""
+    from landsat_tair_data_pipeline_spark.operators.text import (
+        TOKENS,
+        text_bpe_encode,
+        text_bpe_vocab,
+    )
+    from landsat_tair_data_pipeline_spark.sources.tables import table
+
+    got = text_bpe_encode(spark, sf_dir).collect()
+    direct = {
+        r["source"]: r["c"]
+        for r in table(spark, sf_dir, "documents")
+        .select("source", F.explode(TOKENS()).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert {r["source"]: r["n_tokens"] for r in got} == direct
+    for r in got:
+        assert r["n_tokens"] <= r["n_symbols"] <= r["n_chars"], r
+    vocab3 = (
+        text_bpe_vocab(spark, sf_dir)
+        .where(F.col("merge_rank") == 3)
+        .collect()[0]
+    )
+    assert sum(r["n_symbols"] for r in got) == vocab3["total_symbols"]
+
+
 # --- corpus snapshot diff --------------------------------------------------
 
 
