@@ -207,6 +207,13 @@ HEADLINE = [
     "stream_dedup_shard",
     "text_host_reputation",
     "emb_dedup_incremental",
+    # r15 new-operator keys (append-only)
+    "text_bpe_merge_step",
+    "text_bpe_vocab",
+    "text_bpe_encode",
+    "corpus_diff_snapshot",
+    "sim_eval_mrr_ndcg",
+    "llm_data_pipeline_v9",
 ]
 
 # Heavy LSH-family keys (VERDICT r10 item 3): full 3 reps, report the
@@ -321,6 +328,8 @@ FIRST_BENCHED = {
     **{k: 13 for k in HEADLINE[HEADLINE.index("sim_ann_cross_join"):]},
     # r14 keys override the r13 slice above (dict literal: later wins)
     **{k: 14 for k in HEADLINE[HEADLINE.index("text_url_canonicalize"):]},
+    # r15 keys override the r14 slice above (dict literal: later wins)
+    **{k: 15 for k in HEADLINE[HEADLINE.index("text_bpe_merge_step"):]},
 }
 
 THIS_ROUND = max(FIRST_BENCHED.values())

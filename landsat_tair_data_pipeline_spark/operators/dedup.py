@@ -3043,11 +3043,49 @@ def llm_data_pipeline_v8(spark: SparkSession, sf: str) -> DataFrame:
     return _pipeline_v67(spark, sf, with_decontam=True, with_url_stage=True)
 
 
+def llm_data_pipeline_v9(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-15 corpus build — v8 plus the TOKENIZER-ACCOUNTING
+    tail (VERDICT r14 item 4's composition target): after the funnel
+    settles on the kept corpus, a 3-merge BPE vocabulary is induced
+    ON THE KEPT CORPUS (the production order — tokenizers train on
+    cleaned data; inducing upstream would let boilerplate and mirror
+    text vote on the merges) and every source's kept token mass is
+    re-expressed in SUBWORD SYMBOLS: bpe_symbols_kept and
+    bpe_symbols_per_token join the epoch columns, closing the loop
+    between the epoch budget's whitespace-token accounting and what a
+    real training run feeds the model.
+
+    Funnel gains those two columns; everything else — stages,
+    compose-don't-copy oracle discipline, localCheckpoint trades — is
+    v8's, shared via _pipeline_v67 so the four variants cannot drift.
+    The composed oracle splices text.py's BPE head/round CTE blocks
+    (the same templates text_bpe_vocab/text_bpe_encode compose from)
+    with the induction head re-pointed at the kept CTE.
+
+    Margin audit (r15): the encode join drops nothing (the vocab is
+    induced from the same kept corpus it encodes — structural);
+    n_bpe_tokens ≤ bpe_symbols_kept ≤ kept char mass; measured at
+    sf0.01: kept merges are er→ow→st (NOT the full-corpus er→in→ow —
+    the funnel shifts pair statistics, which is exactly why induction
+    order matters); both columns vary by source, non-vacuous at every
+    sf. Oracle note: the kept CTE is MATERIALIZED — DuckDB otherwise
+    inlines the whole funnel into each of the BPE tail's three
+    references (89.7 s → 7.5 s at sf0.01, values identical)."""
+    return _pipeline_v67(
+        spark,
+        sf,
+        with_decontam=True,
+        with_url_stage=True,
+        with_bpe_tail=True,
+    )
+
+
 def _pipeline_v67(
     spark: SparkSession,
     sf: str,
     with_decontam: bool,
     with_url_stage: bool = False,
+    with_bpe_tail: bool = False,
 ) -> DataFrame:
     from .similarity import dedup_semdedup, sim_semantic_decontam
     from .text import text_dsir_weight
@@ -3241,6 +3279,40 @@ def _pipeline_v67(
             (epochs > 4.0).alias("over_repeat"),
         ]
     mix = shares.crossJoin(F.broadcast(z)).select(*mix_cols)
+    if with_bpe_tail:
+        # v9 tail: BPE vocab induced ON the kept corpus, kept token
+        # mass re-expressed in subword symbols (see v9's docstring)
+        from .text import _BPE_VOCAB_ROUNDS, _bpe_arr, _bpe_state_after_from
+
+        bstate = _bpe_state_after_from(kept, _BPE_VOCAB_ROUNDS)
+        bsyms = bstate.select(
+            "word", F.size(_bpe_arr()).cast("long").alias("n_syms")
+        )
+        bpw = (
+            kept.select("source", F.explode(TOKENS()).alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("source", "word")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        bpe_n = (
+            bpw.join(bsyms, "word")
+            .groupBy("source")
+            .agg(
+                F.sum(F.col("c") * F.col("n_syms")).alias(
+                    "bpe_symbols_kept"
+                ),
+                F.sum("c").alias("_bt"),
+            )
+            .select(
+                "source",
+                "bpe_symbols_kept",
+                F.round(
+                    F.col("bpe_symbols_kept").cast("double") / F.col("_bt")
+                    + 1e-9,
+                    6,
+                ).alias("bpe_symbols_per_token"),
+            )
+        )
     out = (
         raw_n.join(d0_n, "source", "left")
         .join(d1_n, "source", "left")
@@ -3255,6 +3327,8 @@ def _pipeline_v67(
         out = out.join(dec_n, "source", "left")
     if with_url_stage:
         out = out.join(url_n, "source", "left")
+    if with_bpe_tail:
+        out = out.join(bpe_n, "source", "left")
     cols = [
         "source",
         "n_raw",
@@ -3290,11 +3364,22 @@ def _pipeline_v67(
     ]
     if with_url_stage:
         cols += ["epochs_at_4x", "over_repeat"]
+    if with_bpe_tail:
+        cols += [
+            F.coalesce("bpe_symbols_kept", F.lit(0)).alias(
+                "bpe_symbols_kept"
+            ),
+            "bpe_symbols_per_token",
+        ]
     return out.select(*cols)
 
 
-def _v67_sql(with_decontam: bool, with_url_stage: bool = False) -> str:
-    """Composed v6/v7/v8 oracle: v5's CTE chain extended by
+def _v67_sql(
+    with_decontam: bool,
+    with_url_stage: bool = False,
+    with_bpe_tail: bool = False,
+) -> str:
+    """Composed v6/v7/v8/v9 oracle: v5's CTE chain extended by
     dedup_paragraph and text_dsir_weight EMBEDDED AS FULL SUBQUERIES
     of their published SQL (compose-don't-copy: an edit to either
     op's oracle propagates here), then the temperature-mixture CTEs
@@ -3303,7 +3388,10 @@ def _v67_sql(with_decontam: bool, with_url_stage: bool = False) -> str:
     anti-join plus its funnel column; with_url_stage=True (v8)
     prepends _url_ranked_ctes_sql()'s URL-grain keep-best block as
     stage 0 (the domain-flagging rfp then reads the post-URL corpus)
-    and appends the epoch-budget tail columns."""
+    and appends the epoch-budget tail columns; with_bpe_tail=True
+    (v9) splices text.py's BPE head/round CTE templates with the
+    induction head re-pointed at the kept CTE, and appends the
+    subword-symbol accounting columns."""
     from .similarity import (
         _COS_SQL,
         _EMB_SQL,
@@ -3357,6 +3445,40 @@ dec_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_decontam
     else:
         dec_ctes = "\nkept_dec AS (SELECT * FROM kept_sem),"
         dec_n_cte = dec_col = dec_join = ""
+
+    if with_bpe_tail:
+        from .text import _BPE_VOCAB_ROUNDS, _bpe_head_sql, _bpe_round_block
+
+        bpe_ctes = (
+            "\n"
+            + _bpe_head_sql(src="kept", with_prefix="")
+            + "".join(
+                _bpe_round_block(r) for r in range(1, _BPE_VOCAB_ROUNDS + 1)
+            )
+            + """,
+bsyms AS (
+  SELECT word, CAST(len(string_split(substring(w, 2, length(w) - 2),
+                                     '||')) AS BIGINT) AS n_syms
+  FROM st{k}),
+bpw AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest({toks}) AS word FROM kept)
+  WHERE word <> '' GROUP BY 1, 2),
+bpe_n AS (
+  SELECT source, CAST(SUM(c * n_syms) AS BIGINT) AS bpe_symbols_kept,
+         ROUND(CAST(SUM(c * n_syms) AS DOUBLE) / SUM(c) + 1e-9, 6)
+           AS bpe_symbols_per_token
+  FROM bpw JOIN bsyms USING (word) GROUP BY 1),""".format(
+                k=_BPE_VOCAB_ROUNDS, toks=_TOKENS_SQL
+            )
+        )
+        bpe_out = (
+            ",\n       COALESCE(bpe_n.bpe_symbols_kept, 0)"
+            " AS bpe_symbols_kept,\n       bpe_n.bpe_symbols_per_token"
+        )
+        bpe_join = "\nLEFT JOIN bpe_n  USING (source)"
+    else:
+        bpe_ctes = bpe_out = bpe_join = ""
 
     return """
 WITH raw AS (SELECT doc_id, source, text FROM documents),{url_ctes}
@@ -3417,9 +3539,9 @@ scored AS (
                             kept_dec.doc_id ASC) AS _r,
          COUNT(*) OVER () AS _n
   FROM kept_dec JOIN dsirw USING (doc_id)),
-kept AS (
+kept AS MATERIALIZED (
   SELECT doc_id, source, text, n_tokens, entropy, log_weight
-  FROM scored WHERE _r <= (_n + 1) // 2),
+  FROM scored WHERE _r <= (_n + 1) // 2),{bpe_ctes}
 raw_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
           FROM raw GROUP BY 1),{url_n_cte}
 d0_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_domain
@@ -3462,7 +3584,7 @@ SELECT raw_n.source, raw_n.n_raw,{url_col}
        COALESCE(kept_n.kept_tokens, 0)         AS kept_tokens,
        kept_n.mean_dsir_kept,
        mix.q_temp,
-       mix.boost{epoch_out}
+       mix.boost{epoch_out}{bpe_out}
 FROM raw_n
 LEFT JOIN d0_n   USING (source)
 LEFT JOIN d1_n   USING (source)
@@ -3471,7 +3593,7 @@ LEFT JOIN cont_n USING (source)
 LEFT JOIN sem_n  USING (source)
 LEFT JOIN b_n    USING (source)
 LEFT JOIN kept_n USING (source)
-LEFT JOIN mix    USING (source){dec_join}{url_join}
+LEFT JOIN mix    USING (source){dec_join}{url_join}{bpe_join}
 """.format(
         toks=_TOKENS_SQL,
         emb=_EMB_SQL,
@@ -3491,6 +3613,9 @@ LEFT JOIN mix    USING (source){dec_join}{url_join}
         base=base,
         epoch_cols=epoch_cols,
         epoch_out=epoch_out,
+        bpe_ctes=bpe_ctes,
+        bpe_out=bpe_out,
+        bpe_join=bpe_join,
     )
 
 
@@ -4860,6 +4985,12 @@ QUERIES: dict[str, QuerySpec] = {
     # r14: the address grain (VERDICT r13 item 4) + the v8 flagship
     "dedup_url_grain": QuerySpec(
         "dedup_url_grain", dedup_url_grain, _url_grain_sql()
+    ),
+    # round-15 flagship: v8 + the kept-corpus BPE accounting tail
+    "llm_data_pipeline_v9": QuerySpec(
+        "llm_data_pipeline_v9",
+        llm_data_pipeline_v9,
+        _v67_sql(True, True, True),
     ),
     "llm_data_pipeline_v8": QuerySpec(
         "llm_data_pipeline_v8", llm_data_pipeline_v8, _v67_sql(True, True)

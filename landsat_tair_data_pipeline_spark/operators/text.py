@@ -1914,10 +1914,10 @@ def _bpe_arr(col: str = "w"):
     )
 
 
-def _bpe_word_state(spark: SparkSession, sf: str) -> DataFrame:
-    """(word, n, w): distinct words with occurrence counts and the
-    initial character-symbol wrapped string."""
-    docs = table(spark, sf, "documents")
+def _bpe_word_state_from(docs: DataFrame) -> DataFrame:
+    """(word, n, w) from any frame exposing ``text``: distinct words
+    with occurrence counts and the initial character-symbol wrapped
+    string (llm_data_pipeline_v9 feeds its KEPT corpus here)."""
     words = (
         docs.select(F.explode(TOKENS()).alias("word"))
         .where(F.col("word") != "")
@@ -1927,6 +1927,10 @@ def _bpe_word_state(spark: SparkSession, sf: str) -> DataFrame:
     return words.select(
         "word", "n", F.regexp_replace("word", "(.)", r"|$1|").alias("w")
     )
+
+
+def _bpe_word_state(spark: SparkSession, sf: str) -> DataFrame:
+    return _bpe_word_state_from(table(spark, sf, "documents"))
 
 
 def _bpe_round(state: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -2023,15 +2027,24 @@ def text_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
     return _bpe_merge_rounds(spark, sf, _BPE_VOCAB_ROUNDS)
 
 
-_BPE_SQL_HEAD = """WITH words AS (
+def _bpe_head_sql(src: str = "documents", with_prefix: str = "WITH ") -> str:
+    """Induction head CTEs over an arbitrary corpus relation ``src``
+    (a table or an upstream CTE exposing ``text``): word counts, char
+    mass, initial character-symbol state. ``with_prefix`` lets a
+    composing oracle (llm_data_pipeline_v9) splice the head
+    mid-chain."""
+    return """{wp}words AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS n
-  FROM (SELECT unnest({toks}) AS word FROM documents)
+  FROM (SELECT unnest({toks}) AS word FROM {src})
   WHERE word <> '' GROUP BY word),
 chars AS (
   SELECT CAST(SUM(n * length(word)) AS BIGINT) AS total_chars FROM words),
 st0 AS (
   SELECT word, n, regexp_replace(word, '(.)', '|\\1|', 'g') AS w
-  FROM words)""".format(toks=_TOKS_SQL)
+  FROM words)""".format(wp=with_prefix, toks=_TOKS_SQL, src=src)
+
+
+_BPE_SQL_HEAD = _bpe_head_sql()
 
 
 def _bpe_round_block(r: int) -> str:
@@ -2093,14 +2106,19 @@ def _bpe_sql(k: int) -> str:
     return "".join(blocks)
 
 
-def _bpe_state_after(spark: SparkSession, sf: str, k: int) -> DataFrame:
-    """Word state (word, n, w) after k merge rounds — the induced
-    subword vocabulary as a word-type → symbol-sequence map."""
-    state = _bpe_word_state(spark, sf).localCheckpoint()
+def _bpe_state_after_from(docs: DataFrame, k: int) -> DataFrame:
+    """Word state (word, n, w) after k merge rounds over an arbitrary
+    corpus frame — the induced subword vocabulary as a word-type →
+    symbol-sequence map."""
+    state = _bpe_word_state_from(docs).localCheckpoint()
     for _ in range(k):
         _, new_state = _bpe_round(state)
         state = new_state.localCheckpoint()
     return state
+
+
+def _bpe_state_after(spark: SparkSession, sf: str, k: int) -> DataFrame:
+    return _bpe_state_after_from(table(spark, sf, "documents"), k)
 
 
 def text_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:

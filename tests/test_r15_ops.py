@@ -194,6 +194,35 @@ def test_bpe_encode_token_totals_and_bounds(spark, sf_dir):
     assert sum(r["n_symbols"] for r in got) == vocab3["total_symbols"]
 
 
+def test_v9_shares_v8_funnel_exactly(spark, sf_dir):
+    """llm_data_pipeline_v9 = v8 + the BPE tail and NOTHING else: on
+    every shared column the two frames must be row-identical (the
+    shared-core cannot-drift pin extended to the fourth variant), and
+    the tail must be internally consistent (symbols >= the kept BPE
+    token count, ratio recomputes exactly)."""
+    from landsat_tair_data_pipeline_spark.operators.dedup import (
+        llm_data_pipeline_v8,
+        llm_data_pipeline_v9,
+    )
+
+    v8 = {r["source"]: r.asDict() for r in llm_data_pipeline_v8(spark, sf_dir).collect()}
+    v9 = {r["source"]: r.asDict() for r in llm_data_pipeline_v9(spark, sf_dir).collect()}
+    assert set(v8) == set(v9)
+    shared = set(next(iter(v8.values()))) & set(next(iter(v9.values())))
+    assert "bpe_symbols_kept" not in shared and "bpe_symbols_kept" in next(
+        iter(v9.values())
+    )
+    for src in v8:
+        for c in shared:
+            assert v8[src][c] == v9[src][c], (src, c)
+    total_syms = sum(r["bpe_symbols_kept"] for r in v9.values())
+    assert total_syms > 0
+    for src, r in v9.items():
+        if r["n_kept"] > 0:
+            assert r["bpe_symbols_kept"] > 0, src
+            assert r["bpe_symbols_per_token"] is not None
+
+
 # --- corpus snapshot diff --------------------------------------------------
 
 
