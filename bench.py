@@ -213,6 +213,7 @@ HEADLINE = [
     "text_bpe_encode",
     "corpus_diff_snapshot",
     "sim_eval_mrr_ndcg",
+    "sim_eval_pq_mrr_ndcg",
     "llm_data_pipeline_v9",
 ]
 

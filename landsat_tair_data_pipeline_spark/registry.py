@@ -162,12 +162,13 @@ def all_queries() -> dict[str, QuerySpec]:
 # layout_zorder_stats — aggregate/packing profiles whose relational
 # inputs carry the least regeneration sensitivity in the cohort.
 _ROUND15_FRONT = [
-    # new in r15, fronted on arrival (6)
+    # new in r15, fronted on arrival (7)
     "text_bpe_merge_step",
     "text_bpe_vocab",
     "text_bpe_encode",
     "corpus_diff_snapshot",
     "sim_eval_mrr_ndcg",
+    "sim_eval_pq_mrr_ndcg",
     "llm_data_pipeline_v9",
     # changed in r15 (6)
     "sim_ivf_topk",
@@ -214,10 +215,10 @@ _ROUND15_FRONT = [
     "join_asof_tolerance",
     "join_interval_overlap",
     "join_nn_radius_2d",
-    "join_scd2_pointintime",
-    # upsert_snapshot and window_distinct_trailing were displaced from
-    # the fill tail by the late arrivals text_bpe_encode and
-    # llm_data_pipeline_v9 (new keys front on arrival); they join the
+    # join_scd2_pointintime, upsert_snapshot and
+    # window_distinct_trailing were displaced from the fill tail by
+    # the late arrivals text_bpe_encode, llm_data_pipeline_v9 and
+    # sim_eval_pq_mrr_ndcg (new keys front on arrival); they join the
     # 8 named spill keys at the head of the r16 fill
 ]
 

@@ -322,6 +322,51 @@ def test_mrr_ndcg_matches_python_recompute(spark, sf_dir):
         assert 0.0 <= g["ndcg_at10"] <= 1.0 + 1e-9
 
 
+def test_pq_eval_consistent_with_recall(spark, sf_dir):
+    """The PQ graded metrics and sim_pq_recall must read the SAME
+    search: per-query hit counts from the ranked frames sum to the
+    recall op's n_hits, metrics recompute exactly through the shared
+    block, and a query with zero hits shows mrr = ndcg = 0."""
+    from landsat_tair_data_pipeline_spark.operators.similarity import (
+        _ADC_K,
+        _pq_search_ranked,
+        sim_eval_pq_mrr_ndcg,
+        sim_pq_recall,
+    )
+
+    exk, adck = _pq_search_ranked(spark, sf_dir)
+    e = {(r["query_id"], r["vec_id"]): r["rn"] for r in exk.collect()}
+    a = {(r["query_id"], r["vec_id"]): r["rn"] for r in adck.collect()}
+    hits = set(e) & set(a)
+    rec = sim_pq_recall(spark, sf_dir).collect()[0]
+    assert rec["n_hits"] == len(hits)
+    got = {
+        r["query_id"]: r
+        for r in sim_eval_pq_mrr_ndcg(spark, sf_dir).collect()
+    }
+    for q, r in got.items():
+        q_hits = [a[k] for k in hits if k[0] == q]
+        if not q_hits:
+            assert r[f"mrr_at{_ADC_K}"] == 0.0 and r[f"ndcg_at{_ADC_K}"] == 0.0
+        else:
+            assert r[f"mrr_at{_ADC_K}"] == pytest.approx(
+                round(1.0 / min(q_hits) + 1e-9, 6), abs=1e-9
+            )
+        dcg = sum(
+            (_ADC_K + 1 - e[k]) / (math.log(a[k] + 1) / math.log(2))
+            for k in hits
+            if k[0] == q
+        )
+        idcg = sum(
+            (_ADC_K + 1 - rn) / (math.log(rn + 1) / math.log(2))
+            for k, rn in e.items()
+            if k[0] == q
+        )
+        assert r[f"ndcg_at{_ADC_K}"] == pytest.approx(
+            round(dcg / idcg + 1e-9, 6), abs=1e-9
+        )
+
+
 # --- sim_ivf_topk graduation ----------------------------------------------
 
 
