@@ -149,36 +149,68 @@ def _prefix_filter_pairs(
     # unreplicated) and memory pressure spills instead of pinning
     # executor storage, which is the 100 TB-safe behavior.
     docs = persist_tracked(docs)
-    tok = docs.select("doc_id", "source", "sz", F.explode("toks").alias("tok"))
     # Global token order = (corpus frequency of the TOP-K tokens, token
     # value); tokens outside the top-K order as frequency 1 (they are
     # genuinely below the cutoff). The prefix theorem needs only a
     # CONSISTENT total order — frequency ordering merely minimizes
     # candidates — so truncating the frequency map keeps exactness
-    # while turning the full-token-stream×freq shuffle join into a
-    # broadcast lookup: the exploded corpus is now shuffled ONCE (by
-    # doc_id for the ranking window) instead of twice. The wordcount
-    # itself shuffles only per-partition-distinct partial counts
-    # (map-side combine), and the deterministic tie-break
+    # while bounding the broadcast, and the deterministic tie-break
     # (freq desc, tok asc) makes the cutoff stable across retries.
+    # Ranking shape (optimization r15, guide §2.4): the bounded top-K
+    # map is folded into ONE map<long,long> row and broadcast; each
+    # doc ranks its own token array with array_sort over
+    # (ofreq, tok) structs — a per-row JVM sort, NO shuffle. The
+    # pre-r15 shape shuffled the entire exploded token stream through
+    # a row_number window partitioned by doc_id (hash exchange + sort
+    # of every token occurrence — at 100 TB a full corpus-token
+    # shuffle); now the only pre-candidate shuffle left is the
+    # map-side-combined wordcount itself. Rank values are identical:
+    # toks are distinct within a doc, so (ofreq, tok) is a strict
+    # total order and sorted position + 1 ≡ the old row_number.
     topk = (
-        tok.groupBy("tok")
+        docs.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("tok"))
         .limit(65536)
+    )
+    fmap = topk.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("tok", "freq"))
+        ).alias("fm")
     )
     # ceil(t·sz) in exact integer math: (t_num·sz + t_den - 1) div t_den
     alpha = F.floor(
         (F.lit(t_num) * F.col("sz") + F.lit(t_den - 1)) / F.lit(t_den)
     ).cast("int")
     prefix_len = F.col("sz") - alpha + 1
-    w = Window.partitionBy("doc_id").orderBy(F.asc("ofreq"), F.asc("tok"))
-    pref = (
-        tok.join(F.broadcast(topk), "tok", "left")
-        .withColumn("ofreq", F.coalesce("freq", F.lit(1)))
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= prefix_len)
-        .select("source", "tok", "doc_id", "sz", "rnk")
+    ranked_docs = docs.crossJoin(F.broadcast(fmap)).select(
+        "doc_id",
+        "source",
+        "sz",
+        F.array_sort(
+            F.transform(
+                "toks",
+                lambda t: F.struct(
+                    F.coalesce(
+                        F.element_at("fm", t), F.lit(1).cast("long")
+                    ).alias("ofreq"),
+                    t.alias("tok"),
+                ),
+            )
+        ).alias("_ord"),
+    )
+    pref = ranked_docs.select(
+        "doc_id",
+        "source",
+        "sz",
+        F.posexplode(F.slice("_ord", F.lit(1), prefix_len)).alias("_p", "_s"),
+    ).select(
+        "source",
+        F.col("_s.tok").alias("tok"),
+        "doc_id",
+        "sz",
+        (F.col("_p") + 1).alias("rnk"),
     )
     a = pref.select(
         "source",
@@ -405,21 +437,50 @@ def _asym_containment_candidates(
     sz_a, sz_b, inter) — callers apply rounding and the semantic
     threshold."""
     docs = persist_tracked(docs)
-    tok = docs.select(
-        "doc_id", "source", "sz", F.explode("toks").alias("tok")
-    )
+    # Ranking shape (optimization r15, guide §2.4): broadcast bounded
+    # freq map + per-row array_sort replaces the row_number window's
+    # full corpus-token shuffle — same construction (and rank-value
+    # identity argument) as _prefix_filter_pairs above.
     topk = (
-        tok.groupBy("tok")
+        docs.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("tok"))
         .limit(65536)
     )
-    w = Window.partitionBy("doc_id").orderBy(F.asc("ofreq"), F.asc("tok"))
+    fmap = topk.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("tok", "freq"))
+        ).alias("fm")
+    )
     ranked = (
-        tok.join(F.broadcast(topk), "tok", "left")
-        .withColumn("ofreq", F.coalesce("freq", F.lit(1)))
-        .withColumn("rnk", F.row_number().over(w))
-        .select("source", "tok", "doc_id", "sz", "rnk")
+        docs.crossJoin(F.broadcast(fmap))
+        .select(
+            "doc_id",
+            "source",
+            "sz",
+            F.posexplode(
+                F.array_sort(
+                    F.transform(
+                        "toks",
+                        lambda t: F.struct(
+                            F.coalesce(
+                                F.element_at("fm", t),
+                                F.lit(1).cast("long"),
+                            ).alias("ofreq"),
+                            t.alias("tok"),
+                        ),
+                    )
+                )
+            ).alias("_p", "_s"),
+        )
+        .select(
+            "source",
+            F.col("_s.tok").alias("tok"),
+            "doc_id",
+            "sz",
+            (F.col("_p") + 1).alias("rnk"),
+        )
     )
     # α = ceil(t·sz) in exact integer math, on the CONTAINED side
     alpha_a = F.floor(
@@ -3138,23 +3199,38 @@ def _pipeline_v67(
         .select("doc_id")
     )
     d1b = persist_tracked(d1.join(bad_para, "doc_id", "left_anti"))
-    tok = d1b.select("doc_id", F.explode(TOKENS()).alias("tok"))
-    cnt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    ent = cnt.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"),
-        F.sum(F.col("c").cast("double") * F.log2("c")).alias("_clog"),
+    # Per-doc token entropy as a PER-ROW array expression (optimization
+    # r15, guide §2.4): the pre-r15 shape exploded the token stream,
+    # hash-aggregated (doc, tok) counts, re-aggregated per doc, and
+    # joined the result back — two corpus-token shuffles plus a join
+    # per pipeline run. Token counts, n_tokens and the entropy formula
+    # are row-local quantities of the token array, so they fuse into
+    # the projection: counts via filter-per-distinct-token (O(|toks|²)
+    # per row — bounded by document length, never corpus-shaped),
+    # Σ c·log2 c via F.aggregate. Values: identical formula over the
+    # identical (token, count) multiset; only float accumulation order
+    # differs (first-occurrence order vs hash-agg order), which the
+    # 6dp rounding absorbs — the established cross-engine tolerance.
+    _toks_all = TOKENS()
+    _cnts = F.transform(
+        F.array_distinct(_toks_all),
+        lambda t: F.size(F.filter(_toks_all, lambda x: x == t)),
     )
-    ent = ent.select(
-        "doc_id",
-        "n_tokens",
-        F.round(
-            F.log2("n_tokens") - F.col("_clog") / F.col("n_tokens") + 1e-9, 6
-        ).alias("entropy"),
+    _n_tokens = F.size(_toks_all).cast("long")
+    _clog = F.aggregate(
+        _cnts,
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log2(c),
     )
     d2 = persist_tracked(
-        d1b.join(ent, "doc_id").where(
-            (F.col("entropy") >= 4.0) & (F.col("n_tokens") >= 20)
+        d1b.withColumn("n_tokens", _n_tokens)
+        .withColumn(
+            "entropy",
+            F.round(
+                F.log2("n_tokens") - _clog / F.col("n_tokens") + 1e-9, 6
+            ),
         )
+        .where((F.col("entropy") >= 4.0) & (F.col("n_tokens") >= 20))
     )
     docs2 = d2.select(
         "doc_id",

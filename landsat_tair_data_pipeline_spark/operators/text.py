@@ -1935,9 +1935,21 @@ def _bpe_word_state(spark: SparkSession, sf: str) -> DataFrame:
 
 def _bpe_round(state: DataFrame) -> tuple[DataFrame, DataFrame]:
     """One BPE merge round: returns (top, new_state) where top is the
-    1-row (l, r, cnt) winning pair (localCheckpointed — it feeds both
-    the output row and the merge application) and new_state the word
-    state with the merge applied."""
+    1-row (l, r, cnt) winning pair and new_state the word state with
+    the merge applied.
+
+    Execution shape (optimization r15, guide §2.4/§5): the winning
+    pair is COLLECTED (one bounded 1-row pull — the same job the old
+    eager localCheckpoint already ran to materialize it) and the
+    merge applied as a LITERAL replace, so the crossJoin(broadcast)
+    per round disappears and — because new_state is now a plain
+    projection chain over the previous state, not an iterated join —
+    the per-round state localCheckpoint the callers used to pay
+    (a full write-out job per merge round) is no longer needed for
+    lineage control. Per k-round induction: k pair-count jobs total,
+    instead of k·(top-checkpoint + state-checkpoint) jobs plus k
+    broadcasts. Values unchanged: same aggregate, same total-order
+    top-1 (cnt DESC, l, r), same replace semantics."""
     st = state.withColumn("arr", _bpe_arr())
     # adjacent pairs by index: element i of the last-dropped slice
     # pairs with arr[i+1] (Spark [] indexing is 0-based; a 1-symbol
@@ -1951,12 +1963,14 @@ def _bpe_round(state: DataFrame) -> tuple[DataFrame, DataFrame]:
         .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
         .agg(F.sum("n").alias("cnt"))
     )
-    top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).localCheckpoint()
-    pat = F.concat(
-        F.lit("|"), F.col("l"), F.lit("||"), F.col("r"), F.lit("|")
+    trow = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()[0]
+    spark = state.sparkSession
+    top = spark.createDataFrame(
+        [(trow["l"], trow["r"], trow["cnt"])], "l string, r string, cnt bigint"
     )
-    merged = F.concat(F.lit("|"), F.col("l"), F.col("r"), F.lit("|"))
-    new_state = st.crossJoin(F.broadcast(top)).select(
+    pat = F.lit(f"|{trow['l']}||{trow['r']}|")
+    merged = F.lit(f"|{trow['l']}{trow['r']}|")
+    new_state = st.select(
         "word", "n", F.replace(F.col("w"), pat, merged).alias("w")
     )
     return top, new_state
@@ -1996,6 +2010,10 @@ def _bpe_round_row(
 
 
 def _bpe_merge_rounds(spark: SparkSession, sf: str, k: int) -> DataFrame:
+    # one checkpoint of the INITIAL word state (the corpus-wide word
+    # count — everything downstream is projection chains over it);
+    # per-round state checkpoints are gone with the literal-replace
+    # _bpe_round (optimization r15 — see its docstring)
     state = _bpe_word_state(spark, sf).localCheckpoint()
     chars = state.agg(
         F.sum(F.col("n") * F.length("word")).alias("total_chars")
@@ -2003,7 +2021,7 @@ def _bpe_merge_rounds(spark: SparkSession, sf: str, k: int) -> DataFrame:
     rows: list[DataFrame] = []
     for r in range(1, k + 1):
         top, new_state = _bpe_round(state)
-        state = new_state.localCheckpoint()
+        state = new_state
         rows.append(_bpe_round_row(r, top, state, chars))
     out = rows[0]
     for fr in rows[1:]:
@@ -2113,7 +2131,7 @@ def _bpe_state_after_from(docs: DataFrame, k: int) -> DataFrame:
     state = _bpe_word_state_from(docs).localCheckpoint()
     for _ in range(k):
         _, new_state = _bpe_round(state)
-        state = new_state.localCheckpoint()
+        state = new_state
     return state
 
 

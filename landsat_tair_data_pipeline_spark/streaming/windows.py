@@ -756,9 +756,13 @@ def stream_dedup_shard(spark: SparkSession, sf: str) -> DataFrame:
         batch_spans.append((int(batch_id), int(span["lo"]), int(span["hi"])))
         bfp = rows.select("h").distinct()
         ledger = spark.read.parquet(ledger_dir)
-        matched = (
-            ledger.join(SF_.broadcast(bfp), "h", "left_semi").distinct()
-        )
+        # the ledger is WRITTEN distinct (one row per corpus
+        # fingerprint) and a left-semi join cannot duplicate its
+        # rows, so the pre-r15 `.distinct()` here was a redundant
+        # exchange + aggregate in EVERY micro-batch — dropped
+        # (optimization r15, guide §2.4 "a distinct on data that is
+        # already unique").
+        matched = ledger.join(SF_.broadcast(bfp), "h", "left_semi")
         vs_corpus = rows.join(SF_.broadcast(matched), "h", "left_semi")
         fresh = rows.join(SF_.broadcast(matched), "h", "left_anti")
         if os.path.isdir(seen_dir) and any(
