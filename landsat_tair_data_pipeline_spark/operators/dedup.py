@@ -102,6 +102,48 @@ GROUP BY 1
 """
 
 
+def _freq_rank_sort_udf(topk: DataFrame):
+    """Arrow kernel that sorts a doc's (distinct) token-hash array by
+    the global prefix-filter order (corpus frequency asc, token asc;
+    out-of-top-K tokens count as frequency 1). The top-K frequency
+    table is a BOUNDED pull (≤ 65,536 rows — the exact frame the
+    pre-r15 plan broadcast for its join) held as an O(1) Python dict
+    in the kernel closure; position+1 in the returned array ≡ the
+    row_number the pre-r15 window computed (strict total order since
+    token sets are distinct per doc). Shared by _prefix_filter_pairs
+    and _asym_containment_candidates."""
+    from pyspark.sql.functions import pandas_udf
+
+    fm = {int(r["tok"]): int(r["freq"]) for r in topk.collect()}
+
+    @pandas_udf("array<long>")
+    def rank_sort(toks: pd.Series) -> pd.Series:
+        import numpy as np
+        import pandas as pd_
+
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        if len(lens) == 0 or lens.sum() == 0:
+            return toks
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in toks]
+        )
+        # vectorized dict lookup (C path) — absent tokens order as
+        # frequency 1, exactly the old COALESCE(freq, 1)
+        fr = (
+            pd_.Series(flat).map(fm).fillna(1).astype("int64").to_numpy()
+        )
+        rid = np.repeat(np.arange(len(lens)), lens)
+        # ONE global lexsort: primary row id, then freq asc, tok asc —
+        # within each row this is the (ofreq, tok) order; strict
+        # (toks distinct per doc), so fully deterministic
+        s = flat[np.lexsort((flat, fr, rid))]
+        return pd_.Series(
+            [a for a in np.split(s, np.cumsum(lens)[:-1])]
+        )
+
+    return rank_sort
+
+
 def _prefix_filter_pairs(
     docs: DataFrame, t_num: int, t_den: int
 ) -> DataFrame:
@@ -139,6 +181,14 @@ def _prefix_filter_pairs(
     Returns (doc_a, doc_b, sz_a, sz_b, inter) — callers apply their
     own jaccard formula, rounding, and semantic threshold.
     """
+    # single-split guard (the _hashed_docs recipe): callers that pass
+    # a freshly-derived frame over a one-file parquet source would
+    # otherwise run the rank kernel, the verify join build and the
+    # tokenize on ONE task; fires only when under-split, a no-op at
+    # real scale where the source is thousands of splits
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     # The tokenized corpus is read 4× below (wordcount, prefix join,
     # and both sides of the verify join-back); materializing it once on
     # the executors (linear in corpus size, stays distributed) beats
@@ -154,19 +204,25 @@ def _prefix_filter_pairs(
     # genuinely below the cutoff). The prefix theorem needs only a
     # CONSISTENT total order — frequency ordering merely minimizes
     # candidates — so truncating the frequency map keeps exactness
-    # while bounding the broadcast, and the deterministic tie-break
+    # while bounding the pull, and the deterministic tie-break
     # (freq desc, tok asc) makes the cutoff stable across retries.
-    # Ranking shape (optimization r15, guide §2.4): the bounded top-K
-    # map is folded into ONE map<long,long> row and broadcast; each
-    # doc ranks its own token array with array_sort over
-    # (ofreq, tok) structs — a per-row JVM sort, NO shuffle. The
-    # pre-r15 shape shuffled the entire exploded token stream through
-    # a row_number window partitioned by doc_id (hash exchange + sort
-    # of every token occurrence — at 100 TB a full corpus-token
-    # shuffle); now the only pre-candidate shuffle left is the
-    # map-side-combined wordcount itself. Rank values are identical:
-    # toks are distinct within a doc, so (ofreq, tok) is a strict
-    # total order and sorted position + 1 ≡ the old row_number.
+    # Ranking shape (optimization r15, guide §2.4/§4.2): the bounded
+    # top-K frequency table is collected ONCE (≤ 65,536 rows — the
+    # same bound the pre-r15 plan broadcast) into an O(1) Python dict,
+    # and each doc ranks its own token array inside one Arrow-batched
+    # pandas kernel — a per-row sort, NO shuffle. The pre-r15 shape
+    # shuffled the entire exploded token stream through a row_number
+    # window partitioned by doc_id (hash exchange + sort of every
+    # token occurrence — at 100 TB a full corpus-token shuffle); now
+    # the only pre-candidate shuffle left is the map-side-combined
+    # wordcount itself. (A first r15 attempt kept the lookup in the
+    # JVM via a broadcast map<long,long> literal — rejected:
+    # GetMapValue on Catalyst map data is a LINEAR scan per lookup,
+    # O(top-K) per token, measured +60% on dedup_ngram_jaccard whose
+    # ngram vocabulary actually fills the map; the dict kernel is
+    # O(1) per lookup.) Rank values are identical: toks are distinct
+    # within a doc, so (ofreq, tok) is a strict total order and
+    # sorted position + 1 ≡ the old row_number.
     topk = (
         docs.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
@@ -174,40 +230,23 @@ def _prefix_filter_pairs(
         .orderBy(F.desc("freq"), F.asc("tok"))
         .limit(65536)
     )
-    fmap = topk.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("tok", "freq"))
-        ).alias("fm")
-    )
+    rank_sort = _freq_rank_sort_udf(topk)
     # ceil(t·sz) in exact integer math: (t_num·sz + t_den - 1) div t_den
     alpha = F.floor(
         (F.lit(t_num) * F.col("sz") + F.lit(t_den - 1)) / F.lit(t_den)
     ).cast("int")
     prefix_len = F.col("sz") - alpha + 1
-    ranked_docs = docs.crossJoin(F.broadcast(fmap)).select(
-        "doc_id",
-        "source",
-        "sz",
-        F.array_sort(
-            F.transform(
-                "toks",
-                lambda t: F.struct(
-                    F.coalesce(
-                        F.element_at("fm", t), F.lit(1).cast("long")
-                    ).alias("ofreq"),
-                    t.alias("tok"),
-                ),
-            )
-        ).alias("_ord"),
+    ranked_docs = docs.select(
+        "doc_id", "source", "sz", rank_sort("toks").alias("_ord")
     )
     pref = ranked_docs.select(
         "doc_id",
         "source",
         "sz",
-        F.posexplode(F.slice("_ord", F.lit(1), prefix_len)).alias("_p", "_s"),
+        F.posexplode(F.slice("_ord", F.lit(1), prefix_len)).alias("_p", "tok"),
     ).select(
         "source",
-        F.col("_s.tok").alias("tok"),
+        "tok",
         "doc_id",
         "sz",
         (F.col("_p") + 1).alias("rnk"),
@@ -436,11 +475,15 @@ def _asym_containment_candidates(
     Returns ordered candidates (doc_a=contained, doc_b=container,
     sz_a, sz_b, inter) — callers apply rounding and the semantic
     threshold."""
+    # single-split guard — same rationale as _prefix_filter_pairs
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     docs = persist_tracked(docs)
-    # Ranking shape (optimization r15, guide §2.4): broadcast bounded
-    # freq map + per-row array_sort replaces the row_number window's
-    # full corpus-token shuffle — same construction (and rank-value
-    # identity argument) as _prefix_filter_pairs above.
+    # Ranking shape (optimization r15, guide §2.4/§4.2): bounded-pull
+    # freq dict + per-row Arrow-kernel sort replaces the row_number
+    # window's full corpus-token shuffle — same construction (and
+    # rank-value identity argument) as _prefix_filter_pairs above.
     topk = (
         docs.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
@@ -448,35 +491,20 @@ def _asym_containment_candidates(
         .orderBy(F.desc("freq"), F.asc("tok"))
         .limit(65536)
     )
-    fmap = topk.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("tok", "freq"))
-        ).alias("fm")
-    )
+    rank_sort = _freq_rank_sort_udf(topk)
     ranked = (
-        docs.crossJoin(F.broadcast(fmap))
+        docs.select(
+            "doc_id", "source", "sz", rank_sort("toks").alias("_ord")
+        )
         .select(
             "doc_id",
             "source",
             "sz",
-            F.posexplode(
-                F.array_sort(
-                    F.transform(
-                        "toks",
-                        lambda t: F.struct(
-                            F.coalesce(
-                                F.element_at("fm", t),
-                                F.lit(1).cast("long"),
-                            ).alias("ofreq"),
-                            t.alias("tok"),
-                        ),
-                    )
-                )
-            ).alias("_p", "_s"),
+            F.posexplode("_ord").alias("_p", "tok"),
         )
         .select(
             "source",
-            F.col("_s.tok").alias("tok"),
+            "tok",
             "doc_id",
             "sz",
             (F.col("_p") + 1).alias("rnk"),
@@ -1770,6 +1798,14 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
+    # Optimization r15, REJECTED WITH NUMBERS (guide §1 discipline):
+    # pre-partitioning the fixed edge list on doc_b (persist over the
+    # checkpoint, which — unlike a bare localCheckpoint — preserves
+    # outputPartitioning) plus a shuffle-hash hint on the label side
+    # measured 8.4 s vs 5.1 s for the 4-round loop back-to-back in
+    # one session at sf0.1: the extra edge materialization pass +
+    # per-round hash-table build cost more than the elided per-round
+    # edge exchange at this scale. Kept as-is.
     labels, converged = _min_label_prop(edges, max_rounds=25)
     if not converged:
         # the overflow path: alternating large-star/small-star contracts
