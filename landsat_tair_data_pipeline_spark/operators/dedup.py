@@ -107,25 +107,39 @@ def _freq_rank_sort_udf(topk: DataFrame):
     the global prefix-filter order (corpus frequency asc, token asc;
     out-of-top-K tokens count as frequency 1). The top-K frequency
     table is a BOUNDED pull (≤ 65,536 rows — the exact frame the
-    pre-r15 plan broadcast for its join) held as an O(1) Python dict
-    in the kernel closure; position+1 in the returned array ≡ the
-    row_number the pre-r15 window computed (strict total order since
-    token sets are distinct per doc). Shared by _prefix_filter_pairs
-    and _asym_containment_candidates."""
+    pre-r15 plan broadcast for its join) shipped as a SPARK BROADCAST
+    of the O(1) Python dict (optimization r16, VERDICT r15 item 1:
+    the r15 shape held the dict directly in the pandas_udf closure,
+    so the ~65k-entry pickle rode the serialized task command of
+    EVERY stage that evaluates the kernel — the a/b prefix sides and
+    the verify join-back each re-ship it; a broadcast ships once per
+    executor and the closure pickles only the handle); position+1 in
+    the returned array ≡ the row_number the pre-r15 window computed
+    (strict total order since token sets are distinct per doc).
+    Null/absent token arrays pass through untouched (ADVICE r15 item
+    5: a null `toks` — null text upstream — made toks.map(len) raise
+    where the pre-r15 explode-based ranking silently dropped the
+    row). Shared by _prefix_filter_pairs and
+    _asym_containment_candidates."""
     from pyspark.sql.functions import pandas_udf
 
-    fm = {int(r["tok"]): int(r["freq"]) for r in topk.collect()}
+    bc_fm = topk.sparkSession.sparkContext.broadcast(
+        {int(r["tok"]): int(r["freq"]) for r in topk.collect()}
+    )
 
     @pandas_udf("array<long>")
     def rank_sort(toks: pd.Series) -> pd.Series:
         import numpy as np
         import pandas as pd_
 
-        lens = toks.map(len).to_numpy(dtype=np.int64)
+        fm = bc_fm.value
+        lens = toks.map(lambda a: 0 if a is None else len(a)).to_numpy(
+            dtype=np.int64
+        )
         if len(lens) == 0 or lens.sum() == 0:
             return toks
         flat = np.concatenate(
-            [np.asarray(a, dtype=np.int64) for a in toks]
+            [np.asarray(a, dtype=np.int64) for a in toks if a is not None]
         )
         # vectorized dict lookup (C path) — absent tokens order as
         # frequency 1, exactly the old COALESCE(freq, 1)
@@ -137,15 +151,21 @@ def _freq_rank_sort_udf(topk: DataFrame):
         # within each row this is the (ofreq, tok) order; strict
         # (toks distinct per doc), so fully deterministic
         s = flat[np.lexsort((flat, fr, rid))]
+        parts = np.split(s, np.cumsum(lens)[:-1])
+        # null rows (lens 0 from None) stay null, mirroring the
+        # pre-r15 window shape where they never produced ranked rows
         return pd_.Series(
-            [a for a in np.split(s, np.cumsum(lens)[:-1])]
+            [
+                None if orig is None else part
+                for orig, part in zip(toks, parts)
+            ]
         )
 
     return rank_sort
 
 
 def _prefix_filter_pairs(
-    docs: DataFrame, t_num: int, t_den: int
+    docs: DataFrame, t_num: int, t_den: int, ensure_split: bool = True
 ) -> DataFrame:
     """Exact set-similarity candidate generation by PREFIX FILTERING
     (the AllPairs/PPJoin family — Bayardo et al. WWW'07, Vernica et
@@ -185,20 +205,27 @@ def _prefix_filter_pairs(
     # a freshly-derived frame over a one-file parquet source would
     # otherwise run the rank kernel, the verify join build and the
     # tokenize on ONE task; fires only when under-split, a no-op at
-    # real scale where the source is thousands of splits
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
-    # The tokenized corpus is read 4× below (wordcount, prefix join,
-    # and both sides of the verify join-back); materializing it once on
-    # the executors (linear in corpus size, stays distributed) beats
-    # re-tokenizing per branch — measured 6.6s → 4.9s at sf0.1.
-    # persist(MEMORY_AND_DISK), not localCheckpoint: same reuse, but
-    # lineage is kept (an executor loss recomputes the lost partitions
-    # instead of failing the job — localCheckpoint blocks are
-    # unreplicated) and memory pressure spills instead of pinning
-    # executor storage, which is the 100 TB-safe behavior.
-    docs = persist_tracked(docs)
+    # real scale where the source is thousands of splits.
+    # ensure_split=False callers pass the _hashed_docs frame, which is
+    # ALREADY guarded + persisted — re-checking here cost a full
+    # analysis/planning pass (DataFrame→RDD conversion) per key and a
+    # duplicate persist registration (optimization r16, VERDICT r15
+    # item 1 suspect c).
+    if ensure_split:
+        sc = docs.sparkSession.sparkContext
+        if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+            docs = docs.repartition(sc.defaultParallelism)
+        # The tokenized corpus is read 4× below (wordcount, prefix
+        # join, and both sides of the verify join-back); materializing
+        # it once on the executors (linear in corpus size, stays
+        # distributed) beats re-tokenizing per branch — measured
+        # 6.6s → 4.9s at sf0.1. persist(MEMORY_AND_DISK), not
+        # localCheckpoint: same reuse, but lineage is kept (an executor
+        # loss recomputes the lost partitions instead of failing the
+        # job — localCheckpoint blocks are unreplicated) and memory
+        # pressure spills instead of pinning executor storage, which
+        # is the 100 TB-safe behavior.
+        docs = persist_tracked(docs)
     # Global token order = (corpus frequency of the TOP-K tokens, token
     # value); tokens outside the top-K order as frequency 1 (they are
     # genuinely below the cutoff). The prefix theorem needs only a
@@ -333,7 +360,9 @@ def dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     cheaper; a 60-bit collision altering a set size is ~1e-8 per
     corpus — negligible, and since r14 the construction is the same
     cross-engine family everywhere, not a private hash)."""
-    pairs = _prefix_filter_pairs(_hashed_docs(spark, sf), 3999, 10000)
+    pairs = _prefix_filter_pairs(
+        _hashed_docs(spark, sf), 3999, 10000, ensure_split=False
+    )
     jaccard = F.round(
         F.col("inter").cast("double")
         / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
@@ -378,7 +407,9 @@ def dedup_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     that class via the one-sided prefix join (PPJoin's containment
     variant). Reuses the intersect counts the candidate join already
     computed — zero extra shuffles beyond dedup_jaccard_pairs."""
-    pairs = _prefix_filter_pairs(_hashed_docs(spark, sf), 3999, 10000)
+    pairs = _prefix_filter_pairs(
+        _hashed_docs(spark, sf), 3999, 10000, ensure_split=False
+    )
     jaccard = F.round(
         F.col("inter").cast("double")
         / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
@@ -432,7 +463,7 @@ FROM s WHERE jaccard >= 0.4
 
 
 def _asym_containment_candidates(
-    docs: DataFrame, t_num: int, t_den: int
+    docs: DataFrame, t_num: int, t_den: int, ensure_split: bool = True
 ) -> DataFrame:
     """Asymmetric-prefix containment candidate join — PPJoin's
     containment variant (Xiao et al. WWW'08 §6), the extension
@@ -475,11 +506,13 @@ def _asym_containment_candidates(
     Returns ordered candidates (doc_a=contained, doc_b=container,
     sz_a, sz_b, inter) — callers apply rounding and the semantic
     threshold."""
-    # single-split guard — same rationale as _prefix_filter_pairs
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
-    docs = persist_tracked(docs)
+    # single-split guard — same rationale (and same ensure_split
+    # contract) as _prefix_filter_pairs
+    if ensure_split:
+        sc = docs.sparkSession.sparkContext
+        if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+            docs = docs.repartition(sc.defaultParallelism)
+        docs = persist_tracked(docs)
     # Ranking shape (optimization r15, guide §2.4/§4.2): bounded-pull
     # freq dict + per-row Arrow-kernel sort replaces the row_number
     # window's full corpus-token shuffle — same construction (and
@@ -587,7 +620,9 @@ def dedup_containment_asym(spark: SparkSession, sf: str) -> DataFrame:
     0.8 cut — and passing values at exactly 0.8 are identical exact
     rationals in both engines; threshold flakes need a data change,
     not a regeneration."""
-    pairs = _asym_containment_candidates(_hashed_docs(spark, sf), 7999, 10000)
+    pairs = _asym_containment_candidates(
+        _hashed_docs(spark, sf), 7999, 10000, ensure_split=False
+    )
     containment = F.round(
         F.col("inter").cast("double") / F.col("sz_a").cast("double") + 1e-9,
         4,
@@ -780,33 +815,42 @@ def _minhash_sig(docs: DataFrame) -> DataFrame:
     )
 
 
-def _bands_from_sig(sigs: DataFrame) -> DataFrame:
+def _minhash_bands(docs: DataFrame) -> DataFrame:
     """64 banded-MinHash join keys per doc as ONE array<long> column:
-    bands[k] = md5-long of the ':'-joined 4 signature rows of band k,
-    derived from the PERSISTED _minhash_sig frame (ADVICE r14: the old
-    fused kernel re-ran the (n_tokens × 256) mult-add-mod lattice that
-    _minhash_sig already computes, so composed scopes using both — the
-    estimator beside the banded candidates — paid the vectorized
-    kernel twice per doc; this split makes the signature the single
-    shared artifact and the band digests a cheap second pandas_udf
-    over 256 longs/doc). Digests in Python hashlib — byte-identical to
-    the Spark/DuckDB construction (str(int) = CAST(BIGINT AS VARCHAR)
-    for non-negatives, hashlib hexdigest = md5() lowercase hex,
+    bands[k] = md5-long of the ':'-joined 4 signature rows of band k —
+    the (n_tokens × 256) mult-add-mod lattice and the band digests
+    FUSED in one Arrow kernel (optimization r16, VERDICT r15 item 1:
+    the r15-build split — persist(_minhash_sig) → second pandas_udf —
+    paid an extra full Arrow round-trip plus an intermediate cache
+    materialization per run; it existed for scopes composing the
+    estimator BESIDE the banded candidates, and no registry key does —
+    est_error consumes _minhash_sig alone, ext_dedup_near consumes
+    bands alone). Digests in Python hashlib — byte-identical to the
+    Spark/DuckDB construction (str(int) = CAST(BIGINT AS VARCHAR) for
+    non-negatives, hashlib hexdigest = md5() lowercase hex,
     int(h[:15], 16) = the _md5_long parse). Doing the digests in a
     pandas_udf rather than declaratively is load-bearing, not taste:
     the declarative form — a 64-element array of
     md5(concat_ws(':', element_at(sig, ...)×4)) — overflows janino's
     64 KB method limit, and the silent interpreted fallback ran the
     whole blocking stage at ~60 s vs ~3 s (measured at sf0.1, r14).
-    ``sigs``: the _minhash_sig frame (doc_id, sig array<long>)."""
+    ``docs``: the _hashed_docs frame (doc_id, toks array<long>)."""
     import hashlib
+
+    import numpy as np
 
     from pyspark.sql.functions import pandas_udf
 
+    a_np = np.array(_MH_A, dtype=np.int64)
+    b_np = np.array(_MH_B, dtype=np.int64)
+
     @pandas_udf("array<long>")
-    def bands64(sig: pd.Series) -> pd.Series:
+    def bands64(th: pd.Series) -> pd.Series:
         out = []
-        for m in sig:
+        for arr in th:
+            h = np.asarray(arr, dtype=np.int64) % _MH_H_MOD
+            vals = (h[:, None] * a_np[None, :] + b_np[None, :]) % _MH_P
+            m = vals.min(axis=0)
             bl = []
             for k in range(_MH_BANDS):
                 s = ":".join(
@@ -818,7 +862,10 @@ def _bands_from_sig(sigs: DataFrame) -> DataFrame:
             out.append(bl)
         return pd.Series(out)
 
-    return sigs.select("doc_id", bands64("sig").alias("bands"))
+    # size guard keeps explode-semantics parity with _minhash_sig
+    return docs.where(F.size("toks") > 0).select(
+        "doc_id", bands64("toks").alias("bands")
+    )
 
 
 def _banded_candidates(docs: DataFrame) -> DataFrame:
@@ -828,12 +875,12 @@ def _banded_candidates(docs: DataFrame) -> DataFrame:
     reproduces them), narrow (doc_id, band_index, band_value) equi-join,
     map-side-combinable distinct on the bare pair key. Split out so
     tools/scale_probe.py can count the blocking stage separately from
-    the verify. The signature frame is persisted with the SAME plan
-    _minhash_sig callers build (one _hashed_docs scan → one sig
-    kernel), so a scope composing candidates + estimator reuses ONE
-    InMemoryRelation for the lattice (ADVICE r14). ``docs``: the
-    _hashed_docs frame (doc_id, toks array<long>)."""
-    sigs = persist_tracked(_bands_from_sig(persist_tracked(_minhash_sig(docs))))
+    the verify. The band frame comes from the FUSED lattice+digest
+    kernel (one Arrow pass over the cached token frame — see
+    _minhash_bands for why the r15-build sig/bands split was
+    reverted). ``docs``: the _hashed_docs frame (doc_id, toks
+    array<long>)."""
+    sigs = persist_tracked(_minhash_bands(docs))
 
     def side(s: str) -> DataFrame:
         return sigs.select(
@@ -2661,10 +2708,27 @@ def llm_data_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     kept = d2.join(drops, "doc_id", "left_anti")
-    raw_n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
-    d1_n = d1.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_exact"))
-    d2_n = d2.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_after_quality")
+    # funnel counts in ONE union-pass — see _pipeline_v67's count
+    # block for the rationale (optimization r16, VERDICT r15 item 5)
+    from functools import reduce
+
+    layers = [
+        (docs, "n_raw"),
+        (d1, "n_after_exact"),
+        (d2, "n_after_quality"),
+    ]
+    tagged = reduce(
+        DataFrame.unionByName,
+        [
+            df.select("source", F.lit(i).alias("_st"))
+            for i, (df, _) in enumerate(layers)
+        ],
+    )
+    counts = tagged.groupBy("source").agg(
+        *[
+            F.count(F.when(F.col("_st") == i, 1)).alias(name)
+            for i, (_, name) in enumerate(layers)
+        ]
     )
     kept_n = kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -2672,9 +2736,7 @@ def llm_data_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg("entropy") + 1e-9, 4).alias("mean_entropy_kept"),
     )
     return (
-        raw_n.join(d1_n, "source", "left")
-        .join(d2_n, "source", "left")
-        .join(kept_n, "source", "left")
+        counts.join(kept_n, "source", "left")
         .select(
             "source",
             "n_raw",
@@ -2855,14 +2917,29 @@ def llm_data_pipeline_v5(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("doc_id")
     )
     kept = kept_c.join(sem_drops, "doc_id", "left_anti")
-    raw_n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
-    d0_n = d0.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_domain"))
-    d1_n = d1.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_exact"))
-    d2_n = d2.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_after_quality")
+    # funnel counts in ONE union-pass — see _pipeline_v67's count
+    # block for the rationale (optimization r16, VERDICT r15 item 5)
+    from functools import reduce
+
+    layers = [
+        (docs, "n_raw"),
+        (d0, "n_after_domain"),
+        (d1, "n_after_exact"),
+        (d2, "n_after_quality"),
+        (kept_c, "n_after_containment"),
+    ]
+    tagged = reduce(
+        DataFrame.unionByName,
+        [
+            df.select("source", F.lit(i).alias("_st"))
+            for i, (df, _) in enumerate(layers)
+        ],
     )
-    cont_n = kept_c.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_after_containment")
+    counts = tagged.groupBy("source").agg(
+        *[
+            F.count(F.when(F.col("_st") == i, 1)).alias(name)
+            for i, (_, name) in enumerate(layers)
+        ]
     )
     kept_n = kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -2870,11 +2947,7 @@ def llm_data_pipeline_v5(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg("entropy") + 1e-9, 4).alias("mean_entropy_kept"),
     )
     return (
-        raw_n.join(d0_n, "source", "left")
-        .join(d1_n, "source", "left")
-        .join(d2_n, "source", "left")
-        .join(cont_n, "source", "left")
-        .join(kept_n, "source", "left")
+        counts.join(kept_n, "source", "left")
         .select(
             "source",
             "n_raw",
@@ -3241,22 +3314,52 @@ def _pipeline_v67(
     # joined the result back — two corpus-token shuffles plus a join
     # per pipeline run. Token counts, n_tokens and the entropy formula
     # are row-local quantities of the token array, so they fuse into
-    # the projection: counts via filter-per-distinct-token (O(|toks|²)
-    # per row — bounded by document length, never corpus-shaped),
-    # Σ c·log2 c via F.aggregate. Values: identical formula over the
-    # identical (token, count) multiset; only float accumulation order
-    # differs (first-occurrence order vs hash-agg order), which the
-    # 6dp rounding absorbs — the established cross-engine tolerance.
+    # the projection. Per-row cost class (optimization r16, ADVICE r15
+    # item 1): the r15 fold counted via filter-per-distinct-token —
+    # O(|distinct|·|toks|) interpreted string compares per row,
+    # quadratic on long documents. Now: ONE array_sort (O(L log L))
+    # and a run-length fold over the sorted array (O(L)) accumulating
+    # Σ c·log2 c directly — linear-log per row, never corpus-shaped.
+    # Values: identical (token, count) multiset → identical terms;
+    # only float accumulation order differs (sorted-token order vs
+    # the r15 first-occurrence order vs the oracle's hash-agg order),
+    # which the 6dp rounding absorbs — the established cross-engine
+    # tolerance (re-swept against the unchanged oracle at 2 SFs).
     _toks_all = TOKENS()
-    _cnts = F.transform(
-        F.array_distinct(_toks_all),
-        lambda t: F.size(F.filter(_toks_all, lambda x: x == t)),
-    )
     _n_tokens = F.size(_toks_all).cast("long")
+
+    def _run_step(acc, x):
+        # acc = (prev token, current run length, Σ c·log2 c of closed
+        # runs); closing a run adds its c·log2 c term (log2(1) = 0
+        # terms are no-ops, same as the r15 per-distinct transform)
+        close = acc["clog"] + F.when(
+            acc["run"] > 0.0, acc["run"] * F.log2(acc["run"])
+        ).otherwise(F.lit(0.0))
+        return F.when(
+            x == acc["prev"],
+            F.struct(
+                x.alias("prev"),
+                (acc["run"] + 1.0).alias("run"),
+                acc["clog"].alias("clog"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"), F.lit(1.0).alias("run"), close.alias("clog")
+            )
+        )
+
     _clog = F.aggregate(
-        _cnts,
-        F.lit(0.0),
-        lambda acc, c: acc + c.cast("double") * F.log2(c),
+        F.array_sort(_toks_all),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0.0).alias("run"),
+            F.lit(0.0).alias("clog"),
+        ),
+        _run_step,
+        lambda acc: acc["clog"]
+        + F.when(acc["run"] > 0.0, acc["run"] * F.log2(acc["run"])).otherwise(
+            F.lit(0.0)
+        ),
     )
     d2 = persist_tracked(
         d1b.withColumn("n_tokens", _n_tokens)
@@ -3328,32 +3431,46 @@ def _pipeline_v67(
         .drop("_negw", "_prefix", "_total")
         .localCheckpoint()
     )
-    raw_n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
-    url_n = (
-        base.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_url"))
-        if with_url_stage
-        else None
+    # Funnel counts in ONE pass (optimization r16, guide §2.3/§2.4 —
+    # VERDICT r15 item 5): the r15 shape ran NINE separate per-source
+    # count aggregates (one per funnel layer), each its own subtree +
+    # tiny exchange, meeting in a 9-deep left-join chain of broadcast
+    # builds. Every count is count-per-source of a layer frame, so one
+    # union of (source, stage-tag) rows + ONE map-side-combinable
+    # conditional aggregate computes them all: 9 exchanges + 8 joins →
+    # 1 exchange + 0 joins for the count block. Values identical:
+    # F.count(F.when(tag = i, 1)) over the union ≡ F.count(F.lit(1))
+    # per layer, and a source absent from a layer counts 0 — exactly
+    # what the old LEFT JOIN + COALESCE(…, 0) produced (every layer is
+    # a subset of docs, so the union's source set = docs' source set,
+    # the old join chain's raw_n driving side).
+    from functools import reduce
+
+    layers: list[tuple[DataFrame, str]] = [(docs, "n_raw")]
+    if with_url_stage:
+        layers.append((base, "n_after_url"))
+    layers += [
+        (d0, "n_after_domain"),
+        (d1, "n_after_exact"),
+        (d1b, "n_after_boilerplate"),
+        (d2, "n_after_quality"),
+        (kept_c, "n_after_containment"),
+        (kept_sem, "n_after_semantic"),
+    ]
+    if with_decontam:
+        layers.append((kept_dec, "n_after_decontam"))
+    tagged = reduce(
+        DataFrame.unionByName,
+        [
+            df.select("source", F.lit(i).alias("_st"))
+            for i, (df, _) in enumerate(layers)
+        ],
     )
-    d0_n = d0.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_domain"))
-    d1_n = d1.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_exact"))
-    d2_n = d2.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_after_quality")
-    )
-    cont_n = kept_c.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_after_containment")
-    )
-    sem_n = kept_sem.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_after_semantic")
-    )
-    dec_n = (
-        kept_dec.groupBy("source").agg(
-            F.count(F.lit(1)).alias("n_after_decontam")
-        )
-        if with_decontam
-        else None
-    )
-    b_n = d1b.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_after_boilerplate")
+    counts = tagged.groupBy("source").agg(
+        *[
+            F.count(F.when(F.col("_st") == i, 1)).alias(name)
+            for i, (_, name) in enumerate(layers)
+        ]
     )
     kept_n = (
         kept.groupBy("source")
@@ -3425,20 +3542,7 @@ def _pipeline_v67(
                 ).alias("bpe_symbols_per_token"),
             )
         )
-    out = (
-        raw_n.join(d0_n, "source", "left")
-        .join(d1_n, "source", "left")
-        .join(d2_n, "source", "left")
-        .join(cont_n, "source", "left")
-        .join(sem_n, "source", "left")
-        .join(b_n, "source", "left")
-        .join(kept_n, "source", "left")
-        .join(mix, "source", "left")
-    )
-    if with_decontam:
-        out = out.join(dec_n, "source", "left")
-    if with_url_stage:
-        out = out.join(url_n, "source", "left")
+    out = counts.join(kept_n, "source", "left").join(mix, "source", "left")
     if with_bpe_tail:
         out = out.join(bpe_n, "source", "left")
     cols = [
@@ -3929,31 +4033,52 @@ def text_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     flag boilerplate-free-but-unnatural token soups; high scores flag
     repetitive boilerplate — both ends get clipped in corpus curation.
 
-    Scale shape: bigram counts are two wordcount-style aggregations
-    (map-side combinable); the per-doc join keys are bigrams —
-    Zipf-skewed at scale, which AQE skew-join splits. No Python, no
-    broadcast of anything corpus-sized. Docs with < 2 tokens have no
-    bigrams and drop (inner semantics, same in the oracle)."""
+    Scale shape (optimization r16, guide §2.3 "aggregate before you
+    shuffle" / §2.4): the pre-r16 plan rebuilt the bigram OCCURRENCE
+    stream three times (cb aggregate, cu aggregate, the scored join)
+    — three full corpus tokenize+explode passes, with the count joins
+    and the final per-doc aggregate all carrying one row per bigram
+    occurrence. Now the stream is aggregated ONCE to per-doc bigram
+    counts (doc_id, w1, w2, k) — map-side combinable — and persisted;
+    cb sums k over docs, cu folds from cb (bigram-vocab-sized, no
+    third corpus pass), and the count joins + per-doc aggregate carry
+    per-doc-DISTINCT bigram rows weighted by k. Values: all counts
+    are integer-exact re-associations (cb = Σ k, cu = Σ cb,
+    n_bigrams = Σ k = the old occurrence count since the count joins
+    drop nothing); avg_logp = Σ k·logp / Σ k ≡ the old occurrence
+    avg, with float accumulation-order noise (~1e-16) absorbed by the
+    4dp rounding — the established cross-engine tolerance. The
+    per-doc join keys are bigrams — Zipf-skewed at scale, which AQE
+    skew-join splits. No Python, no broadcast of anything
+    corpus-sized. Docs with < 2 tokens have no bigrams and drop
+    (inner semantics, same in the oracle)."""
     docs = table(spark, sf, "documents").select("doc_id", TOKENS().alias("toks"))
-    bg = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.struct(
-                    F.element_at("toks", i).alias("w1"),
-                    F.element_at("toks", i + 1).alias("w2"),
-                ),
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    cu = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    bg = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .groupBy("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    bg = persist_tracked(bg)
+    cb = bg.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
+    cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
     scored = bg.join(cb, ["w1", "w2"]).join(cu, "w1")
     logp = F.log(F.col("cb").cast("double") / F.col("cu").cast("double"))
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg(logp) + 1e-9, 4).alias("avg_logp"),
+        F.sum("k").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("k").cast("double") * logp) / F.sum("k") + 1e-9, 4
+        ).alias("avg_logp"),
     )
 
 

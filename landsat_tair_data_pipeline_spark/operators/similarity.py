@@ -29,13 +29,21 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _round_half_away(x: float, ndigits: int) -> float:
-    """Driver-side mirror of F.round on doubles (HALF_UP = half away
-    from zero) — the same recipe the house numpy kernels use; Python's
-    built-in round() is banker's and would disagree on exact .5s."""
-    import math
+    """Driver-side mirror of F.round on doubles: Spark rounds
+    BigDecimal(Double.toString(x)) HALF_UP, which
+    Decimal(repr(x)).quantize(…, ROUND_HALF_UP) reproduces (ADVICE
+    r15 item 2: the old floor(|x|·10^p + 0.5) recipe disagrees with
+    F.round on exact decimal ties, e.g. 0.0002445 → 0.000244 vs
+    Spark's 0.000245, because the float product lands an ulp below
+    the tie). The numpy KERNELS keep the floor recipe for speed;
+    their equivalence rests on the house +1e-9/+1e-10 nudges pushing
+    every compared value off exact decimal ties — documented at each
+    kernel. Python's built-in round() is banker's and would disagree
+    on every exact .5."""
+    from decimal import ROUND_HALF_UP, Decimal
 
-    p = 10.0 ** ndigits
-    return math.copysign(math.floor(abs(x) * p + 0.5) / p, x)
+    q = Decimal(1).scaleb(-ndigits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def _emb(spark: SparkSession, sf: str) -> DataFrame:
@@ -1014,72 +1022,100 @@ _PQ_SUBDIM = 16
 _PQ_CODES = 16
 
 
-def _pq_exploded(emb: DataFrame) -> DataFrame:
-    """(vec_id, d, x) dim-stream of the corpus, 1-based dims.
-    Repartitioned before the explode: the embeddings table is one
-    parquet file locally, and every downstream PQ join is broadcast
-    (codebook, ADC tables, probe dims) — without the explicit
-    shuffle the whole fan-out × hash-agg pipeline would run on ONE
-    task (the NOTES single-file trap; a no-op at real scale)."""
-    return (
-        emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
-        .select("vec_id", F.posexplode("v").alias("d0", "x"))
-        .select(
-            "vec_id",
-            (F.col("d0") + 1).alias("d"),
-            "x",
-        )
-    )
+def _pq_codebook_block(emb: DataFrame):
+    """The deterministic PQ codebook as a driver-held (_PQ_CODES × d)
+    numpy block, row c−1 = code c — the SAME bounded frame the
+    pre-r16 `_pq_codebook` built distributedly and broadcast (the
+    _PQ_CODES corpus vectors ranked first by the house
+    multiplicative-hash permutation of vec_id, reproducible in any
+    engine unlike KMeans init), pulled once for the assignment/ADC
+    kernels (optimization r16, guide §2.4/§4.2 — the _ranked_cells
+    recipe applied to the PQ family, VERDICT r15 item 2)."""
+    import numpy as np
 
-
-def _pq_codebook(emb: DataFrame, ex: DataFrame) -> DataFrame:
-    """(code, d, c) — the deterministic PQ codebook: the _PQ_CODES
-    corpus vectors ranked first by the house multiplicative-hash
-    permutation of vec_id (reproducible in any engine, unlike KMeans
-    init), code = 1-based hash rank."""
     from .augment import _mult_hash_key
 
     seeds = (
         emb.select("vec_id", _mult_hash_key("vec_id").alias("hk"))
         .orderBy(F.asc("hk"), F.asc("vec_id"))
         .limit(_PQ_CODES)
+        .collect()
     )
-    w = Window.orderBy(F.asc("hk"), F.asc("vec_id"))
-    return (
-        seeds.withColumn("code", F.row_number().over(w))
-        .select(F.col("vec_id").alias("cvid"), "code")
-        .join(ex, F.col("cvid") == F.col("vec_id"))
-        .select("code", "d", F.col("x").alias("c"))
-    )
+    seeds.sort(key=lambda r: (int(r["hk"]), int(r["vec_id"])))
+    ids = [int(r["vec_id"]) for r in seeds]
+    vrows = {
+        int(r["vec_id"]): np.asarray(r["v"], dtype=np.float64)
+        for r in emb.where(F.col("vec_id").isin(ids))
+        .select("vec_id", "v")
+        .collect()
+    }
+    return np.vstack([vrows[i] for i in ids])
 
 
-def _pq_best(ex: DataFrame, codebook: DataFrame) -> DataFrame:
+def _pq_sub_dists(X, C, s):
+    """Rounded squared distances of the rows of X to every codebook
+    row, within subspace ``s`` — the shared kernel formula: direct
+    (x−c)² sum over the subspace dims, +1e-9 nudge, half-away-from-
+    zero 6dp (distances are non-negative, so floor(x·1e6+0.5) IS the
+    F.round mirror — the house numpy recipe)."""
+    import numpy as np
+
+    sl = slice(s * _PQ_SUBDIM, (s + 1) * _PQ_SUBDIM)
+    d2 = ((X[:, sl][:, None, :] - C[None, :, sl]) ** 2).sum(axis=2) + 1e-9
+    return np.floor(d2 * 1e6 + 0.5) / 1e6
+
+
+def _pq_best(emb: DataFrame, C) -> DataFrame:
     """(vec_id, sub, b{dist, code}) — nearest codebook entry per
-    subspace: dim-stream join against the broadcast codebook + ONE
-    hash aggregate per (vec, subspace, code) + a min(struct) argmin.
-    Distances are ROUNDED before the argmin (code-id tiebreak) so
-    sub-rounding float noise can never flip a winner between
-    engines."""
-    d2 = (
-        ex.join(F.broadcast(codebook), "d")
-        .groupBy(
-            "vec_id",
-            # exact integer division: DuckDB `/` is float division and
-            # its INT cast ROUNDS (0.5 -> 1), Spark's cast truncates —
-            # both sides use integer div so subspace ids can't diverge
-            F.expr(f"(d - 1) div {_PQ_SUBDIM}").cast("int").alias("sub"),
-            "code",
-        )
-        .agg(
-            F.round(
-                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
-                + 1e-9,
-                6,
-            ).alias("dist")
-        )
+    subspace, as ONE Arrow mapInPandas kernel over the raw vector
+    rows against the driver-held codebook block (optimization r16,
+    VERDICT r15 item 2). The pre-r16 shape paid, per use, a
+    posexplode dim-stream fan-out join (n·|codebook| rows through
+    codegen), an n·subs·codes-row hash-aggregate EXCHANGE and a
+    min(struct) argmin per assignment; now assignment crosses no
+    shuffle at all — an index probe is a map (the faiss shape, same
+    argument as _ranked_cells). Values identical: same 6dp-rounded
+    direct (x−c)² distance (half-away-from-zero, the house F.round
+    mirror), and np.argmin's first-minimum over code-ascending
+    columns ≡ the old min(struct(dist, code)) lexicographic argmin;
+    accumulation-order noise vs the old hash aggregate is ~1e-15
+    against the 6dp rounding, the established cross-engine
+    tolerance."""
+    import numpy as np
+
+    nsub = C.shape[1] // _PQ_SUBDIM
+
+    def assign(batches, C=C, nsub=nsub):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf["v"].to_numpy())
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            n = len(X)
+            dist_cols = np.empty((n, nsub))
+            code_cols = np.empty((n, nsub), dtype=np.int32)
+            for s in range(nsub):
+                d2 = _pq_sub_dists(X, C, s)
+                b = np.argmin(d2, axis=1)  # first min = lowest code
+                dist_cols[:, s] = d2[np.arange(n), b]
+                code_cols[:, s] = b + 1  # codes are 1-based hash ranks
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vids, nsub),
+                    "sub": np.tile(np.arange(nsub, dtype=np.int32), n),
+                    "dist": dist_cols.ravel(),
+                    "code": code_cols.ravel(),
+                }
+            )
+
+    assigned = emb.select("vec_id", "v").mapInPandas(
+        assign, schema="vec_id long, sub int, dist double, code int"
     )
-    return d2.groupBy("vec_id", "sub").agg(
-        F.min(F.struct("dist", "code")).alias("b")
+    return assigned.select(
+        "vec_id", "sub", F.struct("dist", "code").alias("b")
     )
 
 
@@ -1093,20 +1129,18 @@ def emb_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     distance scans read codebook-distance tables instead of floats.
 
     Kept deterministic so the driver can hash it: codebook + argmin
-    discipline in _pq_codebook/_pq_best (shared with sim_pq_recall).
+    discipline in _pq_codebook_block/_pq_best (shared with
+    sim_pq_recall).
 
-    Scale shape: the exploded (vec, dim) frame is persisted once and
-    feeds both codebook extraction (a broadcast 16-row semi-join) and
-    assignment; assignment is linear shuffles, no vector x codebook
-    array crossing, the emb_nearest_centroid shape that survives 10^9
-    vectors. Surface: per subspace, codes_used / avg / max squared
-    quantization error — the codebook-quality profile a PQ tuner
-    reads."""
-    from ..util import persist_tracked
-
+    Scale shape (optimization r16, VERDICT r15 item 2): the bounded
+    16×d codebook is pulled once and assignment is ONE Arrow
+    mapInPandas kernel over the raw vectors — zero shuffle before the
+    4-row-per-vector subspace aggregate (the pre-r16 dim-stream
+    fan-out join + n·subs·codes hash-agg exchange is gone). Surface:
+    per subspace, codes_used / avg / max squared quantization error —
+    the codebook-quality profile a PQ tuner reads."""
     emb = _emb(spark, sf)
-    ex = persist_tracked(_pq_exploded(emb))
-    best = _pq_best(ex, _pq_codebook(emb, ex))
+    best = _pq_best(emb, _pq_codebook_block(emb))
     return best.groupBy("sub").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
         F.countDistinct("b.code").cast("bigint").alias("codes_used"),
@@ -1115,9 +1149,10 @@ def emb_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# Shared PQ CTE prefix (SQL twin of _pq_exploded + _pq_codebook +
-# _pq_best) — composed into BOTH PQ oracles so the codebook/argmin
-# text cannot drift between them.
+# Shared PQ CTE prefix (SQL twin of the codebook construction +
+# per-subspace argmin the _pq_best kernel computes) — composed into
+# BOTH PQ oracles so the codebook/argmin text cannot drift between
+# them.
 _PQ_COMMON_SQL = f"""e AS ({_EMB_SQL}),
 ex AS (
   SELECT vec_id,
@@ -1209,6 +1244,35 @@ def sim_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pq_partial_topk_pdf(dmat, vids, qids, k, col="dist"):
+    """Per-batch partial top-k: for each query column j of ``dmat``
+    (already-rounded distances), the k smallest rows under the strict
+    (dist asc, vec_id asc) total order, self-pairs excluded. A
+    batch's local top-k is a superset of its members in the GLOBAL
+    top-k and preserves their relative order, so the downstream
+    row_number merge window computes ranks identical to a window over
+    the full n×nq frame — while the kernel emits ≤ k·nq rows per
+    batch instead of n·nq."""
+    import numpy as np
+    import pandas as pd
+
+    qs, vs, ds = [], [], []
+    for j in range(dmat.shape[1]):
+        idx = np.nonzero(vids != qids[j])[0]
+        order = np.lexsort((vids[idx], dmat[idx, j]))[:k]
+        sel = idx[order]
+        qs.append(np.full(len(sel), qids[j], dtype=np.int64))
+        vs.append(vids[sel])
+        ds.append(dmat[sel, j])
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(qs),
+            "vec_id": np.concatenate(vs),
+            col: np.concatenate(ds),
+        }
+    )
+
+
 def _pq_search_ranked(
     spark: SparkSession, sf: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -1216,27 +1280,53 @@ def _pq_search_ranked(
     sim_eval_pq_mrr_ndcg): per probe query (vec_id < _ADC_NQ), the
     exact squared-L2 ranking and the ADC ranking, both truncated at
     _ADC_K — (query_id, vec_id, rn) frames. Mirrored by
-    _PQ_SEARCH_CTES."""
+    _PQ_SEARCH_CTES.
+
+    Execution shape (optimization r16, VERDICT r15 item 2 — the
+    _ranked_cells recipe): the 16×d codebook and the ≤ _ADC_NQ probe
+    vectors are BOUNDED pulls (the same frames the pre-r16 plan
+    broadcast), the ADC distance tables (nq × subs × codes rounded
+    entries — the exact values the old pex⋈cb aggregate produced) are
+    built driver-side in numpy, and each ranking is ONE Arrow
+    mapInPandas kernel over the raw vectors emitting per-batch
+    partial top-k rows, merged by a row_number window over ≤
+    k·nq·batches rows. The pre-r16 shape paid a dim-stream fan-out
+    join + n·nq hash-agg exchange (exact side), the full code
+    assignment subtree + an n·nq ADC aggregate (ADC side), and ran
+    the merge windows over n·nq rows. Values identical: same rounded
+    formulas (6dp half-away-from-zero + 1e-9 nudges), same strict
+    (dist, vec_id) total order, same self-exclusion; per-subspace /
+    per-pair float accumulation order vs the old hash aggregates is
+    ~1e-15 noise against the 6dp rounding — the established
+    cross-engine tolerance."""
+    import numpy as np
+
     from ..util import persist_tracked
 
-    emb = _emb(spark, sf)
-    ex = persist_tracked(_pq_exploded(emb))
-    cb = _pq_codebook(emb, ex)
-    codes = _pq_best(ex, cb).select("vec_id", "sub", F.col("b.code").alias("code"))
-    pex = ex.where(F.col("vec_id") < _ADC_NQ).select(
-        F.col("vec_id").alias("query_id"), "d", F.col("x").alias("qx")
+    emb = persist_tracked(_emb(spark, sf))
+    C = _pq_codebook_block(emb)
+    nsub = C.shape[1] // _PQ_SUBDIM
+    probes = (
+        emb.where(F.col("vec_id") < _ADC_NQ).select("vec_id", "v").collect()
     )
-    exd = (
-        ex.join(F.broadcast(pex), "d")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(
-            F.round(
-                F.sum((F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")))
-                + 1e-9,
-                6,
-            ).alias("dist")
-        )
+    probes.sort(key=lambda r: int(r["vec_id"]))
+    qids = np.array([int(r["vec_id"]) for r in probes], dtype=np.int64)
+    Q = np.vstack([np.asarray(r["v"], dtype=np.float64) for r in probes])
+
+    def exact_partials(batches, Q=Q, qids=qids):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf["v"].to_numpy())
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            d2 = ((X[:, None, :] - Q[None, :, :]) ** 2).sum(axis=2) + 1e-9
+            d2 = np.floor(d2 * 1e6 + 0.5) / 1e6
+            yield _pq_partial_topk_pdf(d2, vids, qids, _ADC_K)
+
+    exd = emb.select("vec_id", "v").mapInPandas(
+        exact_partials, schema="query_id long, vec_id long, dist double"
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
     exk = persist_tracked(
@@ -1244,30 +1334,39 @@ def _pq_search_ranked(
         .where(F.col("rn") <= _ADC_K)
         .select("query_id", "vec_id", "rn")
     )
-    adc = (
-        pex.join(cb, "d")
-        .groupBy(
-            "query_id",
-            F.expr(f"(d - 1) div {_PQ_SUBDIM}").cast("int").alias("sub"),
-            "code",
-        )
-        .agg(
-            F.round(
-                F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c")))
-                + 1e-9,
-                6,
-            ).alias("pdist")
-        )
+
+    # ADC tables driver-side: pdist[q, sub, code] — the same rounded
+    # per-subspace query→codebook distances the old broadcast aggregate
+    # computed (formula shared with the assignment kernel)
+    tab = np.empty((len(qids), nsub, C.shape[0]))
+    for s in range(nsub):
+        tab[:, s, :] = _pq_sub_dists(Q, C, s)
+
+    def adc_partials(batches, C=C, tab=tab, qids=qids, nsub=nsub):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf["v"].to_numpy())
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            n = len(X)
+            ad = np.zeros((n, len(qids)))
+            for s in range(nsub):
+                codes0 = np.argmin(_pq_sub_dists(X, C, s), axis=1)
+                # table lookup: (nq, n) slice of this sub's pdist rows
+                ad += tab[:, s, :][:, codes0].T
+            # 4 already-6dp-rounded terms: re-round so last-ULP
+            # summation noise can't diverge between engines
+            ad = np.floor((ad + 1e-9) * 1e6 + 0.5) / 1e6
+            yield _pq_partial_topk_pdf(ad, vids, qids, _ADC_K, col="adist")
+
+    adcd = emb.select("vec_id", "v").mapInPandas(
+        adc_partials, schema="query_id long, vec_id long, adist double"
     )
-    adcd = (
-        codes.join(F.broadcast(adc), ["sub", "code"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        # 4 already-6dp-rounded terms: re-round so last-ULP summation
-        # noise can't diverge between engines
-        .agg(F.round(F.sum("pdist") + 1e-9, 6).alias("adist"))
+    wa = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("vec_id")
     )
-    wa = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
     adck = (
         adcd.withColumn("rn", F.row_number().over(wa))
         .where(F.col("rn") <= _ADC_K)
@@ -1819,7 +1918,18 @@ def _ranked_cells(emb: DataFrame, seed_src: DataFrame) -> DataFrame:
     C = np.array([[float(x) for x in r["v"]] for r in seed_rows])
     nprobe = _IVF_GRAPH_NPROBE
 
-    def rank_cells(batches, C=C, cids=cids, nprobe=nprobe):
+    # Chunk rows by a BYTE budget, not a fixed row count (optimization
+    # r16, VERDICT r15 item 3): the (rows × k × d) float64 diff tensor
+    # is the kernel's peak allocation, and k = √n by the family's
+    # sizing rule — a fixed 1024-row chunk is ~16 GB per chunk at
+    # n = 10⁹, d = 64. rows ≈ 64 MB / (k·d·8) keeps the tensor at
+    # ~64 MB regardless of k; each chunk is also YIELDED as its own
+    # frame so the (rows × k) distance matrix never accumulates
+    # batch-wide (ADVICE r15 item 4). Values unchanged: the argsort is
+    # per row, so chunking the rows cannot reorder anything.
+    rows_per_chunk = _kernel_rows_per_chunk(len(cids), C.shape[1])
+
+    def rank_cells(batches, C=C, cids=cids, nprobe=nprobe, rpc=rows_per_chunk):
         import numpy as np
         import pandas as pd
 
@@ -1827,31 +1937,39 @@ def _ranked_cells(emb: DataFrame, seed_src: DataFrame) -> DataFrame:
             if len(pdf) == 0:
                 continue
             X = np.vstack(pdf["v"].to_numpy())
-            out_d2 = np.empty((len(X), len(cids)))
-            # chunk the (rows × cells × dims) diff tensor to bound
-            # kernel memory; same direct (x−c)² formula as the old
-            # aggregate (no sum-of-squares expansion — keeps the
-            # cancellation profile identical-class)
-            for lo in range(0, len(X), 1024):
-                hi = min(lo + 1024, len(X))
-                d2 = ((X[lo:hi, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                out_d2[lo:hi] = d2
-            d2 = out_d2 + 1e-9
-            d2 = np.floor(d2 * 1e6 + 0.5) / 1e6
+            all_vids = pdf["vec_id"].to_numpy(dtype=np.int64)
             m = min(nprobe, len(cids))
-            order = np.argsort(d2, axis=1, kind="stable")[:, :m]
-            vids = np.repeat(pdf["vec_id"].to_numpy(dtype=np.int64), m)
-            yield pd.DataFrame(
-                {
-                    "vec_id": vids,
-                    "cid": cids[order].ravel(),
-                    "rk": np.tile(np.arange(1, m + 1, dtype=np.int32), len(X)),
-                }
-            )
+            # same direct (x−c)² formula as the old aggregate (no
+            # sum-of-squares expansion — keeps the cancellation
+            # profile identical-class)
+            for lo in range(0, len(X), rpc):
+                hi = min(lo + rpc, len(X))
+                d2 = ((X[lo:hi, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                d2 = d2 + 1e-9
+                d2 = np.floor(d2 * 1e6 + 0.5) / 1e6
+                order = np.argsort(d2, axis=1, kind="stable")[:, :m]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(all_vids[lo:hi], m),
+                        "cid": cids[order].ravel(),
+                        "rk": np.tile(
+                            np.arange(1, m + 1, dtype=np.int32), hi - lo
+                        ),
+                    }
+                )
 
     return emb.select("vec_id", "v").mapInPandas(
         rank_cells, schema="vec_id long, cid long, rk int"
     )
+
+
+def _kernel_rows_per_chunk(k: int, d: int, budget_bytes: int = 64 << 20) -> int:
+    """Row count per kernel chunk so the (rows × k × d) float64 diff
+    tensor stays within ``budget_bytes`` (≥ 1 row always — a single
+    row's k×d tensor is the irreducible minimum). Shared sizing for
+    the distance kernels whose cell count k grows with the corpus
+    (VERDICT r15 item 3)."""
+    return max(1, budget_bytes // (max(1, k) * max(1, d) * 8))
 
 
 def _cell_block_topk(k: int):

@@ -1963,8 +1963,17 @@ def _bpe_round(state: DataFrame) -> tuple[DataFrame, DataFrame]:
         .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
         .agg(F.sum("n").alias("cnt"))
     )
-    trow = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()[0]
+    trows = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
     spark = state.sparkSession
+    if not trows:
+        # fully-merged state: no adjacent pair remains (ADVICE r15
+        # item 3 — the bare collect()[0] raised IndexError here).
+        # Mirror the oracle exactly: top{r} is an EMPTY 1-row CTE, so
+        # st{r} (a cross join with it) and every later round's state
+        # and readout row are empty too.
+        top = spark.createDataFrame([], "l string, r string, cnt bigint")
+        return top, state.select("word", "n", "w").limit(0)
+    trow = trows[0]
     top = spark.createDataFrame(
         [(trow["l"], trow["r"], trow["cnt"])], "l string, r string, cnt bigint"
     )
@@ -2013,7 +2022,11 @@ def _bpe_merge_rounds(spark: SparkSession, sf: str, k: int) -> DataFrame:
     # one checkpoint of the INITIAL word state (the corpus-wide word
     # count — everything downstream is projection chains over it);
     # per-round state checkpoints are gone with the literal-replace
-    # _bpe_round (optimization r15 — see its docstring)
+    # _bpe_round (optimization r15 — see its docstring). Round r's
+    # plan replays the r-1 prior replace projections over the one
+    # checkpoint — O(k²) projection work total, fine at the committed
+    # k = _BPE_VOCAB_ROUNDS = 3; re-checkpoint every ~8 rounds before
+    # raising k (ADVICE r15 item 3).
     state = _bpe_word_state(spark, sf).localCheckpoint()
     chars = state.agg(
         F.sum(F.col("n") * F.length("word")).alias("total_chars")

@@ -702,12 +702,10 @@ def stream_dedup_shard(spark: SparkSession, sf: str) -> DataFrame:
     base = os.path.join(SCRATCH_DIR, f"stream_shard_{tag}_{app}")
     in_dir = os.path.join(base, "in")
     ledger_dir = os.path.join(base, "ledger")
-    seen_dir = os.path.join(base, "seen")
     out_dir = os.path.join(base, "out")
-    # per-invocation state wipe: seen/out accumulate DURING one drain
+    # per-invocation state wipe: out accumulates DURING one drain
     # and must start empty on the next (bench reps, test reruns)
-    for d in (seen_dir, out_dir):
-        shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
     # stage the arriving shard as 4 ascending doc_id-range files and
     # the corpus fingerprint ledger (one corpus pass, reused across
     # batches); overwrite keeps the staging in lockstep with the
@@ -743,17 +741,18 @@ def stream_dedup_shard(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(in_dir)
     )
 
-    batch_spans: list[tuple[int, int, int]] = []  # (batch_id, lo, hi)
-
     def probe(batch_df, batch_id: int) -> None:
+        # Per-batch job budget (optimization r16, VERDICT r15 item 6):
+        # ONE action per micro-batch — the out-sink write. The pre-r16
+        # body ran three (a span-guard collect, the out write, and a
+        # second append maintaining a separate `seen` fingerprint
+        # sink); the span guard now reads the out sink's own rows
+        # post-drain (each row carries its batch id), and the seen
+        # ledger IS the out sink filtered to outcome = 'kept' — the
+        # same h set the dedicated sink held, read by the NEXT batch
+        # only (this batch's append happens after the read, exactly
+        # the old ordering).
         rows = batch_df.persist()
-        span = rows.agg(
-            SF_.min("doc_id").alias("lo"), SF_.max("doc_id").alias("hi")
-        ).collect()[0]
-        if span["lo"] is None:
-            rows.unpersist()
-            return
-        batch_spans.append((int(batch_id), int(span["lo"]), int(span["hi"])))
         bfp = rows.select("h").distinct()
         ledger = spark.read.parquet(ledger_dir)
         # the ledger is WRITTEN distinct (one row per corpus
@@ -765,10 +764,14 @@ def stream_dedup_shard(spark: SparkSession, sf: str) -> DataFrame:
         matched = ledger.join(SF_.broadcast(bfp), "h", "left_semi")
         vs_corpus = rows.join(SF_.broadcast(matched), "h", "left_semi")
         fresh = rows.join(SF_.broadcast(matched), "h", "left_anti")
-        if os.path.isdir(seen_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(seen_dir)
+        if os.path.isdir(out_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(out_dir)
         ):
-            seen = spark.read.parquet(seen_dir)
+            seen = (
+                spark.read.parquet(out_dir)
+                .where(SF_.col("outcome") == "kept")
+                .select("h")
+            )
             dup_prior = fresh.join(SF_.broadcast(seen), "h", "left_semi")
             still = fresh.join(SF_.broadcast(seen), "h", "left_anti")
         else:
@@ -784,9 +787,8 @@ def stream_dedup_shard(spark: SparkSession, sf: str) -> DataFrame:
                 dup_in_batch.withColumn("outcome", SF_.lit("dup_within"))
             )
             .unionByName(kept.withColumn("outcome", SF_.lit("kept")))
-        )
+        ).withColumn("_bid", SF_.lit(int(batch_id)))
         out.write.mode("append").parquet(out_dir)
-        kept.select("h").write.mode("append").parquet(seen_dir)
         rows.unpersist()
 
     q = (
@@ -801,6 +803,18 @@ def stream_dedup_shard(spark: SparkSession, sf: str) -> DataFrame:
         q.stop()
         raise TimeoutError("stream_dedup_shard: drain exceeded 300s")
     # enforce the preconditions the batch-oracle equivalence rests on
+    # — from the out sink's own rows (ONE post-drain aggregate instead
+    # of a collect job inside every micro-batch; every outcome row
+    # carries its micro-batch id, and the outcomes partition the
+    # shard, so per-batch (min, max) doc_id here equal the old
+    # in-batch span collect exactly)
+    res = spark.read.parquet(out_dir)
+    batch_spans = [
+        (int(r["_bid"]), int(r["lo"]), int(r["hi"]))
+        for r in res.groupBy("_bid")
+        .agg(SF_.min("doc_id").alias("lo"), SF_.max("doc_id").alias("hi"))
+        .collect()
+    ]
     if len(batch_spans) < 2:
         raise RuntimeError(
             f"stream_dedup_shard: drain collapsed into "
@@ -817,7 +831,6 @@ def stream_dedup_shard(spark: SparkSession, sf: str) -> DataFrame:
                 "batch op's keep-min and the result would silently "
                 "diverge from the oracle"
             )
-    res = spark.read.parquet(out_dir)
     agg = res.groupBy("source").pivot(
         "outcome", ["dup_vs_corpus", "dup_within", "kept"]
     ).count()

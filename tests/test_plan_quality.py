@@ -657,16 +657,16 @@ def test_seasonal_decompose_window_sees_daily_rows_only(spark):
 
 
 def test_banded_minhash_vectorized_kernel_shape(spark):
-    """ext_dedup_near (r15 shape): the 256-permutation signature is
-    ONE Arrow-batched vectorized kernel over the shared _hashed_docs
-    frame, and the 64 band keys a second cheap pandas_udf over the
-    PERSISTED signature (ADVICE r14 — the fused kernel re-ran the
-    lattice in composed scopes) — per-row maps, so the plan must
-    carry ArrowEvalPython (never row-at-a-time BatchEvalPython)
-    and NO aggregate shuffle before the band join. Shuffle budget
-    tightens vs the pre-r14 pin (<= 8): the signature groupBy is gone,
-    and a per-permutation-shuffle regression would blow far past
-    this."""
+    """ext_dedup_near (r16 shape): the 256-permutation lattice AND the
+    64 band digests are ONE fused Arrow-batched kernel over the shared
+    _hashed_docs frame (optimization r16 — the r15-build sig/bands
+    split added a full Arrow round-trip plus an intermediate cache for
+    a composed-scope reuse no registry key exercises) — per-row maps,
+    so the plan must carry ArrowEvalPython (never row-at-a-time
+    BatchEvalPython) and NO aggregate shuffle before the band join.
+    Shuffle budget tightens vs the pre-r14 pin (<= 8): the signature
+    groupBy is gone, and a per-permutation-shuffle regression would
+    blow far past this."""
     plan = _plan(spark, "ext_dedup_near")
     assert "ArrowEvalPython" in plan, "vectorized minhash kernel missing"
     assert "BatchEvalPython" not in plan
@@ -689,9 +689,21 @@ def test_banded_minhash_vectorized_kernel_shape(spark):
     assert sig.columns == ["doc_id", "sig"]
     row = sig.limit(1).collect()[0]
     assert len(row["sig"]) == dedup._MH_BANDS * dedup._MH_ROWS == 256
-    bands = dedup._bands_from_sig(sig)
+    bands = dedup._minhash_bands(docs)
     row = bands.limit(1).collect()[0]
     assert len(row["bands"]) == dedup._MH_BANDS == 64
+    # fused-kernel value pin: band k of the fused kernel must equal
+    # the md5-long digest of the ':'-joined 4 signature rows of band k
+    import hashlib
+
+    srow = sig.where(sig["doc_id"] == row["doc_id"]).collect()[0]
+    for k in (0, 31, 63):
+        joined = ":".join(
+            str(int(srow["sig"][k * dedup._MH_ROWS + r]))
+            for r in range(dedup._MH_ROWS)
+        )
+        want = int(hashlib.md5(joined.encode()).hexdigest()[:15], 16)
+        assert int(row["bands"][k]) == want, k
 
 
 def test_rolling_median_reduces_before_window(spark):
@@ -796,18 +808,20 @@ def test_interval_overlap_is_binned_equi_join(spark):
 
 
 def test_pq_codes_is_dim_stream_broadcast_assignment(spark):
-    """emb_pq_codes' scale contract: the exploded (vec, dim) frame is
-    persisted once (cache scan) and assignment runs as a dim-stream
-    join against the BROADCAST 1024-row codebook plus hash aggregates
-    — never a sort-merge join or a vector x codebook nested loop, and
-    bounded shuffles (the emb_nearest_centroid shape)."""
+    """emb_pq_codes' scale contract (r16 kernel shape): assignment is
+    ONE Arrow mapInPandas kernel over the raw vectors against the
+    driver-held 16×d codebook block — no dim-stream fan-out join, no
+    per-(vec, sub, code) aggregate exchange, no argmin window; the
+    only shuffle left is the 4-rows-per-vector subspace aggregate."""
     plan = _plan(spark, "emb_pq_codes")
-    assert "InMemoryTableScan" in plan
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "MapInPandas" in plan, "PQ assignment kernel missing"
+    assert "Window" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert _shuffles(plan) <= 6, _shuffles(plan)
+    # nothing cached in this plan, so text count = node count: the
+    # subspace aggregate's partial/final exchange pair only
+    assert _shuffles(plan) <= 2, _shuffles(plan)
 
 
 def test_edit_distance_lev_stays_out_of_join_condition(spark):
@@ -835,16 +849,22 @@ def test_pack_shards_single_group_shuffle(spark):
 
 
 def test_pq_recall_stays_broadcast_and_parallel(spark):
-    """sim_pq_recall's scale contract: every PQ-side join is broadcast
-    (codebook, ADC tables, probe dims — the corpus never shuffles for
-    them), the exploded dim-stream carries the explicit round-robin
-    repartition (single-file trap: with only broadcast joins
-    downstream nothing else spreads the fan-out), and there is no
-    distance cross join."""
+    """sim_pq_recall's scale contract (r16 kernel shape): BOTH
+    rankings are Arrow mapInPandas kernels over the raw vectors
+    emitting per-batch partial top-k rows (codebook + probe vectors +
+    ADC tables are bounded driver pulls), so the plan carries exactly
+    two kernels, the merge windows run over ≤ k·nq·batches rows, and
+    there is no dim-stream fan-out join or distance cross join."""
     plan = _plan(spark, "sim_pq_recall")
     assert "CartesianProduct" not in plan
-    assert "RoundRobinPartitioning" in plan, plan[:900]
-    assert plan.count("BroadcastHashJoin") >= 4, plan.count("BroadcastHashJoin")
+    # both kernels (exact + ADC) present; executedPlan().toString()
+    # reprints the persisted exk subtree per consuming branch, so pin
+    # a floor, not an exact count
+    assert plan.count("MapInPandas") >= 2, plan.count("MapInPandas")
+    assert "SortMergeJoin" not in plan
+    # the dim-stream fan-out joins are gone: no row_number merge over
+    # n·nq rows means no full-width sort feeding the windows
+    assert "posexplode" not in plan, "dim-stream fan-out reappeared"
 
 
 def test_scd2_pit_join_is_equi_with_residual(spark):

@@ -31,6 +31,12 @@ def test_round_half_away_matches_spark_round(spark):
         123.456789501,
         -987.000000499,
         3272.298269,
+        # exact decimal ties where the pre-r16 floor recipe disagreed
+        # with F.round (ADVICE r15 item 2): the float product
+        # |x|·10^6 lands an ulp below the .5 tie
+        0.0002445,
+        -0.0002445,
+        0.5280935,
     ]
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     for nd in (6, 8):
