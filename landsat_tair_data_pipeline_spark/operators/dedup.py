@@ -107,32 +107,33 @@ def _freq_rank_sort_udf(topk: DataFrame):
     the global prefix-filter order (corpus frequency asc, token asc;
     out-of-top-K tokens count as frequency 1). The top-K frequency
     table is a BOUNDED pull (≤ 65,536 rows — the exact frame the
-    pre-r15 plan broadcast for its join) shipped as a SPARK BROADCAST
-    of the O(1) Python dict (optimization r16, VERDICT r15 item 1:
-    the r15 shape held the dict directly in the pandas_udf closure,
-    so the ~65k-entry pickle rode the serialized task command of
-    EVERY stage that evaluates the kernel — the a/b prefix sides and
-    the verify join-back each re-ship it; a broadcast ships once per
-    executor and the closure pickles only the handle); position+1 in
-    the returned array ≡ the row_number the pre-r15 window computed
-    (strict total order since token sets are distinct per doc).
-    Null/absent token arrays pass through untouched (ADVICE r15 item
-    5: a null `toks` — null text upstream — made toks.map(len) raise
-    where the pre-r15 explode-based ranking silently dropped the
-    row). Shared by _prefix_filter_pairs and
-    _asym_containment_candidates."""
+    pre-r15 plan broadcast for its join) held as an O(1) Python dict
+    in the kernel CLOSURE — deliberately NOT a Spark broadcast
+    variable (optimization r16 finding, measured on the interleaved
+    dedup_near_recall A/B): the closure rides each stage's
+    torrent-broadcast task binary, so it already ships once per
+    stage, while a Broadcast handle pickles with a fresh id on every
+    query build and DE-CANONICALIZES the UDF — persisted frames
+    downstream of the kernel (dedup_near_recall's exact side) stop
+    cache-matching across bench reps, re-running the whole prefix
+    pipeline per rep (~+1.9 s/rep at sf0.1). Identical dict content
+    pickles to identical bytes, so rebuilds keep canonical-plan
+    equality. Position+1 in the returned array ≡ the row_number the
+    pre-r15 window computed (strict total order since token sets are
+    distinct per doc). Null/absent token arrays pass through
+    untouched (ADVICE r15 item 5: a null `toks` — null text upstream
+    — made toks.map(len) raise where the pre-r15 explode-based
+    ranking silently dropped the row). Shared by _prefix_filter_pairs
+    and _asym_containment_candidates."""
     from pyspark.sql.functions import pandas_udf
 
-    bc_fm = topk.sparkSession.sparkContext.broadcast(
-        {int(r["tok"]): int(r["freq"]) for r in topk.collect()}
-    )
+    fm = {int(r["tok"]): int(r["freq"]) for r in topk.collect()}
 
     @pandas_udf("array<long>")
     def rank_sort(toks: pd.Series) -> pd.Series:
         import numpy as np
         import pandas as pd_
 
-        fm = bc_fm.value
         lens = toks.map(lambda a: 0 if a is None else len(a)).to_numpy(
             dtype=np.int64
         )
