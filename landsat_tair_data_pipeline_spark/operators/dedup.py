@@ -4787,6 +4787,19 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Optimization r16, REJECTED WITH NUMBERS (guide §1 discipline,
+    # VERDICT r15 item 7): pre-partitioning ed on src
+    # (persist(repartition(par, "src")) — persist, not checkpoint,
+    # per the r15 finding) to elide a per-iteration edge exchange
+    # measured graph_pagerank 2.59 s → 16.05 s min-of-4 (interleaved
+    # with an unchanged graph_label_propagation control that moved
+    # only 2.2 → 8.1 s under the same load spike — the patch itself
+    # is ≥1.7× beyond drift). Cause: the per-iteration rank side is
+    # BROADCAST at this scale, so ed never shuffles in the loop and
+    # the repartition is a pure extra exchange plus a pinned
+    # 32-partition constraint. Same conclusion as the r15
+    # dedup_clusters experiment; revisit only where the rank side
+    # outgrows the broadcast threshold.
     ed = persist_tracked(edges.join(deg, "src"))
     n1 = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     r = deg.select(F.col("src").alias("node")).crossJoin(n1).select(
