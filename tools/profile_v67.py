@@ -138,7 +138,38 @@ def main() -> None:
         .localCheckpoint()
     )
     t("kept dsir-half", kept)
-    # funnel count branches + mix
+    # funnel count branches + mix — mirrors the r16 union-tagged
+    # single-pass count block (and times the r15 9-aggregate shape
+    # beside it so the VERDICT r15 item-5 delta stays attributable)
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    layers = [
+        (docs, "n_raw"),
+        (base, "n_after_url"),
+        (d0, "n_after_domain"),
+        (d1, "n_after_exact"),
+        (d1b, "n_after_boilerplate"),
+        (d2, "n_after_quality"),
+        (kept_c, "n_after_containment"),
+        (kept_sem, "n_after_semantic"),
+        (kept_dec, "n_after_decontam"),
+    ]
+    tagged = reduce(
+        DataFrame.unionByName,
+        [
+            df.select("source", F.lit(i).alias("_st"))
+            for i, (df, _) in enumerate(layers)
+        ],
+    )
+    counts = tagged.groupBy("source").agg(
+        *[
+            F.count(F.when(F.col("_st") == i, 1)).alias(name)
+            for i, (_, name) in enumerate(layers)
+        ]
+    )
+    t("counts union-pass (r16)", counts)
     raw_n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
     url_n = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_url"))
     d0_n = d0.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_domain"))
@@ -174,7 +205,7 @@ def main() -> None:
         epochs.alias("epochs_at_4x"),
         (epochs > 4.0).alias("over_repeat"),
     )
-    out = (
+    out_r15 = (
         raw_n.join(d0_n, "source", "left")
         .join(d1_n, "source", "left")
         .join(d2_n, "source", "left")
@@ -186,7 +217,9 @@ def main() -> None:
         .join(dec_n, "source", "left")
         .join(url_n, "source", "left")
     )
-    t("final out join", out)
+    t("out join 9-agg (r15 shape)", out_r15)
+    out = counts.join(kept_n, "source", "left").join(mix, "source", "left")
+    t("out join union (r16 shape)", out)
     print(f"{'TOTAL':28s} {time.perf_counter()-total0:7.3f}s")
     spark.stop()
 
